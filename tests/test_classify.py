@@ -1,0 +1,171 @@
+"""End-to-end column classification on Spark — mirrors the reference's
+examples/example_{1..4}.csv + datasets/fake_data.csv shapes (FIXTURES.md F2)
+with golden expected categorize() outputs."""
+
+import datetime
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cartwright_spark.operators.classify import (
+    categorize,
+    classify_columns,
+    columns_categorized,
+)
+from cartwright_spark.sources import gazetteers as gz
+
+
+def _spark_df(spark, pdf):
+    return spark.createDataFrame(pdf)
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(42)
+
+
+def test_fx_example_1(spark, rng):
+    n = 100
+    pdf = pd.DataFrame({
+        "latitude": np.round(rng.uniform(-90, 90, n), 6),
+        "longitude": np.round(rng.uniform(-180, 180, n), 6),
+        "date": [
+            (datetime.date(2015, 1, 1) + datetime.timedelta(days=int(d))).strftime("%Y-%m-%d")
+            for d in rng.integers(0, 3000, n)
+        ],
+        "value": np.round(rng.uniform(100, 5000, n), 2),
+    })
+    got = categorize(_spark_df(spark, pdf))
+    # 'latitude'/'longitude' headers hit the skip-list (utils.py:195-204)
+    assert got["latitude"] == {"category": "geo", "subcategory": "latitude", "format": None}
+    assert got["longitude"] == {"category": "geo", "subcategory": "longitude", "format": None}
+    assert got["date"] == {"category": "time", "subcategory": "date", "format": "%Y-%m-%d"}
+    assert "value" not in got
+
+
+def test_fx_example_2(spark, rng):
+    n = 100
+    cities = list(gz.city_names()[:40])
+    iso2 = sorted(gz.iso2_set())[:40]
+    pdf = pd.DataFrame({
+        "y": np.round(rng.uniform(-90, 90, n), 6),
+        "x": np.round(rng.uniform(-180, 180, n), 6),
+        "city": [cities[int(i)] for i in rng.integers(0, len(cities), n)],
+        "country_code": [iso2[int(i)] for i in rng.integers(0, len(iso2), n)],
+        "ts": [
+            (datetime.date(2010, 1, 1) + datetime.timedelta(days=int(d))).strftime("%B %d, %Y")
+            for d in rng.integers(0, 3000, n)
+        ],
+        "value": rng.integers(100, 10000, n),
+    })
+    got = categorize(_spark_df(spark, pdf))
+    # y/x are value-classified: in-range floats → latitude wins ties by
+    # priority (SURVEY.md §7.3); x has out-of-±90 values → longitude
+    assert got["city"]["subcategory"] == "city"
+    assert got["country_code"]["subcategory"] == "ISO2"
+    assert got["ts"] == {"category": "time", "subcategory": "date", "format": "%B %d, %Y"}
+    assert got["x"]["subcategory"] == "longitude"
+    assert "value" not in got
+
+
+def test_fx_example_3_skip_headers(spark, rng):
+    n = 100
+    conts = list(gz.continent_terms())
+    cities = list(gz.city_names()[:60])
+    pdf = pd.DataFrame({
+        "lat": np.round(rng.uniform(-90, 90, n), 6),
+        "lng": np.round(rng.uniform(-180, 180, n), 6),
+        "region": [conts[int(i)] for i in rng.integers(0, len(conts), n)],
+        "place_name": [cities[int(i)] for i in rng.integers(0, len(cities), n)],
+        "month": rng.integers(1, 13, n),
+        "day": rng.integers(1, 29, n),
+        "year": rng.integers(1982, 2011, n),
+        "value": rng.integers(0, 100000, n),
+    })
+    got = categorize(_spark_df(spark, pdf))
+    assert got["lat"]["subcategory"] == "latitude"
+    # the reference maps lng→latitude (utils.py:198 bug, kept verbatim)
+    assert got["lng"]["subcategory"] == "latitude"
+    assert got["region"]["subcategory"] == "continent"
+    assert got["place_name"]["subcategory"] == "city"
+    assert got["month"] == {"category": "time", "subcategory": "date", "format": "%m"}
+    assert got["day"] == {"category": "time", "subcategory": "date", "format": "%d"}
+    assert got["year"] == {"category": "time", "subcategory": "date", "format": "%Y"}
+    assert "value" not in got
+
+
+def test_fx_example_4(spark, rng):
+    n = 88
+    countries = list(gz.country_names()[:50])
+    base = datetime.datetime(1995, 3, 2, 7, 11, 13)
+    dts = [base + datetime.timedelta(days=int(d), seconds=int(s))
+           for d, s in zip(rng.integers(0, 9000, n), rng.integers(0, 86400, n))]
+    months_b = ["January", "February", "March", "April", "May", "June", "July",
+                "August", "September", "October", "November", "December"]
+    days_a = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+              "Saturday", "Sunday"]
+    pdf = pd.DataFrame({
+        "country": [countries[int(i)] for i in rng.integers(0, len(countries), n)],
+        "value_int": rng.integers(1000, 10**6, n),
+        "Latitude": np.round(rng.uniform(-90, 90, n), 6),
+        "Longitude": np.round(rng.uniform(-180, 180, n), 6),
+        "mdy": [d.strftime("%m/%d/%y") for d in dts],
+        "mdY_dash": [d.strftime("%m-%d-%Y") for d in dts],
+        "d_month_Y": [d.strftime("%d %B %Y") for d in dts],
+        "seconds_epoch": [str(int(d.timestamp())) for d in dts],
+        "month_name": [months_b[int(i)] for i in rng.integers(0, 12, n)],
+        "month_num": [f"{int(i):02d}" for i in rng.integers(1, 13, n)],
+        "year_col": [str(1982 + int(i)) for i in rng.integers(0, 40, n)],
+        "Day_name": [days_a[int(i)] for i in rng.integers(0, 7, n)],
+        "bool_col": [["t", "f", "T", "F"][int(i)] for i in rng.integers(0, 4, n)],
+    })
+    got = categorize(_spark_df(spark, pdf))
+    # 'country' value-path is broken in the reference (label collision,
+    # test_geos.py:31) — the header fuzzy backfill supplies (geo, country)
+    assert got["country"] == {"category": "geo", "subcategory": "country", "format": None}
+    assert got["Latitude"]["subcategory"] == "latitude"
+    assert got["Longitude"]["subcategory"] == "longitude"
+    assert got["mdy"]["format"] == "%m/%d/%y"
+    assert got["mdY_dash"]["format"] == "%m-%d-%Y"
+    assert got["d_month_Y"]["format"] == "%d %B %Y"
+    assert got["seconds_epoch"]["format"] == "unix_time"
+    assert got["month_name"]["format"] == "%B"
+    assert got["month_num"]["format"] == "%m"
+    assert got["year_col"] == {"category": "time", "subcategory": "date", "format": "%Y"}
+    assert got["Day_name"]["format"] == "%A"
+    assert "bool_col" not in got
+    assert "value_int" not in got
+
+
+def test_all_nan_column_pruned(spark):
+    pdf = pd.DataFrame({
+        "empty": [np.nan, np.nan, np.nan, np.nan],
+        "ok": ["2020-01-01", "2021-02-02", "2022-03-03", "2023-04-04"],
+    })
+    cls = {c.column: c for c in classify_columns(spark.createDataFrame(pdf))}
+    assert cls["empty"].category is None
+    assert cls["ok"].format == "%Y-%m-%d"
+
+
+def test_columns_categorized_shape(spark, rng):
+    pdf = pd.DataFrame({"date": ["2020-01-01", "2021-06-15", "2019-12-31"]})
+    got = columns_categorized(_spark_df(spark, pdf))
+    assert set(got["date"].keys()) == {
+        "category", "subcategory", "format", "time_resolution",
+        "match_type", "fuzzyColumn",
+    }
+    # header 'date' also fuzzy-matches the 'Date' keyword → annotation added
+    assert got["date"]["match_type"] == ["LSTM", "fuzzy"]
+    assert got["date"]["fuzzyColumn"]["matchedKey"] == "Date"
+
+
+def test_fuzzy_annotation_attached(spark, rng):
+    n = 50
+    pdf = pd.DataFrame({
+        "Country": [list(gz.country_names())[int(i)] for i in rng.integers(0, 80, n)],
+    })
+    cls = classify_columns(_spark_df(spark, pdf))[0]
+    assert cls.fuzzy_column is not None
+    assert cls.fuzzy_column["fuzzyCategory"] == "Country"
+    assert cls.category == "geo" and cls.subcategory == "country"
