@@ -1,0 +1,35 @@
+"""spark-submit entry point.
+
+    spark-submit --py-files cartwright_spark.zip \
+        cartwright_spark/jobs/pipeline.py --rows 1000000 --workdir /tmp/cw
+
+Re-running with the same workdir resumes from committed snapshots.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=100_000)
+    ap.add_argument("--workdir", default="/tmp/cartwright_spark_pipeline")
+    ap.add_argument("--s2-level", type=int, default=10)
+    ap.add_argument("--zoom", type=int, default=8)
+    ap.add_argument("--force", action="store_true")
+    args = ap.parse_args()
+
+    from cartwright_spark.plans.pipeline import run_pipeline
+    from cartwright_spark.session import get_spark
+
+    spark = get_spark("cartwright_pipeline")
+    summary = run_pipeline(spark, args.workdir, n_pages=args.rows,
+                           s2_level=args.s2_level, zoom=args.zoom,
+                           force=args.force)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""End-to-end pipeline: pages → extract → detect → encode → tiles.
+
+Each stage commits an Iceberg-lite snapshot (schema + per-file row lineage +
+wall-time metrics) and is skipped on resume when a committed snapshot with
+the same stage key exists — checkpointed batch resumability per the north
+rule. The flagship query answers: "which map tiles / S2 cells contain how
+many detected coordinates, per zoom level".
+
+Launched via ``spark-submit --py-files`` through
+``cartwright_spark/jobs/pipeline.py``.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cartwright_spark.functions.geodesy import tile_id_col, tile_x_col, tile_y_col
+from cartwright_spark.operators.detect import detect_coordinates
+from cartwright_spark.operators.extract import extract_pages
+from cartwright_spark.sources.corpus import generate_pages
+from cartwright_spark.sources.iceberg_lite import Catalog
+from cartwright_spark.spatial.udfs import s2_cell
+
+
+def _stage(catalog: Catalog, table: str, stage_key: str, parent,
+           build, metrics_extra=None, force=False):
+    """Run one checkpointed stage: reuse the committed snapshot if present."""
+    snap = None if force else catalog.find_snapshot(table, stage_key)
+    if snap is not None:
+        return snap, True
+    t0 = time.perf_counter()
+    df = build()
+    metrics = {"stage_wall_sec": None}
+    snap = catalog.write_table(df, table, stage=table, stage_key=stage_key,
+                               parent=parent, metrics=metrics_extra or {})
+    snap["metrics"]["stage_wall_sec"] = time.perf_counter() - t0
+    return snap, False
+
+
+def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
+                 s2_level: int = 10, zoom: int = 8, force: bool = False) -> dict:
+    cat = Catalog(workdir)
+    summary: dict = {"stages": {}}
+    t_start = time.perf_counter()
+
+    # 1) pages corpus (Iceberg-style source table)
+    pages_snap, reused = _stage(
+        cat, "pages", f"pages:n={n_pages}:v1", None,
+        lambda: generate_pages(spark, n_pages))
+    summary["stages"]["pages"] = {"rows": pages_snap["row_count"], "reused": reused}
+
+    # 2) extract text (byte-identical per url) — projection pruned to the
+    # columns the stage needs so the parquet scan skips `text`
+    def build_extract():
+        pages = cat.load_table(spark, "pages", pages_snap["snapshot_id"])
+        return extract_pages(pages.select("url", "warc_ts", "html", "lang")) \
+            .drop("html")
+    ext_snap, reused = _stage(
+        cat, "extracted", f"extract:v1:parent={pages_snap['snapshot_id']}",
+        pages_snap, build_extract)
+    summary["stages"]["extracted"] = {"rows": ext_snap["row_count"], "reused": reused}
+
+    # 3) detect coordinates in extracted text (JVM regex, no UDF)
+    def build_detect():
+        ext = cat.load_table(spark, "extracted", ext_snap["snapshot_id"])
+        return detect_coordinates(ext, text_col="extracted_text")
+    det_snap, reused = _stage(
+        cat, "detections", f"detect:v1:parent={ext_snap['snapshot_id']}",
+        ext_snap, build_detect)
+    summary["stages"]["detections"] = {"rows": det_snap["row_count"], "reused": reused}
+
+    # 4) encode S2 cell + web-mercator tile (Arrow UDF + codegen exprs)
+    def build_cells():
+        det = cat.load_table(spark, "detections", det_snap["snapshot_id"])
+        return (
+            det.withColumn("s2_cell", s2_cell(F.col("lat"), F.col("lon"), s2_level))
+            .withColumn("tile_x", tile_x_col(F.col("lon"), zoom))
+            .withColumn("tile_y", tile_y_col(F.col("lat"), zoom))
+            .withColumn("tile_id", tile_id_col(F.col("lat"), F.col("lon"), zoom))
+        )
+    cell_snap, reused = _stage(
+        cat, "cells", f"cells:v1:s2={s2_level}:z={zoom}:parent={det_snap['snapshot_id']}",
+        det_snap, build_cells)
+    summary["stages"]["cells"] = {"rows": cell_snap["row_count"], "reused": reused}
+
+    # 5) tile histogram (partial-agg groupBy; AQE handles hot tiles)
+    def build_tiles():
+        cells = cat.load_table(spark, "cells", cell_snap["snapshot_id"])
+        return (
+            cells.groupBy("tile_id", "tile_x", "tile_y")
+            .agg(F.count("*").alias("n_points"),
+                 F.countDistinct("url").alias("n_pages"),
+                 F.approx_count_distinct("s2_cell").alias("n_cells_approx"))
+        )
+    tile_snap, reused = _stage(
+        cat, "tile_counts", f"tiles:v1:z={zoom}:parent={cell_snap['snapshot_id']}",
+        cell_snap, build_tiles)
+    summary["stages"]["tile_counts"] = {"rows": tile_snap["row_count"], "reused": reused}
+
+    summary["wall_sec"] = time.perf_counter() - t_start
+    summary["docs_per_sec"] = n_pages / summary["wall_sec"]
+    summary["lineage_depth"] = len(cat.lineage("tile_counts"))
+    return summary
+
+
+def tile_histogram(spark: SparkSession, workdir: str) -> DataFrame:
+    return Catalog(workdir).load_table(spark, "tile_counts") \
+        .orderBy(F.desc("n_points"))
