@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: derived-coordinate S2/tile rollup on sf0.001.
+queries()      — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()   — DuckDB-equivalent SQL per query (same column names).
+
+Coordinates for geo operators are synthesized deterministically from
+integer keys of the TPC-H-ish tables (FIXTURES.md F7): integer modular
+arithmetic then a /100 division, so Spark and DuckDB produce bit-identical
+doubles and value hashes match.
 """
 
 from __future__ import annotations
@@ -12,27 +15,376 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → deterministic synthetic coordinates (exact doubles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        (((F.col("l_partkey") * 7919) % 18001) / 100.0 - 90.0).alias("lat"),
+        (((F.col("l_orderkey") * 104729 + F.col("l_linenumber")) % 36001) / 100.0 - 180.0).alias("lon"),
+    )
+
+_COORDS_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           ((l_partkey * 7919) % 18001) / 100.0 - 90.0  AS lat,
+           ((l_orderkey * 104729 + l_linenumber) % 36001) / 100.0 - 180.0 AS lon
+    FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: coordinate synthesis → S2 encode → tile rollup (sf0.001)."""
+    from cartwright_spark.functions.geodesy import tile_id_col
+    from cartwright_spark.spatial.udfs import s2_cell
+
+    pts = _coords(spark, SF_DEFAULT)
+    cells = pts.withColumn("s2_cell", s2_cell(F.col("lat"), F.col("lon"), 8)) \
+               .withColumn("tile_id", tile_id_col(F.col("lat"), F.col("lon"), 6))
+    return (
+        cells.groupBy("tile_id")
+        .agg(F.count("*").alias("n_points"),
+             F.approx_count_distinct("s2_cell").alias("n_cells"))
+        .orderBy(F.desc("n_points"), F.asc("tile_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — each callable (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+def q_p4_latitude_valid(spark, sf_dir):
+    """P4: lat/lon range predicates (geos.py:143-157)."""
+    return (_coords(spark, sf_dir)
+            .where(F.col("lat").between(-90, 90) & (F.col("lat") > 45.0))
+            .select("l_orderkey", "l_linenumber", "lat"))
+
+
+def q_p5_latlong_pair(spark, sf_dir):
+    """P5: 'lat, lon' pair split + both-range validation (geos.py:172-178)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pair = F.concat(
+        ((F.col("l_partkey") % 221) - 110).cast("string"), F.lit(", "),
+        ((F.col("l_orderkey") % 401) - 200).cast("string"))
+    df = li.select("l_orderkey", "l_linenumber", pair.alias("pair"))
+    lat = F.split("pair", ",\\s*").getItem(0).cast("double")
+    lon = F.split("pair", ",\\s*").getItem(1).cast("double")
+    return (df.withColumn("lat", lat).withColumn("lon", lon)
+            .where(lat.between(-90, 90) & lon.between(-180, 180))
+            .select("l_orderkey", "l_linenumber", "lat", "lon"))
+
+
+def q_p6_unix_time(spark, sf_dir):
+    """P6: unix_time predicate (dates.py:12-17)."""
+    ev = _t(spark, sf_dir, "events")
+    v = (F.lit(1500000000) + F.col("event_id") * 999983).cast("string")
+    df = ev.select("event_id", v.alias("v"))
+    num = F.col("v").cast("long")
+    return (df.where((F.length("v") <= 13)
+                     & num.between(-5364601438, 4102506000))
+            .select("event_id", "v"))
+
+
+def q_p7_year_range(spark, sf_dir):
+    """P7: 1700 < year < 2200, digits only (CategoryBases.py:138-146)."""
+    o = _t(spark, sf_dir, "orders")
+    y = (F.lit(1650) + F.col("o_orderkey") % 600)
+    return (o.select("o_orderkey", y.alias("y"))
+            .where((F.col("y") > 1700) & (F.col("y") < 2200)))
+
+
+def q_p9_iso3_membership(spark, sf_dir):
+    """P9/J3: ISO3 membership as a broadcast equi-join (geos.py:100-112)."""
+    from cartwright_spark.sources import gazetteers as gz
+    p = _t(spark, sf_dir, "part")
+    code = F.upper(F.substring(F.regexp_replace("p_name", "[^A-Za-z]", ""), 1, 3))
+    toks = p.select("p_partkey", code.alias("code"))
+    iso = F.broadcast(spark.createDataFrame(
+        gz.countries_pdf()[["iso3"]])).withColumnRenamed("iso3", "code")
+    return toks.join(iso, "code", "inner").select("p_partkey", "code")
+
+
+def q_j8_tile_grid(spark, sf_dir):
+    """J8: raster tile assignment (equirect grid) + per-tile rollup."""
+    pts = _coords(spark, sf_dir)
+    tx = F.floor((F.col("lon") + 180.0) / 2.5).cast("long")
+    ty = F.floor((F.col("lat") + 90.0) / 2.5).cast("long")
+    return (pts.withColumn("tile_x", tx).withColumn("tile_y", ty)
+            .groupBy("tile_x", "tile_y")
+            .agg(F.count("*").alias("n_points"),
+                 F.count(F.when(F.col("lat") > 0, 1)).alias("n_north")))
+
+
+def q_w1_temporal_deltas(spark, sf_dir):
+    """W1/A6: adjacent deltas via lag window, per user (time_resolution.py:26-29)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet stores TIMESTAMP_NTZ; session TZ is UTC so the cast is identity
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (ev.withColumn("delta_us", us - F.lag(us).over(w))
+            .where(F.col("delta_us").isNotNull())
+            .select("user_id", "event_id", "delta_us"))
+
+
+def q_a5_threshold_cascade(spark, sf_dir):
+    """A4/A5: valid-count + threshold gate per group (CategoryBases.py:95-100)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(F.col("l_quantity").between(10, 40), 1)
+                       .otherwise(0)).alias("n_valid"))
+            .withColumn("passed",
+                        (F.col("n_valid") >= F.col("n") * 0.85).cast("int")))
+
+
+def q_a7_uniformity(spark, sf_dir):
+    """A7: uniformity classification of deltas (analysis/helpers.py:7-15)."""
+    deltas = q_w1_temporal_deltas(spark, sf_dir)
+    per_user = deltas.groupBy("user_id").agg(
+        F.median("delta_us").alias("med"),
+        F.count("*").alias("n"))
+    j = deltas.join(per_user, "user_id")
+    agg = j.groupBy("user_id", "med", "n").agg(
+        F.max(F.abs(F.col("delta_us") - F.col("med"))).alias("max_dev"))
+    return agg.select(
+        "user_id", "n",
+        F.when(F.col("max_dev") < 1e-9 * F.abs(F.col("med")), "PERFECT")
+        .when(F.col("max_dev") < 0.01 * F.abs(F.col("med")), "UNIFORM")
+        .otherwise("NOT_UNIFORM").alias("uniformity"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5-hash groups with keeper (operators/dedup.py)."""
+    from cartwright_spark.operators.dedup import exact_duplicates
+    docs = _t(spark, sf_dir, "documents")
+    return exact_duplicates(docs, "text", "doc_id")
+
+
+def q_text_token_count(spark, sf_dir):
+    """Token counting (operators/textstats.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_ws = F.size(F.filter(F.split(F.col("text"), "\\s+"), lambda t: t != ""))
+    return docs.select("doc_id", n_ws.alias("n_ws_tokens"))
+
+
+def q_text_quality_counts(spark, sf_dir):
+    """Quality-scoring integer features (operators/textstats.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    words = F.filter(F.split(F.lower(t), "\\s+"), lambda w: w != "")
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        F.size(words).alias("n_words"),
+        F.length(F.regexp_replace(t, r"[^\.,;:!\?]", "")).alias("n_punct"),
+    )
+
+
+def q_lang_stopword_hits(spark, sf_dir):
+    """Language-ID marker hits (operators/textstats.py detect_language)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.array_distinct(
+        F.filter(F.split(F.lower(F.col("text")), "\\s+"), lambda w: w != ""))
+    en = F.size(F.array_intersect(words, F.array(
+        F.lit("the"), F.lit("and"), F.lit("of"), F.lit("to"), F.lit("is"))))
+    return docs.select("doc_id", en.alias("en_hits"))
+
+
+def q_knn_grid(spark, sf_dir):
+    """J7: kNN join — 10 query points × part-derived sites, top-5 by squared
+    equirect distance (integer-exact), rank via window."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 10)
+    q = cust.select(
+        F.col("c_custkey").alias("qid"),
+        ((F.col("c_custkey") * 37 % 181) - 90.0).alias("qlat"),
+        ((F.col("c_custkey") * 73 % 361) - 180.0).alias("qlon"))
+    p = _t(spark, sf_dir, "part")
+    sites = p.select(
+        F.col("p_partkey").alias("site_id"),
+        (((F.col("p_partkey") * 131) % 18001) / 100.0 - 90.0).alias("slat"),
+        (((F.col("p_partkey") * 211) % 36001) / 100.0 - 180.0).alias("slon"))
+    joined = sites.crossJoin(F.broadcast(q))
+    d2 = (F.col("slat") - F.col("qlat")) ** 2 + (F.col("slon") - F.col("qlon")) ** 2
+    w = Window.partitionBy("qid").orderBy(d2.asc(), F.col("site_id").asc())
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("qid", "site_id", "rank"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "p4_latitude_valid": q_p4_latitude_valid,
+        "p5_latlong_pair": q_p5_latlong_pair,
+        "p6_unix_time": q_p6_unix_time,
+        "p7_year_range": q_p7_year_range,
+        "p9_iso3_membership": q_p9_iso3_membership,
+        "j8_tile_grid": q_j8_tile_grid,
+        "w1_temporal_deltas": q_w1_temporal_deltas,
+        "a5_threshold_cascade": q_a5_threshold_cascade,
+        "a7_uniformity": q_a7_uniformity,
+        "dedup_exact": q_dedup_exact,
+        "text_token_count": q_text_token_count,
+        "text_quality_counts": q_text_quality_counts,
+        "lang_stopword_hits": q_lang_stopword_hits,
+        "knn_grid": q_knn_grid,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from cartwright_spark.sources import gazetteers as gz
+    iso3_values = ", ".join(f"('{c}')" for c in sorted(gz.iso3_set()))
+    return {
+        "p4_latitude_valid": f"""
+            SELECT l_orderkey, l_linenumber, lat
+            FROM ({_COORDS_SQL})
+            WHERE lat BETWEEN -90 AND 90 AND lat > 45.0
+        """,
+        "p5_latlong_pair": """
+            WITH pairs AS (
+              SELECT l_orderkey, l_linenumber,
+                     CAST((l_partkey % 221) - 110 AS VARCHAR) || ', ' ||
+                     CAST((l_orderkey % 401) - 200 AS VARCHAR) AS pair
+              FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber,
+                   CAST(str_split_regex(pair, ',\\s*')[1] AS DOUBLE) AS lat,
+                   CAST(str_split_regex(pair, ',\\s*')[2] AS DOUBLE) AS lon
+            FROM pairs
+            WHERE CAST(str_split_regex(pair, ',\\s*')[1] AS DOUBLE) BETWEEN -90 AND 90
+              AND CAST(str_split_regex(pair, ',\\s*')[2] AS DOUBLE) BETWEEN -180 AND 180
+        """,
+        "p6_unix_time": """
+            WITH v AS (
+              SELECT event_id, CAST(1500000000 + event_id * 999983 AS VARCHAR) AS v
+              FROM events
+            )
+            SELECT event_id, v FROM v
+            WHERE length(v) <= 13
+              AND CAST(v AS BIGINT) BETWEEN -5364601438 AND 4102506000
+        """,
+        "p7_year_range": """
+            SELECT o_orderkey, 1650 + o_orderkey % 600 AS y
+            FROM orders
+            WHERE (1650 + o_orderkey % 600) > 1700
+              AND (1650 + o_orderkey % 600) < 2200
+        """,
+        "p9_iso3_membership": f"""
+            WITH iso(code) AS (VALUES {iso3_values}),
+            toks AS (
+              SELECT p_partkey,
+                     upper(substr(regexp_replace(p_name, '[^A-Za-z]', '', 'g'), 1, 3)) AS code
+              FROM part
+            )
+            SELECT p_partkey, toks.code FROM toks JOIN iso USING (code)
+        """,
+        "j8_tile_grid": f"""
+            SELECT CAST(floor((lon + 180.0) / 2.5) AS BIGINT) AS tile_x,
+                   CAST(floor((lat + 90.0) / 2.5) AS BIGINT) AS tile_y,
+                   count(*) AS n_points,
+                   count(CASE WHEN lat > 0 THEN 1 END) AS n_north
+            FROM ({_COORDS_SQL})
+            GROUP BY 1, 2
+        """,
+        "w1_temporal_deltas": """
+            SELECT user_id, event_id, delta_us FROM (
+              SELECT user_id, event_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+              FROM events
+            ) WHERE delta_us IS NOT NULL
+        """,
+        "a5_threshold_cascade": """
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   sum(CASE WHEN l_quantity BETWEEN 10 AND 40 THEN 1 ELSE 0 END) AS n_valid,
+                   CAST(sum(CASE WHEN l_quantity BETWEEN 10 AND 40 THEN 1 ELSE 0 END)
+                        >= count(*) * 0.85 AS INT) AS passed
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "a7_uniformity": """
+            WITH deltas AS (
+              SELECT user_id, event_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+              FROM events
+            ), d AS (SELECT * FROM deltas WHERE delta_us IS NOT NULL),
+            med AS (
+              SELECT user_id, median(delta_us) AS med, count(*) AS n
+              FROM d GROUP BY user_id
+            ),
+            dev AS (
+              SELECT d.user_id, med.med, med.n,
+                     max(abs(d.delta_us - med.med)) AS max_dev
+              FROM d JOIN med ON d.user_id = med.user_id
+              GROUP BY d.user_id, med.med, med.n
+            )
+            SELECT user_id, n,
+                   CASE WHEN max_dev < 1e-9 * abs(med) THEN 'PERFECT'
+                        WHEN max_dev < 0.01 * abs(med) THEN 'UNIFORM'
+                        ELSE 'NOT_UNIFORM' END AS uniformity
+            FROM dev
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, count(*) AS n_dups,
+                   min(doc_id) AS keeper_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "text_token_count": """
+            SELECT doc_id,
+                   len(list_filter(str_split_regex(text, '\\s+'), x -> x <> ''))
+                     AS n_ws_tokens
+            FROM documents
+        """,
+        "text_quality_counts": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> ''))
+                     AS n_words,
+                   length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS n_punct
+            FROM documents
+        """,
+        "lang_stopword_hits": """
+            SELECT doc_id,
+                   len(list_intersect(
+                     list_distinct(list_filter(str_split_regex(lower(text), '\\s+'),
+                                               x -> x <> '')),
+                     ['the','and','of','to','is'])) AS en_hits
+            FROM documents
+        """,
+        "knn_grid": """
+            WITH q AS (
+              SELECT c_custkey AS qid,
+                     (c_custkey * 37 % 181) - 90.0 AS qlat,
+                     (c_custkey * 73 % 361) - 180.0 AS qlon
+              FROM customer WHERE c_custkey <= 10
+            ),
+            sites AS (
+              SELECT p_partkey AS site_id,
+                     ((p_partkey * 131) % 18001) / 100.0 - 90.0 AS slat,
+                     ((p_partkey * 211) % 36001) / 100.0 - 180.0 AS slon
+              FROM part
+            ),
+            scored AS (
+              SELECT q.qid, s.site_id,
+                     row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY (s.slat - q.qlat)^2 + (s.slon - q.qlon)^2 ASC,
+                                s.site_id ASC) AS rank
+              FROM sites s CROSS JOIN q
+            )
+            SELECT qid, site_id, rank FROM scored WHERE rank <= 5
+        """,
+    }

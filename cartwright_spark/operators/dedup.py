@@ -1,0 +1,262 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are expressed as DataFrame programs that scale: hashing and
+shingling stay JVM-side where possible; MinHash signatures are computed in
+one Arrow-batched pandas UDF; banding turns near-dup detection into an
+equi-join on (band, band_hash) — the standard LSH shuffle pattern where
+each band bucket is a join key, no pairwise cross product ever materializes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (content_hash, n_dups, keeper_id).
+    Map-side partial aggregation makes this one shuffle of (hash → counts)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keeper_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per identical text."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 1):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_perm: int = 64,
+                       shingle_k: int = 5, seed: int = 1) -> DataFrame:
+    """(id, signature array<long>) — k-shingle (word) MinHash, one pandas UDF.
+
+    Shingles are hashed with a 64-bit FNV-1a inside numpy; permutations are
+    universal hashes mod a Mersenne prime, vectorized (num_perm × shingles
+    matrix per doc, batched per Arrow batch)."""
+    a, b = _minhash_params(num_perm, seed)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.astype(str):
+            toks = t.lower().split()
+            if len(toks) < shingle_k:
+                shingles = [" ".join(toks)] if toks else [""]
+            else:
+                shingles = [" ".join(toks[i:i + shingle_k])
+                            for i in range(len(toks) - shingle_k + 1)]
+            hv = np.array([_fnv1a64(s) for s in set(shingles)], dtype=np.uint64)
+            # universal hash: (a*h + b) mod mersenne, per permutation
+            m = (a[:, None] * hv[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+            out.append(m.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("signature"))
+
+
+def _fnv1a64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h % _MERSENNE
+
+
+def minhash_lsh_pairs(signatures: DataFrame, bands: int = 16,
+                      jaccard_threshold: float = 0.7) -> DataFrame:
+    """Candidate pairs via banding (explode → equi-join on band bucket),
+    verified by estimated Jaccard = matching-minhash fraction.
+
+    Returns (id_a, id_b, jaccard_est) with id_a < id_b. The band join is an
+    equi shuffle join on (band_idx, band_hash); hot buckets (boilerplate)
+    are handled by AQE skew splitting."""
+    num_perm = None  # derived per row; bands must divide num_perm
+    rows_per_band = F.floor(F.size("signature") / bands).cast("int")
+    banded = (
+        signatures
+        .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
+        .withColumn(
+            "band_hash",
+            F.hash(F.slice("signature", F.col("band") * rows_per_band + 1,
+                           rows_per_band)))
+        .select("id", "signature", "band", "band_hash")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(right,
+                  (F.col("l.band") == F.col("r.band"))
+                  & (F.col("l.band_hash") == F.col("r.band_hash"))
+                  & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.col("l.signature").alias("sig_a"), F.col("r.signature").alias("sig_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v,
+    ) / F.size("sig_a")
+    return (cand.withColumn("jaccard_est", jac)
+            .where(F.col("jaccard_est") >= jaccard_threshold)
+            .select("id_a", "id_b", "jaccard_est"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """(id, simhash long) — token-level SimHash in one pandas UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def sh(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts.astype(str)):
+            toks = t.lower().split()
+            if not toks:
+                continue
+            hv = np.array([_fnv1a64(w) for w in toks], dtype=np.uint64)
+            bitcols = ((hv[:, None] >> np.arange(bits, dtype=np.uint64)[None, :])
+                       & np.uint64(1)).astype(np.int64)
+            votes = (2 * bitcols - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for bpos in np.flatnonzero(votes > 0):
+                sig |= np.uint64(1) << np.uint64(bpos)
+            out[i] = np.int64(sig)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3,
+                       band_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ max_hamming. Pigeonhole banding:
+    with 4 16-bit bands, any pair within distance 3 agrees on ≥1 band →
+    equi-join per band, exact Hamming refine via bit_count(xor)."""
+    nbands = 64 // band_bits
+    banded = sims.withColumn(
+        "band", F.explode(F.sequence(F.lit(0), F.lit(nbands - 1)))
+    ).withColumn(
+        "band_key",
+        F.shiftrightunsigned(F.col("simhash"), F.col("band") * band_bits)
+        .bitwiseAND(F.lit((1 << band_bits) - 1)),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.band_key") == F.col("r.band_key"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for verification-scale refinement)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, candidate_pairs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3) -> DataFrame:
+    """Exact word-n-gram Jaccard for given candidate pairs (id_a, id_b) —
+    the refine step after LSH; joins texts in, computes set overlap with
+    built-in array functions (JVM-side)."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size(F.split(F.lower(text_col), "\\s+")) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(F.split(F.lower(text_col), "\\s+"), i + 1, n)),
+            )).alias("grams"),
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    joined = (candidate_pairs
+              .join(a, candidate_pairs.id_a == F.col("a.id"))
+              .join(b, candidate_pairs.id_b == F.col("b.id")))
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    return joined.select(
+        "id_a", "id_b",
+        (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (cosine over a normalized-vector self-join via buckets)
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        cosine_threshold: float = 0.95,
+                        n_planes: int = 8, seed: int = 7,
+                        dim: int | None = None) -> DataFrame:
+    """Near-duplicate vectors by cosine ≥ threshold. Random-hyperplane LSH
+    bucket (n_planes sign bits) as the blocking key, exact cosine refine via
+    zip_with/aggregate expressions — no UDF in the refine."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        signs = (m @ planes.T) > 0
+        return pd.Series((signs @ (1 << np.arange(n_planes))).astype(np.int32))
+
+    withb = emb.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("v")) \
+        .withColumn("bucket", bucket(F.col("v")))
+    l, r = withb.alias("l"), withb.alias("r")
+    dot = F.aggregate(F.zip_with(F.col("l.v"), F.col("r.v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = (F.sqrt(F.aggregate(F.transform(F.col("l.v"), lambda x: x * x),
+                               F.lit(0.0), lambda a, x: a + x))
+            * F.sqrt(F.aggregate(F.transform(F.col("r.v"), lambda x: x * x),
+                                 F.lit(0.0), lambda a, x: a + x)))
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                (dot / norm).alias("cosine"))
+        .where(F.col("cosine") >= cosine_threshold)
+    )

@@ -1,0 +1,90 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set, score
+every corpus vector with pure zip_with/aggregate expressions, take top-k per
+query with a window. Scale path: random-hyperplane LSH bucketing (IVF-style
+candidate pruning) — queries only score vectors in matching buckets, with
+multi-probe to keep recall.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """(qid, neighbor_id, rank, cosine) — exact top-k. The query side is
+    broadcast; scoring is a single scan of the corpus (no shuffle besides
+    the final per-query top-k)."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       F.col(qvec_col).cast("array<double>").alias("qv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid", "neighbor_id",
+        (_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))))
+        .alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      qid_col: str = "qid", qvec_col: str = "qvec",
+                      n_planes: int = 6, seed: int = 7,
+                      multiprobe: int = 1,
+                      dim: int | None = None) -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets prune candidates; each
+    query probes its own bucket plus all buckets within Hamming distance
+    `multiprobe` (explode), then exact cosine on the survivors."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        signs = (m @ planes.T) > 0
+        return pd.Series((signs @ (1 << np.arange(n_planes))).astype(np.int32))
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    c = c.withColumn("bucket", bucket(F.col("v")))
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       F.col(qvec_col).cast("array<double>").alias("qv"))
+    q = q.withColumn("qbucket", bucket(F.col("qv")))
+
+    # multiprobe: enumerate bucket ids within hamming distance
+    probes = [F.col("qbucket")]
+    if multiprobe >= 1:
+        probes += [F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    q = q.withColumn("bucket", F.explode(F.array(*probes)))
+
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "qid", "neighbor_id",
+        (_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))))
+        .alias("cosine"),
+    ).dropDuplicates(["qid", "neighbor_id"])
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -1,0 +1,108 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All JVM-side column expressions (whole-stage
+codegen) — these run over every document at corpus scale, so no Python in
+the plan at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets (n-gram-heuristic language ID)
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "pt": ["o", "os", "da", "do", "uma"],
+}
+
+_STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+                 "that", "for", "on", "with", "as"]
+
+# BPE-ish token regex: word pieces, numbers, punctuation runs
+_TOKEN_RE = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
+
+
+def tokens_col(text: Column) -> Column:
+    return F.regexp_extract_all(text, F.lit(_TOKEN_RE), 0)
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc → whitespace-token and BPE-ish-token counts."""
+    return df.withColumn(
+        "n_ws_tokens",
+        F.size(F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")),
+    ).withColumn("n_bpe_tokens", F.size(tokens_col(F.col(text_col))))
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a 0-1 score.
+    All counts are integers; ratios are exact divisions of those integers."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.filter(F.split(F.lower(t), "\\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    n_punct = F.length(F.regexp_replace(t, r"[^\.,;:!\?]", ""))
+    n_stop = F.size(F.array_intersect(F.array_distinct(words),
+                                      F.array([F.lit(s) for s in _STOPWORDS_EN])))
+    out = (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn("n_punct", n_punct)
+        .withColumn("n_stop_distinct", n_stop)
+        .withColumn(
+            "punct_ratio",
+            F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)))
+        .withColumn(
+            "mean_word_len",
+            F.when(n_words > 0,
+                   F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / n_words)
+            .otherwise(F.lit(0.0)))
+    )
+    score = (
+        F.when((F.col("n_words") >= 10) & (F.col("n_words") <= 100000), 0.4).otherwise(0.0)
+        + F.when((F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 12), 0.3).otherwise(0.0)
+        + F.when(F.col("punct_ratio") <= 0.2, 0.2).otherwise(0.0)
+        + F.when(F.col("n_stop_distinct") >= 2, 0.1).otherwise(0.0)
+    )
+    return out.withColumn("quality_score", score)
+
+
+def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: per language, count distinct marker words
+    present; argmax wins (deterministic tie-break by language code)."""
+    words = F.array_distinct(F.filter(F.split(F.lower(F.col(text_col)), "\\s+"),
+                                      lambda w: w != ""))
+    scores = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        hits = F.size(F.array_intersect(
+            words, F.array([F.lit(m) for m in markers])))
+        scores.append(F.struct(hits.alias("hits"),
+                               F.lit(lang).alias("lang")))
+    # array_max on struct: max by hits, then lang desc... use sort + last for
+    # deterministic (hits asc, lang desc) → last = max hits, tie → smallest lang
+    arr = F.array(*scores)
+    best = F.array_sort(arr)  # sorts by hits, then lang ascending
+    pick = F.element_at(
+        F.filter(best, lambda s: s["hits"] == F.element_at(best, -1)["hits"]), 1)
+    return df.withColumn("lang_detected", pick["lang"]) \
+             .withColumn("lang_score", pick["hits"])
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                window: int = 8) -> DataFrame:
+    """Rolling-hash document fingerprint: crc32 over each `window`-gram of
+    words, keep the min (winnowing-style single fingerprint) plus xxhash of
+    the whole normalized text."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda w: w != "")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
+        lambda i: F.crc32(F.encode(F.concat_ws(" ", F.slice(words, i + 1, window)), "utf-8")),
+    )
+    return (
+        df.withColumn("fp_min_gram", F.array_min(grams))
+        .withColumn("fp_doc", F.xxhash64(F.concat_ws(" ", words)))
+    )
