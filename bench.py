@@ -1,0 +1,106 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Also runs the synthetic-corpus pipeline
+(pages → extract → detect → S2/tile encode → tile rollup) to measure
+docs/sec throughput for the north-rule metric.
+
+    python bench.py            # full bench
+    BENCH_PAGES=20000 python bench.py   # smaller corpus for iteration
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    n_pages = int(os.environ.get("BENCH_PAGES", "100000"))
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from cartwright_spark.session import get_spark
+
+    spark = get_spark("cartwright_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(8, 2 * int(cpus)))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    # --- contract queries over the testdata tables -------------------------
+    qmap = entry_mod.queries()
+    for name in ("p4_latitude_valid", "j8_tile_grid", "w1_temporal_deltas",
+                 "a7_uniformity", "dedup_exact", "text_token_count",
+                 "text_quality_counts", "knn_grid"):
+        timed(name, lambda n=name: qmap[n](spark, sf_dir)
+              .write.format("noop").mode("overwrite").save())
+
+    # --- s2 + mercator-tile rollup (flagship shape at bench scale) ---------
+    def s2_rollup():
+        from cartwright_spark.functions.geodesy import tile_id_col
+        from cartwright_spark.spatial.udfs import s2_cell
+        pts = entry_mod._coords(spark, sf_dir)
+        (pts.withColumn("s2_cell", s2_cell(F.col("lat"), F.col("lon"), 10))
+         .withColumn("tile_id", tile_id_col(F.col("lat"), F.col("lon"), 8))
+         .groupBy("tile_id").agg(F.count("*").alias("n"),
+                                 F.approx_count_distinct("s2_cell").alias("c"))
+         .write.format("noop").mode("overwrite").save())
+    timed("s2_tile_rollup", s2_rollup)
+
+    # --- minhash LSH near-dup over documents -------------------------------
+    def minhash():
+        from cartwright_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sigs = minhash_signatures(docs, "text", "doc_id", num_perm=64)
+        minhash_lsh_pairs(sigs, bands=16, jaccard_threshold=0.7) \
+            .write.format("noop").mode("overwrite").save()
+    timed("minhash_lsh", minhash)
+
+    # --- brute-force cosine top-k over embeddings ---------------------------
+    def simsearch():
+        from cartwright_spark.operators.simsearch import brute_force_topk
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        brute_force_topk(emb, q, k=10).write.format("noop") \
+            .mode("overwrite").save()
+    timed("simsearch_topk", simsearch)
+
+    # --- synthetic-corpus pipeline throughput -------------------------------
+    workdir = "/tmp/cartwright_bench_pipeline"
+    shutil.rmtree(workdir, ignore_errors=True)
+    from cartwright_spark.plans.pipeline import run_pipeline
+    t0 = time.perf_counter()
+    run_pipeline(spark, workdir, n_pages=n_pages, s2_level=10, zoom=8)
+    pipe_sec = time.perf_counter() - t0
+    queries["pages_pipeline"] = round(pipe_sec, 3)
+    docs_per_sec = n_pages / pipe_sec
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "spatial-join+tile throughput and headline query latency",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "docs_per_sec": round(docs_per_sec, 1),
+        "pipeline_pages": n_pages,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
