@@ -1,0 +1,118 @@
+"""kNN join via cell-ring expansion (SURVEY.md §2.3 J7).
+
+Sites (gazetteer points) are indexed once by S2 cell at a chosen level.
+Each query point explodes into the candidate cells covering a disc of
+radius `r_cover` around it (center cell + concentric circle samples — a
+geometric k-ring that is exact regardless of face boundaries), then an
+equi-join on cell + a per-query top-k window over haversine distance.
+
+Exactness: a result rank-k is provably correct iff its distance ≤ r_cover
+(everything outside the disc is farther). Queries that fail that check
+(sparse regions) fall back to a brute-force pass — rare by construction
+when r_cover is sized to the site density.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cartwright_spark.functions.geodesy import EARTH_RADIUS_M, haversine_col
+from cartwright_spark.spatial import s2
+
+
+def _disc_cells(lat: np.ndarray, lon: np.ndarray, level: int,
+                r_cover_m: float) -> list[list[int]]:
+    """Cells covering a disc around each point: center + rings of circle
+    samples at radii up to r_cover + one cell edge (guard band)."""
+    lat = np.asarray(lat, float)
+    lon = np.asarray(lon, float)
+    edge_m = s2.avg_edge_radians(level) * EARTH_RADIUS_M
+    radii = np.arange(edge_m * 0.7, r_cover_m + edge_m, edge_m * 0.7)
+    out_cells = [s2.latlng_to_cell(lat, lon, level)]
+    coslat = np.cos(np.deg2rad(lat))
+    coslat = np.where(np.abs(coslat) < 1e-6, 1e-6, coslat)
+    for r in radii:
+        n_samples = max(8, int(2 * np.pi * r / (edge_m * 0.5)))
+        for a in np.linspace(0, 2 * np.pi, n_samples, endpoint=False):
+            dlat = (r / EARTH_RADIUS_M) * np.cos(a)
+            dlon = (r / EARTH_RADIUS_M) * np.sin(a) / coslat
+            sl = np.clip(lat + np.rad2deg(dlat), -89.999, 89.999)
+            so = ((lon + np.rad2deg(dlon) + 180) % 360) - 180
+            out_cells.append(s2.latlng_to_cell(sl, so, level))
+    stacked = np.stack(out_cells, axis=1).astype(np.int64)
+    return [np.unique(row).tolist() for row in stacked]
+
+
+def knn_join(queries: DataFrame, sites: DataFrame, k: int = 5,
+             level: int = 7, r_cover_m: float = 1_500_000.0,
+             qid_col: str = "qid", sid_col: str = "site_id",
+             exact_fallback: bool = True) -> DataFrame:
+    """(qid, site_id, rank, dist_m) — k nearest sites per query point.
+
+    queries(qid, lat, lon); sites(site_id, lat, lon). Small site dims get
+    auto-broadcast; the candidate join is an equi-join on cell id.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def disc(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(_disc_cells(lat.to_numpy(), lon.to_numpy(),
+                                     level, r_cover_m))
+
+    from cartwright_spark.spatial.udfs import s2_cell
+    s = sites.select(F.col(sid_col).alias("site_id"),
+                     F.col("lat").alias("slat"), F.col("lon").alias("slon"))
+    s = s.withColumn("cell", s2_cell(F.col("slat"), F.col("slon"), level))
+
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       F.col("lat").alias("qlat"), F.col("lon").alias("qlon"))
+    qc = q.withColumn("cell", F.explode(disc(F.col("qlat"), F.col("qlon"))))
+
+    dist = haversine_col(F.col("qlat"), F.col("qlon"),
+                         F.col("slat"), F.col("slon"))
+    cand = (qc.join(s, "cell", "inner")
+            .select("qid", "qlat", "qlon", "site_id",
+                    dist.alias("dist_m"))
+            .dropDuplicates(["qid", "site_id"]))
+    w = Window.partitionBy("qid").orderBy(F.asc("dist_m"), F.asc("site_id"))
+    topk = (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+    if not exact_fallback:
+        return topk.select("qid", "site_id", "rank", "dist_m")
+
+    # exactness audit: a query is resolved iff it has k hits all ≤ r_cover
+    audit = topk.groupBy("qid").agg(
+        F.count("*").alias("n_found"), F.max("dist_m").alias("kth"))
+    unresolved = audit.where(
+        (F.col("n_found") < k) | (F.col("kth") > r_cover_m)).select("qid")
+    resolved = topk.join(unresolved, "qid", "left_anti")
+
+    # brute-force pass only for unresolved queries (small by construction)
+    qq = q.join(unresolved, "qid", "left_semi")
+    brute = qq.crossJoin(s.drop("cell")).select(
+        "qid", "site_id",
+        haversine_col(F.col("qlat"), F.col("qlon"),
+                      F.col("slat"), F.col("slon")).alias("dist_m"))
+    bw = Window.partitionBy("qid").orderBy(F.asc("dist_m"), F.asc("site_id"))
+    brute_k = (brute.withColumn("rank", F.row_number().over(bw))
+               .where(F.col("rank") <= k))
+    return resolved.select("qid", "site_id", "rank", "dist_m").unionByName(
+        brute_k.select("qid", "site_id", "rank", "dist_m"))
+
+
+def brute_force_knn(queries: pd.DataFrame, sites: pd.DataFrame,
+                    k: int = 5) -> set[tuple]:
+    """Oracle: exact haversine sort (tests only). Returns {(qid, site_id, rank)}."""
+    from cartwright_spark.functions.geodesy import haversine_m
+    out = set()
+    for r in queries.itertuples(index=False):
+        d = haversine_m(r.lat, r.lon, sites["lat"].to_numpy(),
+                        sites["lon"].to_numpy())
+        order = np.lexsort((sites["site_id"].to_numpy(), d))
+        for rank, idx in enumerate(order[:k], start=1):
+            out.add((r.qid, sites["site_id"].iloc[idx], rank))
+    return out

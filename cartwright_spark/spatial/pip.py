@@ -1,0 +1,117 @@
+"""Point-in-polygon join (SURVEY.md §2.3 J6).
+
+Strategy (north_star): polygons → covering set of S2 cells at a coarse
+level (computed once, driver-side — the polygon dim is broadcast-scale);
+points carry their S2 cell at the same level; the join is a broadcast hash
+equi-join on cell id; an exact ray-casting refine runs vectorized inside a
+pandas UDF over the (few) candidates per polygon. No pairwise point×polygon
+cross product ever forms, and the big side is never shuffled (broadcast).
+
+Assumptions (documented): polygon rings are lat/lon linear rings that do
+not cross the antimeridian; even-odd rule; boundary points count as inside
+(>= on one bound — ties are measure-zero for our fixtures).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cartwright_spark.spatial import s2
+
+
+def ray_cast_contains(ring_lat: np.ndarray, ring_lon: np.ndarray,
+                      plat: np.ndarray, plon: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray casting: points (n,) vs one ring (m,)."""
+    x, y = np.asarray(plon, float), np.asarray(plat, float)
+    vx, vy = np.asarray(ring_lon, float), np.asarray(ring_lat, float)
+    n = len(vx)
+    inside = np.zeros(len(x), dtype=bool)
+    j = n - 1
+    for i in range(n):
+        yi, yj = vy[i], vy[j]
+        xi, xj = vx[i], vx[j]
+        crosses = (yi > y) != (yj > y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x_at = xi + (y - yi) * (xj - xi) / (yj - yi)
+        inside ^= crosses & (x < x_at)
+        j = i
+    return inside
+
+
+def polygon_covering_cells(ring_lat, ring_lon, level: int) -> np.ndarray:
+    """Superset of S2 cells at `level` intersecting the polygon: sample the
+    (padded) bbox on a grid finer than the cell edge and encode. Driver-side,
+    polygon dims are metadata-scale."""
+    ring_lat = np.asarray(ring_lat, float)
+    ring_lon = np.asarray(ring_lon, float)
+    edge_deg = np.rad2deg(s2.avg_edge_radians(level))
+    pad = 1.5 * edge_deg
+    la0, la1 = ring_lat.min() - pad, ring_lat.max() + pad
+    lo0, lo1 = ring_lon.min() - pad, ring_lon.max() + pad
+    step = edge_deg / 2.5
+    las = np.arange(la0, la1 + step, step)
+    los = np.arange(lo0, lo1 + step, step)
+    glat, glon = np.meshgrid(np.clip(las, -89.999, 89.999),
+                             np.clip(los, -179.999, 179.999))
+    cells = s2.latlng_to_cell(glat.ravel(), glon.ravel(), level)
+    return np.unique(cells)
+
+
+def point_in_polygon_join(spark: SparkSession, points: DataFrame,
+                          polygons: pd.DataFrame, level: int = 8,
+                          lat_col: str = "lat", lon_col: str = "lon",
+                          point_id_col: str = "url") -> DataFrame:
+    """points(id, lat, lon) ⋈ polygons(admin_id, ring_lat[], ring_lon[])
+    → (point_id, admin_id).
+
+    polygons is a pandas frame (broadcast-scale dim): columns
+    admin_id, ring_lat (list[float]), ring_lon (list[float]).
+    """
+    # 1) covering cells per polygon (driver-side, broadcast)
+    cov_rows = []
+    rings: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for r in polygons.itertuples(index=False):
+        cells = polygon_covering_cells(r.ring_lat, r.ring_lon, level)
+        rings[r.admin_id] = (np.asarray(r.ring_lat, float),
+                             np.asarray(r.ring_lon, float))
+        for c in cells:
+            cov_rows.append((r.admin_id, int(np.int64(np.uint64(c).astype(np.int64)))))
+    cov_df = F.broadcast(spark.createDataFrame(
+        pd.DataFrame(cov_rows, columns=["admin_id", "cell"])))
+
+    # 2) encode points once; equi-join on cell (hash join vs broadcast dim)
+    from cartwright_spark.spatial.udfs import s2_cell
+    pts = points.select(
+        F.col(point_id_col).alias("point_id"),
+        F.col(lat_col).alias("lat"), F.col(lon_col).alias("lon"),
+    ).withColumn("cell", s2_cell(F.col("lat"), F.col("lon"), level))
+    cand = pts.join(cov_df, "cell", "inner")
+
+    # 3) exact refine: grouped by admin_id, vectorized ray casting
+    rings_b = spark.sparkContext.broadcast(rings)
+
+    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        admin = pdf["admin_id"].iloc[0]
+        rl, rlon = rings_b.value[admin]
+        ok = ray_cast_contains(rl, rlon, pdf["lat"].to_numpy(), pdf["lon"].to_numpy())
+        return pdf.loc[ok, ["point_id", "admin_id"]]
+
+    return cand.groupBy("admin_id").applyInPandas(
+        refine, "point_id string, admin_id string")
+
+
+def brute_force_pip(points: pd.DataFrame, polygons: pd.DataFrame,
+                    lat_col="lat", lon_col="lon",
+                    point_id_col="point_id") -> set[tuple]:
+    """Oracle: plain double loop over polygons (tests only)."""
+    out = set()
+    for r in polygons.itertuples(index=False):
+        ok = ray_cast_contains(np.asarray(r.ring_lat), np.asarray(r.ring_lon),
+                               points[lat_col].to_numpy(),
+                               points[lon_col].to_numpy())
+        for pid in points.loc[ok, point_id_col]:
+            out.add((pid, r.admin_id))
+    return out

@@ -1,0 +1,151 @@
+"""Spatial-join layer vs brute-force oracles (FIXTURES.md F6)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cartwright_spark.spatial.knn import brute_force_knn, knn_join
+from cartwright_spark.spatial.pip import (
+    brute_force_pip,
+    point_in_polygon_join,
+    polygon_covering_cells,
+    ray_cast_contains,
+)
+from cartwright_spark.spatial.skew import hot_cell_map, salted_counts, with_salt
+
+
+# ---------------------------------------------------------------------------
+# polygons: boxes, an L-shape, a concave chevron (FIXTURES F6)
+# ---------------------------------------------------------------------------
+
+def _box(la0, lo0, la1, lo1):
+    return ([la0, la0, la1, la1], [lo0, lo1, lo1, lo0])
+
+
+POLYGONS = pd.DataFrame([
+    {"admin_id": "box_eu", "ring_lat": _box(40, 0, 55, 20)[0],
+     "ring_lon": _box(40, 0, 55, 20)[1]},
+    {"admin_id": "box_us", "ring_lat": _box(30, -110, 45, -80)[0],
+     "ring_lon": _box(30, -110, 45, -80)[1]},
+    {"admin_id": "l_shape",
+     "ring_lat": [0, 0, 10, 10, 20, 20],
+     "ring_lon": [0, 20, 20, 10, 10, 0]},
+    {"admin_id": "chevron",
+     "ring_lat": [-40, -30, -40, -20, -20],
+     "ring_lon": [60, 70, 80, 80, 60]},
+])
+
+
+def test_ray_cast_basics():
+    rl, rlon = _box(0, 0, 10, 10)
+    inside = ray_cast_contains(np.array(rl), np.array(rlon),
+                               np.array([5.0, 15.0, -1.0]),
+                               np.array([5.0, 5.0, 5.0]))
+    assert inside.tolist() == [True, False, False]
+
+
+def test_l_shape_concavity():
+    # (15, 15) is in the notch of the L → outside
+    ring = POLYGONS[POLYGONS.admin_id == "l_shape"].iloc[0]
+    inside = ray_cast_contains(np.array(ring.ring_lat), np.array(ring.ring_lon),
+                               np.array([15.0, 5.0]), np.array([15.0, 5.0]))
+    assert inside.tolist() == [False, True]
+
+
+def test_covering_cells_superset():
+    ring = POLYGONS.iloc[0]
+    cells = polygon_covering_cells(ring.ring_lat, ring.ring_lon, level=8)
+    from cartwright_spark.spatial import s2
+    # every interior sample's cell is in the covering
+    rng = np.random.default_rng(0)
+    la = rng.uniform(40, 55, 500)
+    lo = rng.uniform(0, 20, 500)
+    pc = s2.latlng_to_cell(la, lo, 8)
+    assert np.isin(pc, cells).all()
+
+
+def test_pip_join_matches_bruteforce(spark):
+    rng = np.random.default_rng(21)
+    pts = pd.DataFrame({
+        "point_id": [f"p{i}" for i in range(2000)],
+        "lat": rng.uniform(-60, 70, 2000),
+        "lon": rng.uniform(-120, 100, 2000),
+    })
+    sdf = spark.createDataFrame(pts)
+    got = point_in_polygon_join(spark, sdf, POLYGONS, level=8,
+                                point_id_col="point_id")
+    got_set = {(r["point_id"], r["admin_id"]) for r in got.collect()}
+    want = brute_force_pip(pts, POLYGONS)
+    assert got_set == want
+    assert len(want) > 50  # fixture sanity: plenty of hits
+
+
+def test_knn_join_matches_bruteforce(spark):
+    rng = np.random.default_rng(13)
+    sites = pd.DataFrame({
+        "site_id": np.arange(300, dtype=np.int64),
+        "lat": rng.uniform(-60, 70, 300),
+        "lon": rng.uniform(-180, 180, 300),
+    })
+    queries = pd.DataFrame({
+        "qid": np.arange(40, dtype=np.int64),
+        "lat": rng.uniform(-55, 65, 40),
+        "lon": rng.uniform(-170, 170, 40),
+    })
+    got = knn_join(spark.createDataFrame(queries),
+                   spark.createDataFrame(sites), k=5, level=7,
+                   r_cover_m=2_000_000.0)
+    got_set = {(r["qid"], r["site_id"], r["rank"]) for r in got.collect()}
+    want = brute_force_knn(queries, sites, k=5)
+    assert got_set == want
+
+
+def test_knn_dense_sites_no_fallback(spark):
+    """Hot-box density: ring expansion alone resolves all queries."""
+    rng = np.random.default_rng(7)
+    sites = pd.DataFrame({
+        "site_id": np.arange(500, dtype=np.int64),
+        "lat": 40.0 + rng.uniform(-2, 2, 500),
+        "lon": -74.0 + rng.uniform(-2, 2, 500),
+    })
+    queries = pd.DataFrame({
+        "qid": np.arange(25, dtype=np.int64),
+        "lat": 40.0 + rng.uniform(-1, 1, 25),
+        "lon": -74.0 + rng.uniform(-1, 1, 25),
+    })
+    got = knn_join(spark.createDataFrame(queries),
+                   spark.createDataFrame(sites), k=3, level=9,
+                   r_cover_m=300_000.0, exact_fallback=True)
+    want = brute_force_knn(queries, sites, k=3)
+    got_set = {(r["qid"], r["site_id"], r["rank"]) for r in got.collect()}
+    assert got_set == want
+
+
+def test_salted_counts_exact(spark):
+    # 1 hot cell (id 7) with 5000 rows, 50 cold cells with ~20 each
+    rows = [(7, i) for i in range(5000)] + \
+           [(100 + c, i) for c in range(50) for i in range(20)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["cell", "v"]))
+    got = {r["cell"]: r["n_points"] for r in
+           salted_counts(df, "cell", hot_threshold=1000).collect()}
+    assert got[7] == 5000
+    assert got[149] == 20
+    assert len(got) == 51
+
+
+def test_hot_map_and_salt_distribution(spark):
+    rows = [(1, i) for i in range(10000)] + [(2, i) for i in range(50)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["cell", "v"]))
+    hot = hot_cell_map(df, "cell", hot_threshold=1000, max_fanout=8)
+    hrows = hot.collect()
+    assert len(hrows) == 1 and hrows[0]["__hot_cell"] == 1
+    fanout = hrows[0]["fanout"]
+    assert fanout == 8  # 10000/1000 capped at 8
+    salted = with_salt(df, "cell", hot, salt_from="v")
+    dist = salted.where(F.col("cell") == 1).groupBy("salt").count().collect()
+    assert len(dist) == fanout  # all salt buckets used
+    counts = [r["count"] for r in dist]
+    assert max(counts) < 3 * min(counts)  # roughly even
+    cold = salted.where(F.col("cell") == 2).select("salt").distinct().collect()
+    assert [r["salt"] for r in cold] == [0]
