@@ -169,7 +169,7 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3,
         "band", F.explode(F.sequence(F.lit(0), F.lit(nbands - 1)))
     ).withColumn(
         "band_key",
-        F.shiftrightunsigned(F.col("simhash"), F.col("band") * band_bits)
+        F.expr(f"shiftrightunsigned(simhash, band * {band_bits})")
         .bitwiseAND(F.lit((1 << band_bits) - 1)),
     )
     l, r = banded.alias("l"), banded.alias("r")

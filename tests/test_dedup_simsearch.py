@@ -1,0 +1,145 @@
+"""Dedup + similarity-search operators vs exact oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cartwright_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_dups,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from cartwright_spark.operators.simsearch import brute_force_topk, lsh_bucketed_topk
+
+_WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+          "kilo lima mike november oscar papa quebec romeo sierra tango").split()
+
+
+def _doc(rng, n=60):
+    return " ".join(_WORDS[i] for i in rng.integers(0, len(_WORDS), n))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(17)
+    texts = []
+    for i in range(60):
+        t = _doc(rng)
+        texts.append((2 * i, t))
+        if i < 20:  # near-dup: change one word
+            words = t.split()
+            words[5] = "zulu"
+            texts.append((2 * i + 1, " ".join(words)))
+        elif i < 30:  # exact dup
+            texts.append((2 * i + 1, t))
+        else:  # unrelated doc
+            texts.append((2 * i + 1, _doc(rng)))
+    return spark.createDataFrame(pd.DataFrame(texts, columns=["doc_id", "text"]))
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicates(docs, "text", "doc_id").collect()
+    assert len(groups) == 10  # ids 40..59 pair range
+    assert all(r["n_dups"] == 2 for r in groups)
+    kept = dedup_exact(docs, "text", "doc_id")
+    assert kept.count() == docs.count() - 10
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sigs = minhash_signatures(docs, "text", "doc_id", num_perm=64)
+    pairs = minhash_lsh_pairs(sigs, bands=16, jaccard_threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # the 20 one-word-changed pairs + 10 exact pairs must be found
+    want = {(2 * i, 2 * i + 1) for i in range(30)}
+    assert want <= found
+    # exact dups estimate 1.0
+    exact = [r for r in pairs if (r["id_a"], r["id_b"]) in
+             {(2 * i, 2 * i + 1) for i in range(20, 30)}]
+    assert all(abs(r["jaccard_est"] - 1.0) < 1e-9 for r in exact)
+
+
+def test_ngram_jaccard_refine(spark, docs):
+    cand = spark.createDataFrame(
+        pd.DataFrame({"id_a": [40, 0], "id_b": [41, 3]}))
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, cand, "text", "doc_id", n=3).collect()}
+    assert got[(40, 41)] == pytest.approx(1.0)   # exact dup
+    assert got[(0, 3)] < 0.5                      # unrelated
+
+
+def test_simhash_near_pairs(docs):
+    sh = simhash(docs, "text", "doc_id")
+    pairs = simhash_near_pairs(sh, max_hamming=10, band_bits=16).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    exact_pairs = {(2 * i, 2 * i + 1) for i in range(20, 30)}
+    assert exact_pairs <= found  # hamming 0
+    ham0 = [r for r in pairs if (r["id_a"], r["id_b"]) in exact_pairs]
+    assert all(r["hamming"] == 0 for r in ham0)
+
+
+def test_embedding_near_dups(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, (v / np.linalg.norm(v)).tolist()))
+        w = v + rng.standard_normal(16) * 0.01  # near-dup vector
+        rows.append((2 * i + 1, (w / np.linalg.norm(w)).tolist()))
+    emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    got = embedding_near_dups(emb, cosine_threshold=0.99, n_planes=6)
+    found = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    want = {(2 * i, 2 * i + 1) for i in range(40)}
+    # LSH blocking: expect high recall of planted near-dup pairs
+    assert len(want & found) >= 0.9 * len(want)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # clustered vectors: LSH recall is only meaningful when neighbors are
+    # actually close (random gaussians have near-orthogonal "neighbors")
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((20, 32)) * 3
+    m = np.concatenate([c + rng.standard_normal((10, 32)) * 0.3
+                        for c in centers])
+    rows = [(i, v.tolist()) for i, v in enumerate(m)]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+
+def _oracle_topk(emb_rows, qids, k):
+    ids = np.array([r[0] for r in emb_rows])
+    m = np.stack([np.array(r[1]) for r in emb_rows])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    out = set()
+    for q in qids:
+        qv = mn[ids == q][0]
+        cos = mn @ qv
+        order = np.lexsort((ids, -cos))
+        for rank, idx in enumerate(order[:k], 1):
+            out.add((q, int(ids[idx]), rank))
+    return out
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    rows = [(r["vec_id"], r["embedding"]) for r in emb.collect()]
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    got = {(r["qid"], r["neighbor_id"], r["rank"])
+           for r in brute_force_topk(emb, q, k=10).collect()}
+    assert got == _oracle_topk(rows, range(5), 10)
+
+
+def test_lsh_topk_high_recall(emb):
+    rows = [(r["vec_id"], r["embedding"]) for r in emb.collect()]
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    got = {(r["qid"], r["neighbor_id"])
+           for r in lsh_bucketed_topk(emb, q, k=5, n_planes=5, multiprobe=1).collect()}
+    want = {(a, b) for a, b, _ in _oracle_topk(rows, range(10), 5)}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.6  # approximate path; brute force is the exact baseline
