@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -224,6 +226,104 @@ def q_knn_grid(spark, sf_dir):
             .select("qid", "site_id", "rank"))
 
 
+def _pip_boxes_pdf():
+    """5 axis-aligned boxes; bounds offset by .005 so no /100-grid point
+    lands exactly on a boundary (ray-cast vs BETWEEN edge semantics)."""
+    import pandas as pd
+    rows = []
+    for r in range(5):
+        la0, la1 = r * 25 - 60.005, r * 25 - 40.005
+        lo0, lo1 = r * 50 - 150.005, r * 50 - 110.005
+        rows.append({"admin_id": f"box{r}",
+                     "ring_lat": [la0, la0, la1, la1],
+                     "ring_lon": [lo0, lo1, lo1, lo0]})
+    return pd.DataFrame(rows)
+
+
+def q_j6_pip_boxes(spark, sf_dir):
+    """J6: point-in-polygon join (S2 cell prefilter + ray-cast refine); the
+    oracle is plain box containment SQL — same answers on rectangles."""
+    from cartwright_spark.spatial.pip import point_in_polygon_join
+    pts = _coords(spark, sf_dir).select(
+        F.concat_ws("_", "l_orderkey", "l_linenumber").alias("point_id"),
+        "lat", "lon")
+    return point_in_polygon_join(spark, pts, _pip_boxes_pdf(), level=7,
+                                 point_id_col="point_id")
+
+
+def q_cartwright_categorize(spark, sf_dir):
+    """E1/E2: full column classification (sample→validator bank→cascade→
+    header fuzzy). Not SQL-expressible (driver records rows-only)."""
+    from cartwright_spark.operators.classify import classify_columns
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("event_date"),
+        F.date_format(F.col("ts"), "MM").alias("month"),
+        F.date_format(F.col("ts"), "yyyy").alias("Year"),
+        ((F.col("event_id") % 18001) / 100.0 - 90.0).alias("reading_lat"),
+        F.col("event_type").alias("kind"),
+        F.col("value").alias("value"),
+    )
+    res = classify_columns(df)
+    import pandas as pd
+    pdf = pd.DataFrame([{
+        "column": c.column, "category": c.category or "",
+        "subcategory": c.subcategory or "", "format": c.format or "",
+    } for c in res])
+    return spark.createDataFrame(pdf)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs over documents (rows-only check)."""
+    from cartwright_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", num_perm=64)
+    return minhash_lsh_pairs(sigs, bands=16, jaccard_threshold=0.8) \
+        .select("id_a", "id_b")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (rows-only check)."""
+    from cartwright_spark.operators.dedup import simhash, simhash_near_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(simhash(docs, "text", "doc_id"), max_hamming=3)
+
+
+def q_s2_histogram(spark, sf_dir):
+    """S2 encode + per-cell rollup (rows-only: cell ids are engine-defined)."""
+    from cartwright_spark.spatial.udfs import s2_cell
+    pts = _coords(spark, sf_dir)
+    return (pts.withColumn("s2_cell", s2_cell(F.col("lat"), F.col("lon"), 6))
+            .groupBy("s2_cell").agg(F.count("*").alias("n_points")))
+
+
+def q_h3_histogram(spark, sf_dir):
+    """H3-style hex encode + per-cell rollup (rows-only)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from cartwright_spark.spatial import h3 as h3mod
+
+    @pandas_udf("long")
+    def hex_cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        import numpy as np
+        return pd.Series(h3mod.latlng_to_cell(
+            lat.to_numpy(np.float64), lon.to_numpy(np.float64), 4))
+
+    pts = _coords(spark, sf_dir)
+    return (pts.withColumn("hex_cell", hex_cell(F.col("lat"), F.col("lon")))
+            .groupBy("hex_cell").agg(F.count("*").alias("n_points")))
+
+
+def q_simsearch_topk(spark, sf_dir):
+    """Brute-force cosine top-k over embeddings (rows-only: float32 parquet
+    vs DuckDB float math makes value hashing fragile)."""
+    from cartwright_spark.operators.simsearch import brute_force_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return brute_force_topk(emb, q, k=5).select("qid", "neighbor_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -240,6 +340,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_counts": q_text_quality_counts,
         "lang_stopword_hits": q_lang_stopword_hits,
         "knn_grid": q_knn_grid,
+        "j6_pip_boxes": q_j6_pip_boxes,
+        "cartwright_categorize": q_cartwright_categorize,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "s2_histogram": q_s2_histogram,
+        "h3_histogram": q_h3_histogram,
+        "simsearch_topk": q_simsearch_topk,
     }
 
 
@@ -363,6 +470,21 @@ def oracle_sql() -> dict[str, str]:
                                                x -> x <> '')),
                      ['the','and','of','to','is'])) AS en_hits
             FROM documents
+        """,
+        "j6_pip_boxes": f"""
+            WITH boxes(admin_id, la0, la1, lo0, lo1) AS (VALUES
+              {', '.join(
+                f"('box{r}', {r*25-60}.005, {r*25-40}.005, "
+                f"{r*50-150}.005, {r*50-110}.005)" for r in range(5))}
+            ),
+            pts AS (
+              SELECT CAST(l_orderkey AS VARCHAR) || '_' ||
+                     CAST(l_linenumber AS VARCHAR) AS point_id, lat, lon
+              FROM ({_COORDS_SQL})
+            )
+            SELECT point_id, admin_id
+            FROM pts JOIN boxes
+              ON lat > la0 AND lat < la1 AND lon > lo0 AND lon < lo1
         """,
         "knn_grid": """
             WITH q AS (
