@@ -1,0 +1,124 @@
+"""Scaling-efficiency evidence: the same job at two parallelism levels.
+
+The north rule requires ≥0.8 throughput scaling efficiency between N and 4N
+executors; no real cluster exists in this sandbox, so per the driver's
+instruction we run the identical job on identical input at local[8] and
+local[32] and report throughput at both plus efficiency
+= throughput_32 / (4 · throughput_8).
+
+The measured job is the engine's heavy path over a pre-written pages table
+(shared input for both runs): extract → detect coordinates → S2 encode +
+mercator tiles → PIP join vs admin boxes → salted tile rollup. One Spark
+action; docs/sec = pages / wall.
+
+    python scripts/scaling_bench.py --pages 400000 run --cores 8
+    python scripts/scaling_bench.py --pages 400000 report
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+WORK = "/tmp/cartwright_scaling"
+
+
+def prepare(n_pages: int) -> str:
+    src = os.path.join(WORK, f"pages_{n_pages}")
+    if os.path.exists(os.path.join(src, "_SUCCESS")):
+        return src
+    from cartwright_spark.session import get_spark
+    from cartwright_spark.sources.corpus import generate_pages
+    spark = get_spark("scaling_prep", master="local[32]")
+    generate_pages(spark, n_pages, partitions=64).write.mode("overwrite").parquet(src)
+    spark.stop()
+    return src
+
+
+def run_once(cores: int, n_pages: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from cartwright_spark.operators.detect import detect_coordinates
+    from cartwright_spark.operators.extract import extract_pages
+    from cartwright_spark.functions.geodesy import tile_id_col
+    from cartwright_spark.session import get_spark
+    from cartwright_spark.spatial.udfs import s2_cell
+
+    import __spark_entry__ as entry_mod
+
+    src = os.path.join(WORK, f"pages_{n_pages}")
+    spark = get_spark("scaling_run", master=f"local[{cores}]",
+                      shuffle_partitions=2 * cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(src)
+
+    # warm the JVM/Arrow paths with a tiny slice, then measure
+    pages.limit(1000).count()
+
+    t0 = time.perf_counter()
+    ext = extract_pages(pages.select("url", "html"))
+    det = detect_coordinates(ext, text_col="extracted_text")
+    cells = (det.withColumn("s2_cell", s2_cell(F.col("lat"), F.col("lon"), 10))
+             .withColumn("tile_id", tile_id_col(F.col("lat"), F.col("lon"), 8)))
+    from cartwright_spark.spatial.pip import point_in_polygon_join
+    pip = point_in_polygon_join(spark, cells, entry_mod._pip_boxes_pdf(),
+                                level=7, point_id_col="url")
+    # rollup side: tile histogram (salt handles the 3 hot boxes)
+    rollup = cells.groupBy("tile_id").agg(
+        F.count("*").alias("n_points"),
+        F.approx_count_distinct("s2_cell").alias("n_cells"))
+    n_pip = pip.count()
+    n_tiles = rollup.count()
+    wall = time.perf_counter() - t0
+    spark.stop()
+    return {"cores": cores, "pages": n_pages, "wall_sec": round(wall, 3),
+            "docs_per_sec": round(n_pages / wall, 1),
+            "pip_rows": n_pip, "tiles": n_tiles}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=400_000)
+    ap.add_argument("cmd", choices=["prepare", "run", "all", "report"])
+    ap.add_argument("--cores", type=int, default=32)
+    args = ap.parse_args()
+
+    os.makedirs(WORK, exist_ok=True)
+    if args.cmd == "prepare":
+        prepare(args.pages)
+    elif args.cmd == "run":
+        res = run_once(args.cores, args.pages)
+        with open(os.path.join(WORK, f"result_{args.cores}.json"), "w") as f:
+            json.dump(res, f)
+        print(json.dumps(res))
+    elif args.cmd == "all":
+        prepare(args.pages)
+        for cores in (8, 32):
+            # fresh process per run → clean JVM, no cross-run cache effects
+            subprocess.run(
+                [sys.executable, __file__, "--pages", str(args.pages),
+                 "run", "--cores", str(cores)], check=True)
+        args.cmd = "report"
+    if args.cmd == "report":
+        with open(os.path.join(WORK, "result_8.json")) as f:
+            r8 = json.load(f)
+        with open(os.path.join(WORK, "result_32.json")) as f:
+            r32 = json.load(f)
+        eff = r32["docs_per_sec"] / (4 * r8["docs_per_sec"])
+        out = {"n8": r8, "n32": r32,
+               "scaling_efficiency_8_to_32": round(eff, 3)}
+        print(json.dumps(out, indent=1))
+        with open(os.path.join(WORK, "scaling.json"), "w") as f:
+            json.dump(out, f)
+
+
+if __name__ == "__main__":
+    main()
