@@ -10,6 +10,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# direct `python .../jobs/x.py` runs: put the repo root on the path
+# (spark-submit --py-files provides it via the shipped zip instead)
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 
 def main() -> None:

@@ -70,6 +70,14 @@ _SCORE_SCHEMA = T.StructType([
 ])
 
 
+def read_in(spark, path: str) -> DataFrame:
+    """S1: source scan (reference read_in_csv, categorize.py:109-111) —
+    CSV with header inference, or parquet by extension."""
+    if path.endswith((".parquet", ".pq")) or path.rstrip("/").endswith("parquet"):
+        return spark.read.parquet(path)
+    return spark.read.csv(path, header=True, inferSchema=True)
+
+
 def header_skip_matches(columns: list[str]) -> list[dict]:
     """reference skip_matched_columns (categorize.py:330-352): fuzzy ratio
     > 90 vs the 8-keyword skip list; every match recorded, last wins."""

@@ -64,12 +64,24 @@ def detect_cities(pages: DataFrame, spark: SparkSession,
     cities["city_norm"] = cities["city"].str.lower()
     cities_df = F.broadcast(spark.createDataFrame(cities))
 
-    # capitalized word runs of length 1-3 ("New York", "Rio de Janeiro"-lite)
-    cap_run = r"\b([A-Z][\w'&-]*(?:[ _][A-Za-z][\w'&-]*){0,2})\b"
+    # word 1/2/3-grams starting with a capitalized word — generated with
+    # pure array expressions (every sub-span, unlike a greedy regex run)
+    words = F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z][\w'&-]*"), 0)
+    # NB: single-arg lambdas only — a 2-arg lambda is (element, index) to
+    # F.transform, which would shadow the captured gram length
+    def _gram_fn(n):
+        return lambda i: F.array_join(F.slice(words, i + 1, n), " ")
+
+    gram_arrays = []
+    for n in (1, 2, 3):
+        gram_arrays.append(F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1))),
+            _gram_fn(n)))
     grams = pages.select(
         "url",
-        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(cap_run), 1)).alias("gram"),
-    ).withColumn("gram_norm", F.lower("gram"))
+        F.explode(F.concat(*gram_arrays)).alias("gram"),
+    ).where(F.col("gram").rlike("^[A-Z]")) \
+     .withColumn("gram_norm", F.lower("gram"))
     return grams.join(cities_df, grams.gram_norm == cities_df.city_norm,
                       "inner").select("url", "city", "lat", "lon")
 

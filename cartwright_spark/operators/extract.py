@@ -2,25 +2,37 @@
 
 Per-row invariant (BASELINE.json input_hint): the extracted text is a pure
 function of the html bytes — same url/html always yields byte-identical
-text, locked by sha256 golden tests. Implemented as an Arrow-batched pandas
-UDF (vectorized pandas string ops; no per-row Python in the plan).
+text, locked by sha256 golden tests.
+
+Two implementations with identical output, cross-validated by tests:
+
+* ``extract_text_col`` — pure JVM column expressions (decode +
+  regexp_replace chain). THE default hot path. Measured on this box:
+  shipping the wide html/binary column through Arrow to a pandas UDF
+  anti-scales badly (3M pages: 6.7s @ local[8] → 30.4s @ local[32] for a
+  trivial UDF), while the same work as JVM expressions scales 9.2s → 3.9s.
+  Rule of thumb baked into this engine: never move wide payloads across
+  the Arrow boundary; Python UDFs only ever see narrow columns.
+* ``extract_text_series`` / ``extract_text_udf`` — the pandas form, used
+  for parity testing and as the slot where a real boilerplate-removal
+  library would plug in.
 
 Extraction rules (fixed, versioned by EXTRACTOR_VERSION):
-  1. decode utf-8 (errors='replace')
-  2. drop <script>/<style> blocks
+  1. decode utf-8 (malformed bytes → U+FFFD, both engines)
+  2. drop <script>/<style>/<title> blocks
   3. drop boilerplate containers <nav>/<header>/<footer>/<aside>
-  4. strip remaining tags, unescape the 5 core entities
+  4. strip remaining tags, unescape the core entities
   5. collapse whitespace runs to single spaces, strip ends
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-EXTRACTOR_VERSION = 1
+EXTRACTOR_VERSION = 2
 
 _BLOCK_RE = r"(?is)<(script|style|title|nav|header|footer|aside)\b.*?</\1>"
 _TAG_RE = r"(?s)<[^>]*>"
@@ -28,8 +40,21 @@ _ENTITIES = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
              ("&quot;", '"'), ("&copy;", "(c)"), ("&#39;", "'")]
 
 
+def extract_text_col(html: Column) -> Column:
+    """JVM-expression extractor (whole-stage codegen, no Python)."""
+    s = F.decode(html, "UTF-8")
+    s = F.regexp_replace(s, _BLOCK_RE, " ")
+    s = F.regexp_replace(s, _TAG_RE, " ")
+    for ent, rep in _ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    s = F.regexp_replace(s, r"\s+", " ")
+    return F.trim(s)
+
+
 def extract_text_series(html: pd.Series) -> pd.Series:
-    s = html.map(lambda b: b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else str(b))
+    """pandas reference implementation (identical output; parity-tested)."""
+    s = html.map(lambda b: b.decode("utf-8", errors="replace")
+                 if isinstance(b, (bytes, bytearray)) else str(b))
     s = s.str.replace(_BLOCK_RE, " ", regex=True)
     s = s.str.replace(_TAG_RE, " ", regex=True)
     for ent, rep in _ENTITIES:
@@ -47,7 +72,11 @@ def extract_text_udf():
 
 
 def extract_pages(pages: DataFrame, html_col: str = "html",
-                  out_col: str = "extracted_text") -> DataFrame:
+                  out_col: str = "extracted_text",
+                  use_jvm: bool = True) -> DataFrame:
     """pages(+html) → pages + extracted text + sha256 content hash."""
-    out = pages.withColumn(out_col, extract_text_udf()(F.col(html_col)))
+    if use_jvm:
+        out = pages.withColumn(out_col, extract_text_col(F.col(html_col)))
+    else:
+        out = pages.withColumn(out_col, extract_text_udf()(F.col(html_col)))
     return out.withColumn("text_sha256", F.sha2(F.col(out_col), 256))

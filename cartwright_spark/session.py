@@ -38,6 +38,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # decode(binary,'UTF-8') replaces malformed bytes with U+FFFD
+        # (python errors='replace' parity) instead of ANSI-erroring
+        .config("spark.sql.legacy.codingErrorAction", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

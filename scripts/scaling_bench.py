@@ -38,21 +38,40 @@ def prepare(n_pages: int) -> str:
     from cartwright_spark.session import get_spark
     from cartwright_spark.sources.corpus import generate_pages
     spark = get_spark("scaling_prep", master="local[32]")
-    generate_pages(spark, n_pages, partitions=64).write.mode("overwrite").parquet(src)
+    generate_pages(spark, n_pages, partitions=256) \
+        .write.mode("overwrite").parquet(src)
     spark.stop()
     return src
+
+
+def _corpus_boxes():
+    """Admin polygons aligned with the corpus coordinate regions (hot urban
+    boxes + land boxes) so the PIP join actually selects rows."""
+    import pandas as pd
+
+    from cartwright_spark.sources.corpus import _LAND_BOXES
+    from cartwright_spark.sources.gazetteers import HOT_BOXES
+    rows = []
+    for i, (la0, lo0, la1, lo1) in enumerate(_LAND_BOXES[:3]):
+        rows.append({"admin_id": f"land{i}",
+                     "ring_lat": [la0, la0, la1, la1],
+                     "ring_lon": [lo0, lo1, lo1, lo0]})
+    for name, bla, blo in HOT_BOXES:
+        rows.append({"admin_id": name,
+                     "ring_lat": [bla - 0.06, bla - 0.06, bla + 0.06, bla + 0.06],
+                     "ring_lon": [blo - 0.06, blo + 0.06, blo + 0.06, blo - 0.06]})
+    return pd.DataFrame(rows)
 
 
 def run_once(cores: int, n_pages: int) -> dict:
     from pyspark.sql import functions as F
 
+    from cartwright_spark.functions.geodesy import tile_id_col
     from cartwright_spark.operators.detect import detect_coordinates
     from cartwright_spark.operators.extract import extract_pages
-    from cartwright_spark.functions.geodesy import tile_id_col
     from cartwright_spark.session import get_spark
+    from cartwright_spark.spatial.pip import point_in_polygon_join
     from cartwright_spark.spatial.udfs import s2_cell
-
-    import __spark_entry__ as entry_mod
 
     src = os.path.join(WORK, f"pages_{n_pages}")
     spark = get_spark("scaling_run", master=f"local[{cores}]",
@@ -60,18 +79,18 @@ def run_once(cores: int, n_pages: int) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(src)
 
-    # warm the JVM/Arrow paths with a tiny slice, then measure
-    pages.limit(1000).count()
+    # warm JVM + python worker pool with a small slice, then measure
+    extract_pages(pages.limit(5000)).write.format("noop").mode("overwrite").save()
 
     t0 = time.perf_counter()
     ext = extract_pages(pages.select("url", "html"))
     det = detect_coordinates(ext, text_col="extracted_text")
     cells = (det.withColumn("s2_cell", s2_cell(F.col("lat"), F.col("lon"), 10))
-             .withColumn("tile_id", tile_id_col(F.col("lat"), F.col("lon"), 8)))
-    from cartwright_spark.spatial.pip import point_in_polygon_join
-    pip = point_in_polygon_join(spark, cells, entry_mod._pip_boxes_pdf(),
+             .withColumn("tile_id", tile_id_col(F.col("lat"), F.col("lon"), 8))
+             .persist())
+    n_coords = cells.count()  # materialize once; pip + rollup reuse the cache
+    pip = point_in_polygon_join(spark, cells, _corpus_boxes(),
                                 level=7, point_id_col="url")
-    # rollup side: tile histogram (salt handles the 3 hot boxes)
     rollup = cells.groupBy("tile_id").agg(
         F.count("*").alias("n_points"),
         F.approx_count_distinct("s2_cell").alias("n_cells"))
@@ -81,12 +100,12 @@ def run_once(cores: int, n_pages: int) -> dict:
     spark.stop()
     return {"cores": cores, "pages": n_pages, "wall_sec": round(wall, 3),
             "docs_per_sec": round(n_pages / wall, 1),
-            "pip_rows": n_pip, "tiles": n_tiles}
+            "coords": n_coords, "pip_rows": n_pip, "tiles": n_tiles}
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", type=int, default=400_000)
+    ap.add_argument("--pages", type=int, default=3_000_000)
     ap.add_argument("cmd", choices=["prepare", "run", "all", "report"])
     ap.add_argument("--cores", type=int, default=32)
     args = ap.parse_args()

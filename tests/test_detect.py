@@ -1,0 +1,56 @@
+"""Entity detection over page text (operators/detect.py)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cartwright_spark.operators.detect import (
+    detect_cities,
+    detect_coordinates,
+    detect_dates,
+    detect_iso3,
+)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    rows = [
+        (1, "Report from Paris, France (FRA) on 2021-03-04. "
+            "Station at 48.856600, 2.352200 recorded 12.3."),
+        (2, "Filed in New York (USA) 03/15/2020; grid 40.712800, -74.006000 "
+            "and out-of-range pair 95.000000, 10.000000."),
+        (3, "No entities here, just prose about engines and rivers."),
+        (4, "Tokyo update 2019/12/31 at 35.689500, 139.691700 (JPN)."),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["url", "text"]))
+
+
+def test_detect_coordinates(pages):
+    got = {(r["url"], r["lat"], r["lon"])
+           for r in detect_coordinates(pages).collect()}
+    assert (1, 48.8566, 2.3522) in got
+    assert (2, 40.7128, -74.006) in got
+    assert (4, 35.6895, 139.6917) in got
+    # out-of-range lat 95 filtered (latlong validator semantics)
+    assert not any(u == 2 and la == 95.0 for u, la, _ in got)
+    assert not any(u == 3 for u, _, _ in got)
+
+
+def test_detect_iso3(pages, spark):
+    got = {(r["url"], r["iso3"]) for r in detect_iso3(pages, spark).collect()}
+    assert {(1, "FRA"), (2, "USA"), (4, "JPN")} <= got
+
+
+def test_detect_cities(pages, spark):
+    got = {(r["url"], r["city"]) for r in detect_cities(pages, spark).collect()}
+    assert (1, "Paris") in got
+    assert (2, "New York") in got
+    assert (4, "Tokyo") in got
+
+
+def test_detect_dates(pages):
+    got = {(r["url"], r["format"], r["raw"])
+           for r in detect_dates(pages).collect()}
+    assert (1, "%Y-%m-%d", "2021-03-04") in got
+    assert (2, "%m/%d/%Y", "03/15/2020") in got
+    assert (4, "%Y/%m/%d", "2019/12/31") in got

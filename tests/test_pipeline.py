@@ -34,6 +34,29 @@ def test_extraction_byte_identical_and_matches_payload(spark):
     assert again == {r["url"]: r["text_sha256"] for r in rows}
 
 
+def test_jvm_and_pandas_extractors_identical(spark):
+    """The codegen path and the pandas path must agree byte-for-byte —
+    including on malformed utf-8 and nested/boilerplate markup."""
+    import pandas as pd
+    from cartwright_spark.operators.extract import extract_text_col, extract_text_series
+    payloads = [
+        b"<html><head><title>T</title></head><body><p>plain</p></body></html>",
+        b"<body><nav>m</nav>a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;</body>",
+        b"<p>bad utf8 \xff\xfe here</p>",
+        b"<SCRIPT>x</SCRIPT><P>upper   case\t\ntags</P>",
+        b"<div><span>nested <b>bold</b></span> tail</div>",
+        b"no tags at all",
+        b"",
+    ]
+    rows = [(i, p) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "i int, html binary")
+    jvm = {r["i"]: r["t"] for r in
+           df.select("i", extract_text_col(df.html).alias("t")).collect()}
+    pd_out = extract_text_series(pd.Series(payloads))
+    for i in range(len(payloads)):
+        assert jvm[i] == pd_out.iloc[i], f"payload {i}: {jvm[i]!r} != {pd_out.iloc[i]!r}"
+
+
 def test_extractor_strips_boilerplate():
     import pandas as pd
     html = pd.Series([
