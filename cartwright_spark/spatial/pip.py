@@ -60,15 +60,43 @@ def polygon_covering_cells(ring_lat, ring_lon, level: int) -> np.ndarray:
     return np.unique(cells)
 
 
+def _inside_expr(plat, plon):
+    """Even-odd ray casting as a pure column expression: fold over the
+    polygon's edge array (arrays_zip of ring and ring-rotated-by-1).
+    Whole-stage codegen, no Python — the refine step runs at scan speed
+    and parallelizes per partition instead of per polygon."""
+    ring = F.col("ring")
+    n = F.size(ring)
+    rot = F.concat(F.slice(ring, 2, n - 1), F.slice(ring, 1, 1))
+    edges = F.arrays_zip(ring.alias("a"), rot.alias("b"))
+    y, x = plat, plon
+
+    def step(acc, e):
+        yi, xi = e["a"]["lat"], e["a"]["lon"]
+        yj, xj = e["b"]["lat"], e["b"]["lon"]
+        crosses = (yi > y) != (yj > y)
+        # doubles: division by (yj-yi)=0 yields ±Inf, masked by `crosses`
+        x_at = xi + (y - yi) * (xj - xi) / (yj - yi)
+        return F.when(crosses & (x < x_at), ~acc).otherwise(acc)
+
+    return F.aggregate(edges, F.lit(False), step)
+
+
 def point_in_polygon_join(spark: SparkSession, points: DataFrame,
                           polygons: pd.DataFrame, level: int = 8,
                           lat_col: str = "lat", lon_col: str = "lon",
-                          point_id_col: str = "url") -> DataFrame:
+                          point_id_col: str = "url",
+                          refine: str = "expr") -> DataFrame:
     """points(id, lat, lon) ⋈ polygons(admin_id, ring_lat[], ring_lon[])
     → (point_id, admin_id).
 
     polygons is a pandas frame (broadcast-scale dim): columns
     admin_id, ring_lat (list[float]), ring_lon (list[float]).
+
+    refine: 'expr' (default) — ray casting as a codegen fold over the ring
+    array, fully parallel and JVM-side; 'pandas' — numpy refine grouped per
+    polygon (kept as the cross-check implementation; it shuffles all
+    candidates into one group per polygon, so only use it at test scale).
     """
     # 1) covering cells per polygon (driver-side, broadcast)
     cov_rows = []
@@ -90,17 +118,28 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
     ).withColumn("cell", s2_cell(F.col("lat"), F.col("lon"), level))
     cand = pts.join(cov_df, "cell", "inner")
 
-    # 3) exact refine: grouped by admin_id, vectorized ray casting
+    if refine == "expr":
+        # 3a) ring arrays ride the broadcast join; refine is an expression
+        ring_rows = [(aid, [{"lat": float(la), "lon": float(lo)}
+                            for la, lo in zip(*rl_lo)])
+                     for aid, rl_lo in rings.items()]
+        rings_df = F.broadcast(spark.createDataFrame(
+            ring_rows, "admin_id string, ring array<struct<lat:double,lon:double>>"))
+        return (cand.join(rings_df, "admin_id")
+                .where(_inside_expr(F.col("lat"), F.col("lon")))
+                .select("point_id", "admin_id"))
+
+    # 3b) pandas refine (cross-check path)
     rings_b = spark.sparkContext.broadcast(rings)
 
-    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+    def refine_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         admin = pdf["admin_id"].iloc[0]
         rl, rlon = rings_b.value[admin]
         ok = ray_cast_contains(rl, rlon, pdf["lat"].to_numpy(), pdf["lon"].to_numpy())
         return pdf.loc[ok, ["point_id", "admin_id"]]
 
     return cand.groupBy("admin_id").applyInPandas(
-        refine, "point_id string, admin_id string")
+        refine_fn, "point_id string, admin_id string")
 
 
 def brute_force_pip(points: pd.DataFrame, polygons: pd.DataFrame,

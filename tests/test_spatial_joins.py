@@ -65,7 +65,8 @@ def test_covering_cells_superset():
     assert np.isin(pc, cells).all()
 
 
-def test_pip_join_matches_bruteforce(spark):
+@pytest.mark.parametrize("refine", ["expr", "pandas"])
+def test_pip_join_matches_bruteforce(spark, refine):
     rng = np.random.default_rng(21)
     pts = pd.DataFrame({
         "point_id": [f"p{i}" for i in range(2000)],
@@ -74,7 +75,7 @@ def test_pip_join_matches_bruteforce(spark):
     })
     sdf = spark.createDataFrame(pts)
     got = point_in_polygon_join(spark, sdf, POLYGONS, level=8,
-                                point_id_col="point_id")
+                                point_id_col="point_id", refine=refine)
     got_set = {(r["point_id"], r["admin_id"]) for r in got.collect()}
     want = brute_force_pip(pts, POLYGONS)
     assert got_set == want
