@@ -324,6 +324,27 @@ def q_simsearch_topk(spark, sf_dir):
     return brute_force_topk(emb, q, k=5).select("qid", "neighbor_id", "rank")
 
 
+def q_temporal_resolution(spark, sf_dir):
+    """A6-A8: per-user temporal resolution (median delta → unit match →
+    uniformity). Unit table argmin is engine logic → rows-only check."""
+    from cartwright_spark.operators.resolution import temporal_resolution_grouped
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    return temporal_resolution_grouped(ev, "ts", "user_id") \
+        .select("group", "uniformity", "unit")
+
+
+def q_spatial_grid_resolution(spark, sf_dir):
+    """A9: spatial grid detection on a part-key-derived 0.5° mesh (rows-only)."""
+    from cartwright_spark.operators.resolution import spatial_resolution_grouped
+    p = _t(spark, sf_dir, "part")
+    grid = p.select(
+        ((F.col("p_partkey") % 14) * 0.5 + 10.0).alias("lat"),
+        (F.floor(F.col("p_partkey") / 14) % 14 * 0.5 - 30.0).alias("lon"))
+    return spatial_resolution_grouped(grid, "lat", "lon") \
+        .select("group", "kind", "uniformity", "unit", "resolution")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -347,6 +368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_histogram": q_s2_histogram,
         "h3_histogram": q_h3_histogram,
         "simsearch_topk": q_simsearch_topk,
+        "temporal_resolution": q_temporal_resolution,
+        "spatial_grid_resolution": q_spatial_grid_resolution,
     }
 
 

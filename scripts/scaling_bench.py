@@ -89,17 +89,21 @@ def run_once(cores: int, n_pages: int) -> dict:
              .withColumn("tile_id", tile_id_col(F.col("lat"), F.col("lon"), 8))
              .persist())
     n_coords = cells.count()  # materialize once; pip + rollup reuse the cache
+    t_cells = time.perf_counter() - t0
     pip = point_in_polygon_join(spark, cells, _corpus_boxes(),
                                 level=7, point_id_col="url")
+    n_pip = pip.count()
+    t_pip = time.perf_counter() - t0 - t_cells
     rollup = cells.groupBy("tile_id").agg(
         F.count("*").alias("n_points"),
         F.approx_count_distinct("s2_cell").alias("n_cells"))
-    n_pip = pip.count()
     n_tiles = rollup.count()
     wall = time.perf_counter() - t0
     spark.stop()
     return {"cores": cores, "pages": n_pages, "wall_sec": round(wall, 3),
             "docs_per_sec": round(n_pages / wall, 1),
+            "phase_cells_sec": round(t_cells, 2), "phase_pip_sec": round(t_pip, 2),
+            "phase_rollup_sec": round(wall - t_cells - t_pip, 2),
             "coords": n_coords, "pip_rows": n_pip, "tiles": n_tiles}
 
 
