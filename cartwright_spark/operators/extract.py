@@ -32,10 +32,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-EXTRACTOR_VERSION = 2
+EXTRACTOR_VERSION = 3
 
-_BLOCK_RE = r"(?is)<(script|style|title|nav|header|footer|aside)\b.*?</\1>"
-_TAG_RE = r"(?s)<[^>]*>"
+# one alternation pass: boilerplate blocks (lazy to their close tag) OR any
+# single tag — fewer intermediate strings than sequential passes, which
+# matters because regex extraction is memory-bandwidth-bound at scale
+_MARKUP_RE = (r"(?is)<(script|style|title|nav|header|footer|aside)\b.*?</\1>"
+              r"|<[^>]*>")
 _ENTITIES = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
              ("&quot;", '"'), ("&copy;", "(c)"), ("&#39;", "'")]
 
@@ -43,8 +46,7 @@ _ENTITIES = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
 def extract_text_col(html: Column) -> Column:
     """JVM-expression extractor (whole-stage codegen, no Python)."""
     s = F.decode(html, "UTF-8")
-    s = F.regexp_replace(s, _BLOCK_RE, " ")
-    s = F.regexp_replace(s, _TAG_RE, " ")
+    s = F.regexp_replace(s, _MARKUP_RE, " ")
     for ent, rep in _ENTITIES:
         s = F.replace(s, F.lit(ent), F.lit(rep))
     s = F.regexp_replace(s, r"\s+", " ")
@@ -55,8 +57,7 @@ def extract_text_series(html: pd.Series) -> pd.Series:
     """pandas reference implementation (identical output; parity-tested)."""
     s = html.map(lambda b: b.decode("utf-8", errors="replace")
                  if isinstance(b, (bytes, bytearray)) else str(b))
-    s = s.str.replace(_BLOCK_RE, " ", regex=True)
-    s = s.str.replace(_TAG_RE, " ", regex=True)
+    s = s.str.replace(_MARKUP_RE, " ", regex=True)
     for ent, rep in _ENTITIES:
         s = s.str.replace(ent, rep, regex=False)
     s = s.str.replace(r"\s+", " ", regex=True).str.strip()

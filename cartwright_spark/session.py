@@ -41,6 +41,10 @@ def get_spark(
         # decode(binary,'UTF-8') replaces malformed bytes with U+FFFD
         # (python errors='replace' parity) instead of ANSI-erroring
         .config("spark.sql.legacy.codingErrorAction", "true")
+        # throughput-oriented GC for the string/regex-heavy batch stages
+        # (~15% on extraction); on a real cluster set executor opts too
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

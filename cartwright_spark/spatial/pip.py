@@ -86,17 +86,26 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
                           polygons: pd.DataFrame, level: int = 8,
                           lat_col: str = "lat", lon_col: str = "lon",
                           point_id_col: str = "url",
-                          refine: str = "expr") -> DataFrame:
+                          refine: str = "expr",
+                          cell_col: str | None = None) -> DataFrame:
     """points(id, lat, lon) ⋈ polygons(admin_id, ring_lat[], ring_lon[])
     → (point_id, admin_id).
 
     polygons is a pandas frame (broadcast-scale dim): columns
     admin_id, ring_lat (list[float]), ring_lon (list[float]).
 
-    refine: 'expr' (default) — ray casting as a codegen fold over the ring
-    array, fully parallel and JVM-side; 'pandas' — numpy refine grouped per
-    polygon (kept as the cross-check implementation; it shuffles all
-    candidates into one group per polygon, so only use it at test scale).
+    refine:
+      'vector' — narrow-column pandas UDF (admin idx + lat/lon in, bool
+        out), numpy ray casting against broadcast rings. Fastest at scale:
+        Arrow moves only 3 narrow columns and the kernel is vectorized
+        (Catalyst higher-order folds are interpreted per element).
+      'expr' (default) — ray casting as a JVM fold over the ring array;
+        zero Python, DuckDB-parity-friendly.
+      'pandas' — grouped-per-polygon numpy refine (cross-check only: its
+        parallelism is capped at the polygon count).
+
+    cell_col: name of a precomputed S2 cell column at *exactly* `level`
+    (e.g. derived via s2_parent_col from a finer encode) — skips the encode.
     """
     # 1) covering cells per polygon (driver-side, broadcast)
     cov_rows = []
@@ -111,12 +120,42 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
         pd.DataFrame(cov_rows, columns=["admin_id", "cell"])))
 
     # 2) encode points once; equi-join on cell (hash join vs broadcast dim)
-    from cartwright_spark.spatial.udfs import s2_cell
     pts = points.select(
         F.col(point_id_col).alias("point_id"),
         F.col(lat_col).alias("lat"), F.col(lon_col).alias("lon"),
-    ).withColumn("cell", s2_cell(F.col("lat"), F.col("lon"), level))
+        *([F.col(cell_col).alias("cell")] if cell_col else []),
+    )
+    if not cell_col:
+        from cartwright_spark.spatial.udfs import s2_cell
+        pts = pts.withColumn("cell", s2_cell(F.col("lat"), F.col("lon"), level))
     cand = pts.join(cov_df, "cell", "inner")
+
+    if refine == "vector":
+        # 3c) narrow-column vectorized refine: rings indexed by int id live
+        # in the UDF closure; per-batch group-by-polygon numpy ray casting
+        admin_ids = sorted(rings.keys())
+        idx_of = {a: i for i, a in enumerate(admin_ids)}
+        ring_list = [rings[a] for a in admin_ids]
+        idx_df = F.broadcast(spark.createDataFrame(
+            [(a, idx_of[a]) for a in admin_ids], "admin_id string, __aidx int"))
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("boolean")
+        def inside(aidx: pd.Series, la: pd.Series, lo: pd.Series) -> pd.Series:
+            out = np.zeros(len(aidx), dtype=bool)
+            ai = aidx.to_numpy()
+            lav = la.to_numpy(np.float64)
+            lov = lo.to_numpy(np.float64)
+            for i in np.unique(ai):
+                m = ai == i
+                rl, rlon = ring_list[i]
+                out[m] = ray_cast_contains(rl, rlon, lav[m], lov[m])
+            return pd.Series(out)
+
+        return (cand.join(idx_df, "admin_id")
+                .where(inside(F.col("__aidx"), F.col("lat"), F.col("lon")))
+                .select("point_id", "admin_id"))
 
     if refine == "expr":
         # 3a) ring arrays ride the broadcast join; refine is an expression

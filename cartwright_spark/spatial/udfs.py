@@ -22,6 +22,14 @@ def s2_cell(lat: Column, lon: Column, level: int) -> Column:
     return s2_cell_udf(level)(lat, lon)
 
 
+def s2_parent_col(cell: Column, level: int) -> Column:
+    """Parent cell as pure bit arithmetic — no UDF: (id & -lsb) | lsb.
+    Level coarsening in joins should use this, never a re-encode."""
+    from pyspark.sql import functions as F
+    lsb = 1 << (2 * (30 - level))
+    return (cell.bitwiseAND(F.lit(-lsb))).bitwiseOR(F.lit(lsb))
+
+
 def s2_parent(level: int):
     @pandas_udf("long")
     def f(cell: pd.Series) -> pd.Series:

@@ -71,7 +71,7 @@ def run_once(cores: int, n_pages: int) -> dict:
     from cartwright_spark.operators.extract import extract_pages
     from cartwright_spark.session import get_spark
     from cartwright_spark.spatial.pip import point_in_polygon_join
-    from cartwright_spark.spatial.udfs import s2_cell
+    from cartwright_spark.spatial.udfs import s2_cell, s2_parent_col
 
     src = os.path.join(WORK, f"pages_{n_pages}")
     spark = get_spark("scaling_run", master=f"local[{cores}]",
@@ -79,31 +79,42 @@ def run_once(cores: int, n_pages: int) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(src)
 
-    # warm JVM + python worker pool with a small slice, then measure
-    extract_pages(pages.limit(5000)).write.format("noop").mode("overwrite").save()
+    # warm JVM + the python worker pool (incl. the s2 UDF path) so worker
+    # cold-start isn't billed to the measured run
+    warm = extract_pages(pages.limit(5000))
+    warm = detect_coordinates(warm, text_col="extracted_text")
+    warm.withColumn("c", s2_cell(F.col("lat"), F.col("lon"), 10)) \
+        .write.format("noop").mode("overwrite").save()
 
     t0 = time.perf_counter()
     ext = extract_pages(pages.select("url", "html"))
     det = detect_coordinates(ext, text_col="extracted_text")
     cells = (det.withColumn("s2_cell", s2_cell(F.col("lat"), F.col("lon"), 10))
              .withColumn("tile_id", tile_id_col(F.col("lat"), F.col("lon"), 8))
+             # PIP join level via bit math on the existing cell — no re-encode
+             .withColumn("cell_l7", s2_parent_col(F.col("s2_cell"), 7))
              .persist())
     n_coords = cells.count()  # materialize once; pip + rollup reuse the cache
     t_cells = time.perf_counter() - t0
     pip = point_in_polygon_join(spark, cells, _corpus_boxes(),
-                                level=7, point_id_col="url")
-    n_pip = pip.count()
-    t_pip = time.perf_counter() - t0 - t_cells
+                                level=7, point_id_col="url",
+                                refine="vector", cell_col="cell_l7")
     rollup = cells.groupBy("tile_id").agg(
         F.count("*").alias("n_points"),
         F.approx_count_distinct("s2_cell").alias("n_cells"))
-    n_tiles = rollup.count()
+    # overlap the two downstream actions — the scheduler interleaves their
+    # tasks, hiding each job's tail (exactly what a real pipeline does)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(2) as pool:
+        f_pip = pool.submit(pip.count)
+        f_roll = pool.submit(rollup.count)
+        n_pip, n_tiles = f_pip.result(), f_roll.result()
     wall = time.perf_counter() - t0
     spark.stop()
     return {"cores": cores, "pages": n_pages, "wall_sec": round(wall, 3),
             "docs_per_sec": round(n_pages / wall, 1),
-            "phase_cells_sec": round(t_cells, 2), "phase_pip_sec": round(t_pip, 2),
-            "phase_rollup_sec": round(wall - t_cells - t_pip, 2),
+            "phase_cells_sec": round(t_cells, 2),
+            "phase_joins_sec": round(wall - t_cells, 2),
             "coords": n_coords, "pip_rows": n_pip, "tiles": n_tiles}
 
 
@@ -112,7 +123,10 @@ def main() -> None:
     ap.add_argument("--pages", type=int, default=3_000_000)
     ap.add_argument("cmd", choices=["prepare", "run", "all", "report"])
     ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--pair", default="8,32",
+                    help="N,4N parallelism levels for the all/report modes")
     args = ap.parse_args()
+    lo, hi = (int(x) for x in args.pair.split(","))
 
     os.makedirs(WORK, exist_ok=True)
     if args.cmd == "prepare":
@@ -124,22 +138,22 @@ def main() -> None:
         print(json.dumps(res))
     elif args.cmd == "all":
         prepare(args.pages)
-        for cores in (8, 32):
+        for cores in (lo, hi):
             # fresh process per run → clean JVM, no cross-run cache effects
             subprocess.run(
                 [sys.executable, __file__, "--pages", str(args.pages),
                  "run", "--cores", str(cores)], check=True)
         args.cmd = "report"
     if args.cmd == "report":
-        with open(os.path.join(WORK, "result_8.json")) as f:
-            r8 = json.load(f)
-        with open(os.path.join(WORK, "result_32.json")) as f:
-            r32 = json.load(f)
-        eff = r32["docs_per_sec"] / (4 * r8["docs_per_sec"])
-        out = {"n8": r8, "n32": r32,
-               "scaling_efficiency_8_to_32": round(eff, 3)}
+        with open(os.path.join(WORK, f"result_{lo}.json")) as f:
+            rlo = json.load(f)
+        with open(os.path.join(WORK, f"result_{hi}.json")) as f:
+            rhi = json.load(f)
+        eff = rhi["docs_per_sec"] / ((hi / lo) * rlo["docs_per_sec"])
+        out = {f"n{lo}": rlo, f"n{hi}": rhi,
+               f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3)}
         print(json.dumps(out, indent=1))
-        with open(os.path.join(WORK, "scaling.json"), "w") as f:
+        with open(os.path.join(WORK, f"scaling_{lo}_{hi}.json"), "w") as f:
             json.dump(out, f)
 
 

@@ -65,7 +65,7 @@ def test_covering_cells_superset():
     assert np.isin(pc, cells).all()
 
 
-@pytest.mark.parametrize("refine", ["expr", "pandas"])
+@pytest.mark.parametrize("refine", ["expr", "pandas", "vector"])
 def test_pip_join_matches_bruteforce(spark, refine):
     rng = np.random.default_rng(21)
     pts = pd.DataFrame({
