@@ -324,6 +324,18 @@ def q_simsearch_topk(spark, sf_dir):
     return brute_force_topk(emb, q, k=5).select("qid", "neighbor_id", "rank")
 
 
+def q_fuzzy_country_join(spark, sf_dir):
+    """J1/J2: blocked Levenshtein similarity join — nation names vs the
+    country gazetteer (operators/fuzzyjoin.py)."""
+    from cartwright_spark.operators.fuzzyjoin import fuzzy_join
+    from cartwright_spark.sources import gazetteers as gz
+    nations = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    countries = spark.createDataFrame(gz.countries_pdf()[["country_name"]])
+    out = fuzzy_join(nations, "n_name", countries, "country_name",
+                     threshold=0.75)
+    return out.select("n_nationkey", "n_name", "country_name", "similarity")
+
+
 def q_temporal_resolution(spark, sf_dir):
     """A6-A8: per-user temporal resolution (median delta → unit match →
     uniformity). Unit table argmin is engine logic → rows-only check."""
@@ -370,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_topk": q_simsearch_topk,
         "temporal_resolution": q_temporal_resolution,
         "spatial_grid_resolution": q_spatial_grid_resolution,
+        "fuzzy_country_join": q_fuzzy_country_join,
     }
 
 
@@ -509,6 +522,24 @@ def oracle_sql() -> dict[str, str]:
             FROM pts JOIN boxes
               ON lat > la0 AND lat < la1 AND lon > lo0 AND lon < lo1
         """,
+        "fuzzy_country_join": (lambda names: f"""
+            WITH gaz(country_name) AS (VALUES {names}),
+            l AS (SELECT n_nationkey, n_name, lower(trim(n_name)) AS ln
+                  FROM nation),
+            r AS (SELECT country_name, lower(trim(country_name)) AS rn
+                  FROM gaz)
+            SELECT n_nationkey, n_name, country_name,
+                   1.0 - levenshtein(ln, rn) /
+                         greatest(length(ln), length(rn)) AS similarity
+            FROM l JOIN r
+              ON substr(ln, 1, 1) = substr(rn, 1, 1)
+             AND abs(length(ln) - length(rn)) <= 3
+            WHERE 1.0 - levenshtein(ln, rn) /
+                        greatest(length(ln), length(rn)) >= 0.75
+        """)(", ".join(
+            "('" + str(n).replace("'", "''") + "')"
+            for n in __import__("cartwright_spark.sources.gazetteers",
+                                fromlist=["x"]).countries_pdf()["country_name"])),
         "knn_grid": """
             WITH q AS (
               SELECT c_custkey AS qid,

@@ -86,36 +86,48 @@ def run_once(cores: int, n_pages: int) -> dict:
     warm.withColumn("c", s2_cell(F.col("lat"), F.col("lon"), 10)) \
         .write.format("noop").mode("overwrite").save()
 
-    t0 = time.perf_counter()
-    ext = extract_pages(pages.select("url", "html"))
-    det = detect_coordinates(ext, text_col="extracted_text")
-    cells = (det.withColumn("s2_cell", s2_cell(F.col("lat"), F.col("lon"), 10))
-             .withColumn("tile_id", tile_id_col(F.col("lat"), F.col("lon"), 8))
-             # PIP join level via bit math on the existing cell — no re-encode
-             .withColumn("cell_l7", s2_parent_col(F.col("s2_cell"), 7))
-             .persist())
-    n_coords = cells.count()  # materialize once; pip + rollup reuse the cache
-    t_cells = time.perf_counter() - t0
-    pip = point_in_polygon_join(spark, cells, _corpus_boxes(),
-                                level=7, point_id_col="url",
-                                refine="vector", cell_col="cell_l7")
-    rollup = cells.groupBy("tile_id").agg(
-        F.count("*").alias("n_points"),
-        F.approx_count_distinct("s2_cell").alias("n_cells"))
-    # overlap the two downstream actions — the scheduler interleaves their
-    # tasks, hiding each job's tail (exactly what a real pipeline does)
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(2) as pool:
-        f_pip = pool.submit(pip.count)
-        f_roll = pool.submit(rollup.count)
-        n_pip, n_tiles = f_pip.result(), f_roll.result()
-    wall = time.perf_counter() - t0
+    def measure() -> dict:
+        t0 = time.perf_counter()
+        ext = extract_pages(pages.select("url", "html"))
+        det = detect_coordinates(ext, text_col="extracted_text")
+        cells = (det.withColumn("s2_cell", s2_cell(F.col("lat"), F.col("lon"), 10))
+                 .withColumn("tile_id", tile_id_col(F.col("lat"), F.col("lon"), 8))
+                 # PIP join level via bit math on the cell — no re-encode
+                 .withColumn("cell_l7", s2_parent_col(F.col("s2_cell"), 7))
+                 .persist())
+        n_coords = cells.count()  # materialize once; pip+rollup reuse cache
+        t_cells = time.perf_counter() - t0
+        pip = point_in_polygon_join(spark, cells, _corpus_boxes(),
+                                    level=7, point_id_col="url",
+                                    refine="vector", cell_col="cell_l7")
+        rollup = cells.groupBy("tile_id").agg(
+            F.count("*").alias("n_points"),
+            F.approx_count_distinct("s2_cell").alias("n_cells"))
+        # overlap the two downstream actions — the scheduler interleaves
+        # their tasks, hiding each job's tail (as a real pipeline would)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(2) as pool:
+            f_pip = pool.submit(pip.count)
+            f_roll = pool.submit(rollup.count)
+            n_pip, n_tiles = f_pip.result(), f_roll.result()
+        wall = time.perf_counter() - t0
+        cells.unpersist(blocking=True)
+        return {"wall_sec": round(wall, 3),
+                "docs_per_sec": round(n_pages / wall, 1),
+                "phase_cells_sec": round(t_cells, 2),
+                "phase_joins_sec": round(wall - t_cells, 2),
+                "coords": n_coords, "pip_rows": n_pip, "tiles": n_tiles}
+
+    # best-of-3: this sandbox shares its host (idle loadavg ~10/32), and
+    # interference only ever slows a run down — min wall is the clean signal
+    runs = [measure() for _ in range(3)]
+    best = min(runs, key=lambda r: r["wall_sec"])
+    with open("/proc/loadavg") as f:
+        load = f.read().split()[:3]
     spark.stop()
-    return {"cores": cores, "pages": n_pages, "wall_sec": round(wall, 3),
-            "docs_per_sec": round(n_pages / wall, 1),
-            "phase_cells_sec": round(t_cells, 2),
-            "phase_joins_sec": round(wall - t_cells, 2),
-            "coords": n_coords, "pip_rows": n_pip, "tiles": n_tiles}
+    return {"cores": cores, "pages": n_pages, **best,
+            "all_walls": [r["wall_sec"] for r in runs],
+            "host_loadavg": load}
 
 
 def main() -> None:
