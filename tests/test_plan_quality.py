@@ -1,0 +1,78 @@
+"""Plan-quality regression tests: pushdown, broadcast, no accidental
+cross products — the physical-plan properties the 100 TB story relies on
+(SURVEY.md §4). These lock the *shape* of the plan, not timings."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+
+SF = "/root/testdata/sf0.001"
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    df = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .where(F.col("l_quantity") > 40)
+          .select("l_orderkey", "l_quantity"))
+    plan = _formatted(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]" in plan
+    # column pruning: scan reads exactly the 2 needed columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_iso3_membership_is_broadcast_join(spark):
+    plan = _physical(em.q_p9_iso3_membership(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pip_join_is_broadcast_no_shuffle_of_points(spark):
+    plan = _physical(em.q_j6_pip_boxes(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the point side must not be exchanged for the join
+    assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_join_is_broadcast(spark):
+    plan = _physical(em.q_fuzzy_country_join(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tile_agg_has_partial_aggregation(spark):
+    plan = _physical(em.q_j8_tile_grid(spark, SF))
+    # two HashAggregates (partial + final) around a single exchange
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_knn_broadcasts_query_side(spark):
+    plan = _physical(em.q_knn_grid(spark, SF))
+    assert "Broadcast" in plan
+
+
+def test_extraction_is_jvm_only(spark):
+    from cartwright_spark.operators.extract import extract_pages
+    from cartwright_spark.sources.corpus import generate_pages
+    df = extract_pages(generate_pages(spark, 10))
+    plan = _physical(df)
+    # no Python evaluation node in the extraction plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_classify_sampling_prunes_columns(spark):
+    # the melt plan projects only the classified columns before sampling
+    from cartwright_spark.operators.classify import sample_columns
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    s = sample_columns(df, ["o_orderstatus"], n_samples=9)
+    plan = _formatted(s)
+    assert "o_totalprice" not in plan.split("ReadSchema")[-1]
