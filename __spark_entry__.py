@@ -275,18 +275,18 @@ def q_cartwright_categorize(spark, sf_dir):
 
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs over documents (rows-only check)."""
-    from cartwright_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+    from cartwright_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures_sql
     docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id", num_perm=64)
+    sigs = minhash_signatures_sql(docs, "text", "doc_id", num_perm=64)
     return minhash_lsh_pairs(sigs, bands=16, jaccard_threshold=0.8) \
         .select("id_a", "id_b")
 
 
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (rows-only check)."""
-    from cartwright_spark.operators.dedup import simhash, simhash_near_pairs
+    from cartwright_spark.operators.dedup import simhash_near_pairs, simhash_sql
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(simhash(docs, "text", "doc_id"), max_hamming=3)
+    return simhash_near_pairs(simhash_sql(docs, "text", "doc_id"), max_hamming=3)
 
 
 def q_s2_histogram(spark, sf_dir):

@@ -91,6 +91,49 @@ def _fnv1a64(s: str) -> int:
     return h % _MERSENNE
 
 
+def minhash_signatures_sql(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_perm: int = 64,
+                           shingle_k: int = 5, seed: int = 1) -> DataFrame:
+    """(id, signature array<long>) — MinHash computed entirely JVM-side.
+
+    The scale path (BENCH finding #1: wide text through Arrow anti-scales;
+    finding #2: higher-order folds are interpreted): shingles are built with
+    array expressions, then posexploded to (id, shingle_hash) rows, and the
+    64 permutation minima are one codegen hash-aggregate (64 min() exprs)
+    — partial aggregation makes the shuffle carry ≤ num_perm longs per doc
+    per partition. Shingle hash = xxhash64 masked to 31 bits so the
+    universal-hash product a*h+b stays within int64 under ANSI mode.
+    """
+    a, b = _minhash_params(num_perm, seed)
+    a31 = (a % np.uint64(1 << 31)).astype(np.int64)  # 31-bit multipliers
+    b61 = (b % np.uint64(_MERSENNE)).astype(np.int64)
+
+    words = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"),
+                     lambda w: w != "")
+    n = F.size(words)
+
+    def _shingle(i):
+        return F.array_join(F.slice(words, i + 1, shingle_k), " ")
+
+    shingles = F.when(
+        n >= shingle_k,
+        F.transform(F.sequence(F.lit(0), n - shingle_k), _shingle),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    hashes = F.array_distinct(
+        F.transform(shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF))))
+
+    exploded = df.select(F.col(id_col).alias("id"),
+                         F.explode(hashes).alias("h"))
+    aggs = [
+        F.min(F.pmod(F.col("h") * int(a31[i]) + int(b61[i]),
+                     F.lit(_MERSENNE))).alias(f"m{i}")
+        for i in range(num_perm)
+    ]
+    mins = exploded.groupBy("id").agg(*aggs)
+    return mins.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("signature"))
+
+
 def minhash_lsh_pairs(signatures: DataFrame, bands: int = 16,
                       jaccard_threshold: float = 0.7) -> DataFrame:
     """Candidate pairs via banding (explode → equi-join on band bucket),
@@ -157,6 +200,28 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("simhash"))
+
+
+def simhash_sql(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """(id, simhash long) — SimHash entirely JVM-side: explode token hashes,
+    one codegen aggregate with `bits` sum exprs (bit votes), recombine."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"),
+                     lambda w: w != "")
+    exploded = df.select(F.col(id_col).alias("id"),
+                         F.explode(words).alias("w")) \
+        .select("id", F.xxhash64("w").alias("h"))
+    votes = [
+        F.sum(F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = exploded.groupBy("id").agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63))
+                     .cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return agg.select("id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3,

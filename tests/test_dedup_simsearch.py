@@ -51,8 +51,11 @@ def test_exact_duplicates(docs):
     assert kept.count() == docs.count() - 10
 
 
-def test_minhash_lsh_finds_near_dups(docs):
-    sigs = minhash_signatures(docs, "text", "doc_id", num_perm=64)
+@pytest.mark.parametrize("impl", ["pandas", "sql"])
+def test_minhash_lsh_finds_near_dups(docs, impl):
+    from cartwright_spark.operators.dedup import minhash_signatures_sql
+    fn = minhash_signatures if impl == "pandas" else minhash_signatures_sql
+    sigs = fn(docs, "text", "doc_id", num_perm=64)
     pairs = minhash_lsh_pairs(sigs, bands=16, jaccard_threshold=0.5).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     # the 20 one-word-changed pairs + 10 exact pairs must be found
@@ -73,8 +76,11 @@ def test_ngram_jaccard_refine(spark, docs):
     assert got[(0, 3)] < 0.5                      # unrelated
 
 
-def test_simhash_near_pairs(docs):
-    sh = simhash(docs, "text", "doc_id")
+@pytest.mark.parametrize("impl", ["pandas", "sql"])
+def test_simhash_near_pairs(docs, impl):
+    from cartwright_spark.operators.dedup import simhash_sql
+    fn = simhash if impl == "pandas" else simhash_sql
+    sh = fn(docs, "text", "doc_id")
     pairs = simhash_near_pairs(sh, max_hamming=10, band_bits=16).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     exact_pairs = {(2 * i, 2 * i + 1) for i in range(20, 30)}
