@@ -26,6 +26,37 @@ _DATE_RES = {
 }
 
 
+def detect_all(pages: DataFrame, spark: SparkSession,
+               text_col: str = "text") -> DataFrame:
+    """Union of all entity detectors, one row per detection:
+    (url, kind, value, subcategory, format, lat, lon).
+
+    kind ∈ {coord, city, iso3, date}; lat/lon are null for non-spatial
+    detections (dates) and gazetteer-resolved for city mentions — the
+    detections table the tiling/join stages consume.
+    """
+    nul = F.lit(None).cast("double")
+    nuls = F.lit(None).cast("string")
+    coords = detect_coordinates(pages, text_col).select(
+        "url", F.lit("coord").alias("kind"),
+        F.concat_ws(", ", F.col("lat"), F.col("lon")).alias("value"),
+        F.lit("latlong").alias("subcategory"), nuls.alias("format"),
+        "lat", "lon")
+    cities = detect_cities(pages, spark, text_col).select(
+        "url", F.lit("city").alias("kind"), F.col("city").alias("value"),
+        F.lit("city").alias("subcategory"), nuls.alias("format"),
+        "lat", "lon")
+    iso3 = detect_iso3(pages, spark, text_col).select(
+        "url", F.lit("iso3").alias("kind"), F.col("iso3").alias("value"),
+        F.lit("ISO3").alias("subcategory"), nuls.alias("format"),
+        nul.alias("lat"), nul.alias("lon"))
+    dates = detect_dates(pages, text_col).select(
+        "url", F.lit("date").alias("kind"), F.col("raw").alias("value"),
+        F.lit("date").alias("subcategory"), "format",
+        nul.alias("lat"), nul.alias("lon"))
+    return coords.unionByName(cities).unionByName(iso3).unionByName(dates)
+
+
 def detect_coordinates(pages: DataFrame, text_col: str = "text") -> DataFrame:
     """url → exploded (lat, lon) detections, range-validated like the
     latlong validator (both parts in range ⇒ keep)."""

@@ -2,9 +2,11 @@
 
 Two execution shapes, both Spark-first:
 
-* ``*_grouped`` — one result row per group via ``applyInPandas``: the exact
-  reference numpy/scipy routine (incl. Delaunay grid detection,
-  space_resolution.py:29-107) runs per group inside an Arrow batch. This is
+* ``*_grouped`` — one result row per group via ``applyInPandas``: the
+  reference-equivalent numpy routine (grid detection via row/column
+  adjacency replacing scipy's Delaunay, space_resolution.py:29-107 —
+  see detect_latlon_resolution_np) runs per group inside an Arrow batch.
+  This is
   the 100 TB shape: thousands of datasets/columns analyzed in parallel, one
   group each.
 * ``temporal_deltas`` — fully distributed window-lag deltas for one huge

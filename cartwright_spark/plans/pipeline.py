@@ -18,7 +18,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cartwright_spark.functions.geodesy import tile_id_col, tile_x_col, tile_y_col
-from cartwright_spark.operators.detect import detect_coordinates
 from cartwright_spark.operators.extract import extract_pages
 from cartwright_spark.sources.corpus import generate_pages
 from cartwright_spark.sources.iceberg_lite import Catalog
@@ -63,18 +62,20 @@ def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
         pages_snap, build_extract)
     summary["stages"]["extracted"] = {"rows": ext_snap["row_count"], "reused": reused}
 
-    # 3) detect coordinates in extracted text (JVM regex, no UDF)
+    # 3) detect entities in extracted text (JVM regex + broadcast joins)
     def build_detect():
         ext = cat.load_table(spark, "extracted", ext_snap["snapshot_id"])
-        return detect_coordinates(ext, text_col="extracted_text")
+        from cartwright_spark.operators.detect import detect_all
+        return detect_all(ext, spark, text_col="extracted_text")
     det_snap, reused = _stage(
-        cat, "detections", f"detect:v1:parent={ext_snap['snapshot_id']}",
+        cat, "detections", f"detect:v2:parent={ext_snap['snapshot_id']}",
         ext_snap, build_detect)
     summary["stages"]["detections"] = {"rows": det_snap["row_count"], "reused": reused}
 
-    # 4) encode S2 cell + web-mercator tile (Arrow UDF + codegen exprs)
+    # 4) encode S2 cell + web-mercator tile for spatial detections
     def build_cells():
-        det = cat.load_table(spark, "detections", det_snap["snapshot_id"])
+        det = cat.load_table(spark, "detections", det_snap["snapshot_id"]) \
+            .where(F.col("lat").isNotNull())
         return (
             det.withColumn("s2_cell", s2_cell(F.col("lat"), F.col("lon"), s2_level))
             .withColumn("tile_x", tile_x_col(F.col("lon"), zoom))

@@ -70,7 +70,8 @@ def test_extractor_strips_boilerplate():
 def test_pipeline_resume_and_lineage(spark, tmp_path):
     wd = str(tmp_path / "pipe")
     s1 = run_pipeline(spark, wd, n_pages=400)
-    assert s1["stages"]["detections"]["rows"] == 400  # 1 coord per page
+    # ≥1 coord per page plus city/iso3/date entity detections
+    assert s1["stages"]["detections"]["rows"] >= 400
     assert not any(v["reused"] for v in s1["stages"].values())
     s2 = run_pipeline(spark, wd, n_pages=400)
     assert all(v["reused"] for v in s2["stages"].values())
