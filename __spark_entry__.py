@@ -324,6 +324,16 @@ def q_simsearch_topk(spark, sf_dir):
     return brute_force_topk(emb, q, k=5).select("qid", "neighbor_id", "rank")
 
 
+def q_o2_topk(spark, sf_dir):
+    """O2/W3: top-k per group via rank window (orders per priority)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (o.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10)
+            .select("o_orderpriority", "o_orderkey", "rank"))
+
+
 def q_fuzzy_country_join(spark, sf_dir):
     """J1/J2: blocked Levenshtein similarity join — nation names vs the
     country gazetteer (operators/fuzzyjoin.py)."""
@@ -383,6 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_resolution": q_temporal_resolution,
         "spatial_grid_resolution": q_spatial_grid_resolution,
         "fuzzy_country_join": q_fuzzy_country_join,
+        "o2_topk": q_o2_topk,
     }
 
 
@@ -521,6 +532,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT point_id, admin_id
             FROM pts JOIN boxes
               ON lat > la0 AND lat < la1 AND lon > lo0 AND lon < lo1
+        """,
+        "o2_topk": """
+            SELECT o_orderpriority, o_orderkey, rank FROM (
+              SELECT o_orderpriority, o_orderkey,
+                     row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+              FROM orders
+            ) WHERE rank <= 10
         """,
         "fuzzy_country_join": (lambda names: f"""
             WITH gaz(country_name) AS (VALUES {names}),

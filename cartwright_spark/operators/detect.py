@@ -19,10 +19,14 @@ from cartwright_spark.sources import gazetteers as gz
 # "12.345678, -98.7654" — decimal degree pair with ',' separator
 _COORD_RE = r"(-?\d{1,3}\.\d{3,8}),\s*(-?\d{1,3}\.\d{3,8})"
 _ISO3_RE = r"\b([A-Z]{3})\b"
+_MONTHS = ("January|February|March|April|May|June|July|August|September"
+           "|October|November|December")
 _DATE_RES = {
     "%Y-%m-%d": r"\b(\d{4}-\d{2}-\d{2})\b",
     "%m/%d/%Y": r"\b(\d{2}/\d{2}/\d{4})\b",
     "%Y/%m/%d": r"\b(\d{4}/\d{2}/\d{2})\b",
+    "%d %B %Y": rf"\b(\d{{1,2}} (?:{_MONTHS}) \d{{4}})\b",
+    "%B %d, %Y": rf"\b((?:{_MONTHS}) \d{{1,2}}, \d{{4}})\b",
 }
 
 
@@ -122,7 +126,8 @@ def detect_dates(pages: DataFrame, text_col: str = "text") -> DataFrame:
     validity re-checked with to_timestamp (P8 pushdown-friendly subset)."""
     parts = []
     spark_fmt = {"%Y-%m-%d": "yyyy-MM-dd", "%m/%d/%Y": "MM/dd/yyyy",
-                 "%Y/%m/%d": "yyyy/MM/dd"}
+                 "%Y/%m/%d": "yyyy/MM/dd", "%d %B %Y": "d MMMM yyyy",
+                 "%B %d, %Y": "MMMM d, yyyy"}
     for fmt, rex in _DATE_RES.items():
         p = (
             pages.select(
