@@ -109,17 +109,18 @@ def annotate_fuzzy_column(header: str) -> dict | None:
 
 def _melt(df: DataFrame, columns: list[str]) -> DataFrame:
     """columns → (column, value:string) rows; nulls and float-NaNs dropped
-    (reference dropna(), categorize.py:122)."""
-    pieces = []
+    (reference dropna(), categorize.py:122). Built from Column objects (no
+    SQL-string interpolation), so quotes/backticks in names are safe."""
+    dts = dict(df.dtypes)
+    pairs = []
     for c in columns:
-        v = F.col(f"`{c}`")
-        dt = dict(df.dtypes)[c]
-        if dt in ("double", "float"):
+        v = F.col(f"`{c.replace('`', '``')}`")
+        if dts[c] in ("double", "float"):
             v = F.when(F.isnan(v) | v.isNull(), None).otherwise(v)
-        pieces.append(f"'{c}', cast(`{c}` as string)")
-        df = df.withColumn(c, v) if dt in ("double", "float") else df
-    stack_expr = f"stack({len(columns)}, {', '.join(pieces)}) as (column, value)"
-    return df.select(F.expr(stack_expr)).where(F.col("value").isNotNull())
+        pairs.extend([F.lit(c), v.cast("string")])
+    stacked = df.select(
+        F.stack(F.lit(len(columns)), *pairs).alias("column", "value"))
+    return stacked.where(F.col("value").isNotNull())
 
 
 def _partition_topk(k: int):
@@ -202,7 +203,7 @@ def classify_columns(df: DataFrame, n_samples: int = 99, seed: int = 42,
         aggs = []
         dts = dict(df.dtypes)
         for c in candidates:
-            v = F.col(f"`{c}`")
+            v = F.col(f"`{c.replace('`', '``')}`")
             if dts[c] in ("double", "float"):
                 cond = v.isNotNull() & ~F.isnan(v)
             else:

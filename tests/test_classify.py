@@ -138,6 +138,37 @@ def test_fx_example_4(spark, rng):
     assert "value_int" not in got
 
 
+def test_odd_column_names_and_wide_table(spark, rng):
+    n = 60
+    pdf = pd.DataFrame({
+        "name with space": np.round(rng.uniform(-90, 90, n), 6),
+        "quote's col": [
+            (datetime.date(2018, 1, 1) + datetime.timedelta(days=int(d))).strftime("%Y-%m-%d")
+            for d in rng.integers(0, 2000, n)
+        ],
+    })
+    # widen to 30 columns to exercise the melt at classification width
+    for i in range(28):
+        pdf[f"w{i}"] = rng.integers(10**5, 10**7, n)
+    got = categorize(spark.createDataFrame(pdf))
+    assert got["quote's col"]["format"] == "%Y-%m-%d"
+    assert got["name with space"]["subcategory"] == "latitude"
+    assert not any(k.startswith("w") for k in got)
+
+
+def test_timespan_and_epoch_columns(spark, rng):
+    n = 80
+    years = rng.integers(1950, 2030, (n, 2))
+    pdf = pd.DataFrame({
+        "span": [f"{min(a,b)}-{max(a,b)}" for a, b in years],
+        "epoch": [str(int(v)) for v in rng.integers(10**9, 4 * 10**9, n)],
+    })
+    got = categorize(spark.createDataFrame(pdf))
+    assert got["span"] == {"category": "time", "subcategory": "timespan",
+                           "format": "%Y-%Y"}
+    assert got["epoch"]["format"] == "unix_time"
+
+
 def test_all_nan_column_pruned(spark):
     pdf = pd.DataFrame({
         "empty": [np.nan, np.nan, np.nan, np.nan],
