@@ -87,17 +87,26 @@ def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
         det_snap, build_cells)
     summary["stages"]["cells"] = {"rows": cell_snap["row_count"], "reused": reused}
 
-    # 5) tile histogram (partial-agg groupBy; AQE handles hot tiles)
+    # 5) tile histogram — two-stage salted aggregation: the 3 hot urban
+    # boxes concentrate ~20% of rows on 3 tile keys (J9; AQE alone only
+    # splits *join* skew, not groupBy hot keys)
     def build_tiles():
+        from cartwright_spark.spatial.skew import salted_aggregate
         cells = cat.load_table(spark, "cells", cell_snap["snapshot_id"])
-        return (
-            cells.groupBy("tile_id", "tile_x", "tile_y")
-            .agg(F.count("*").alias("n_points"),
-                 F.countDistinct("url").alias("n_pages"),
-                 F.approx_count_distinct("s2_cell").alias("n_cells_approx"))
-        )
+        agg = salted_aggregate(
+            cells, "tile_id",
+            [("n_points", F.count("*"), "sum"),
+             ("lat_min", F.min("lat"), "min"),
+             ("lat_max", F.max("lat"), "max"),
+             ("lon_min", F.min("lon"), "min"),
+             ("lon_max", F.max("lon"), "max")],
+            hot_threshold=max(10_000, n_pages // 50),
+            salt_from="url")
+        # tile_id encodes (zoom, x, y) — recover x/y with bit math
+        return (agg.withColumn("tile_x", F.expr("(tile_id >> 29) & 536870911"))
+                .withColumn("tile_y", F.expr("tile_id & 536870911")))
     tile_snap, reused = _stage(
-        cat, "tile_counts", f"tiles:v1:z={zoom}:parent={cell_snap['snapshot_id']}",
+        cat, "tile_counts", f"tiles:v2:z={zoom}:parent={cell_snap['snapshot_id']}",
         cell_snap, build_tiles)
     summary["stages"]["tile_counts"] = {"rows": tile_snap["row_count"], "reused": reused}
 
