@@ -1,0 +1,53 @@
+"""Raster ↔ vector tile assignment (SURVEY.md §2.3 J8).
+
+Point → tile is pure column math (functions/geodesy.tile_*_col). This
+module adds the vector side: polygons → the set of z/x/y tiles their bbox
+overlaps (driver-side numpy over the broadcast-scale polygon dim), and the
+tile-level join that assigns points to polygon fragments without any
+geometry test in the hot path — the per-tile equi-join IS the spatial
+pre-filter; exact refinement (if needed) is pip.point_in_polygon_join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cartwright_spark.functions.geodesy import tile_id_col, tile_xy_np
+
+
+def tile_id_np(x: np.ndarray, y: np.ndarray, zoom: int) -> np.ndarray:
+    return (np.int64(zoom) << np.int64(58)) | (x.astype(np.int64) << np.int64(29)) | y.astype(np.int64)
+
+
+def polygon_tile_cover(polygons: pd.DataFrame, zoom: int) -> pd.DataFrame:
+    """(admin_id, tile_id, tile_x, tile_y) for every tile whose extent
+    overlaps the polygon bbox. Polygon dims are metadata-scale → driver."""
+    rows = []
+    for r in polygons.itertuples(index=False):
+        la = np.asarray(r.ring_lat, float)
+        lo = np.asarray(r.ring_lon, float)
+        x0, y1 = tile_xy_np(np.array([la.min()]), np.array([lo.min()]), zoom)
+        x1, y0 = tile_xy_np(np.array([la.max()]), np.array([lo.max()]), zoom)
+        for tx in range(int(x0[0]), int(x1[0]) + 1):
+            for ty in range(int(y0[0]), int(y1[0]) + 1):
+                rows.append((r.admin_id, int(tile_id_np(np.array(tx), np.array(ty), zoom)),
+                             tx, ty))
+    return pd.DataFrame(rows, columns=["admin_id", "tile_id", "tile_x", "tile_y"])
+
+
+def assign_points_to_polygons_by_tile(
+        spark: SparkSession, points: DataFrame, polygons: pd.DataFrame,
+        zoom: int = 8, lat_col: str = "lat", lon_col: str = "lon",
+        point_id_col: str = "point_id") -> DataFrame:
+    """(point_id, admin_id, tile_id): tile-granular raster↔vector
+    assignment — broadcast equi-join on tile id (candidate semantics:
+    bbox-tile overlap, no exact geometry here)."""
+    cover = F.broadcast(spark.createDataFrame(polygon_tile_cover(polygons, zoom)))
+    pts = points.select(
+        F.col(point_id_col).alias("point_id"),
+        tile_id_col(F.col(lat_col), F.col(lon_col), zoom).alias("tile_id"))
+    return pts.join(cover, "tile_id", "inner") \
+        .select("point_id", "admin_id", "tile_id")
