@@ -324,6 +324,24 @@ def q_simsearch_topk(spark, sf_dir):
     return brute_force_topk(emb, q, k=5).select("qid", "neighbor_id", "rank")
 
 
+def q_knn_cells(spark, sf_dir):
+    """J7: the real cell-expansion kNN join (spatial/knn.py) — query points
+    from customer keys vs the city gazetteer; rows-only check (haversine +
+    engine cell ids), exactness asserted against the brute-force oracle in
+    tests/test_spatial_joins.py."""
+    from cartwright_spark.spatial.knn import knn_join
+    from cartwright_spark.sources import gazetteers as gz
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 20)
+    q = cust.select(
+        F.col("c_custkey").alias("qid"),
+        ((F.col("c_custkey") * 37 % 140) - 65.0).alias("lat"),
+        ((F.col("c_custkey") * 73 % 361) - 180.0).alias("lon"))
+    cities = gz.cities_pdf().reset_index().rename(columns={"index": "site_id"})
+    sites = spark.createDataFrame(cities)
+    out = knn_join(q, sites, k=3, level=6, r_cover_m=3_000_000.0)
+    return out.select("qid", "site_id", "rank")
+
+
 def q_o2_topk(spark, sf_dir):
     """O2/W3: top-k per group via rank window (orders per priority)."""
     o = _t(spark, sf_dir, "orders")
@@ -394,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_grid_resolution": q_spatial_grid_resolution,
         "fuzzy_country_join": q_fuzzy_country_join,
         "o2_topk": q_o2_topk,
+        "knn_cells": q_knn_cells,
     }
 
 

@@ -43,7 +43,8 @@ def main() -> None:
     qmap = entry_mod.queries()
     for name in ("p4_latitude_valid", "j8_tile_grid", "w1_temporal_deltas",
                  "a7_uniformity", "dedup_exact", "text_token_count",
-                 "text_quality_counts", "knn_grid"):
+                 "text_quality_counts", "knn_grid", "j6_pip_boxes",
+                 "knn_cells", "o2_topk"):
         timed(name, lambda n=name: qmap[n](spark, sf_dir)
               .write.format("noop").mode("overwrite").save())
 
