@@ -275,9 +275,9 @@ def q_cartwright_categorize(spark, sf_dir):
 
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs over documents (rows-only check)."""
-    from cartwright_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures_sql
+    from cartwright_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
     docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures_sql(docs, "text", "doc_id", num_perm=64)
+    sigs = minhash_signatures(docs, "text", "doc_id", num_perm=64)
     return minhash_lsh_pairs(sigs, bands=16, jaccard_threshold=0.8) \
         .select("id_a", "id_b")
 
@@ -540,8 +540,8 @@ def oracle_sql() -> dict[str, str]:
         "j6_pip_boxes": f"""
             WITH boxes(admin_id, la0, la1, lo0, lo1) AS (VALUES
               {', '.join(
-                f"('box{r}', {r*25-60}.005, {r*25-40}.005, "
-                f"{r*50-150}.005, {r*50-110}.005)" for r in range(5))}
+                f"('box{r}', {r*25-60.005!r}, {r*25-40.005!r}, "
+                f"{r*50-150.005!r}, {r*50-110.005!r})" for r in range(5))}
             ),
             pts AS (
               SELECT CAST(l_orderkey AS VARCHAR) || '_' ||

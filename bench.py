@@ -62,9 +62,9 @@ def main() -> None:
 
     # --- minhash LSH near-dup over documents -------------------------------
     def minhash():
-        from cartwright_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures_sql
+        from cartwright_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        sigs = minhash_signatures_sql(docs, "text", "doc_id", num_perm=64)
+        sigs = minhash_signatures(docs, "text", "doc_id", num_perm=64)
         minhash_lsh_pairs(sigs, bands=16, jaccard_threshold=0.7) \
             .write.format("noop").mode("overwrite").save()
     timed("minhash_lsh", minhash)

