@@ -32,10 +32,13 @@ def _stage(catalog: Catalog, table: str, stage_key: str, parent,
         return snap, True
     t0 = time.perf_counter()
     df = build()
-    metrics = {"stage_wall_sec": None}
     snap = catalog.write_table(df, table, stage=table, stage_key=stage_key,
                                parent=parent, metrics=metrics_extra or {})
-    snap["metrics"]["stage_wall_sec"] = time.perf_counter() - t0
+    # wall time is only known after the commit; amend the manifest so the
+    # persisted lineage carries real per-stage latency (north rule)
+    snap = catalog.amend_metrics(
+        table, snap["snapshot_id"],
+        {"stage_wall_sec": time.perf_counter() - t0})
     return snap, False
 
 

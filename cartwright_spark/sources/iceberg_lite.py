@@ -110,6 +110,21 @@ class Catalog:
         os.replace(tmp, final)  # atomic commit point
         return manifest
 
+    def amend_metrics(self, name: str, snapshot_id: int,
+                      metrics: dict) -> dict:
+        """Merge metrics into an already-committed manifest (atomic rewrite).
+        Used for wall-clock figures only known after the commit point —
+        lineage fields are immutable."""
+        final = os.path.join(self._snapdir(name), f"{snapshot_id}.json")
+        with open(final) as f:
+            manifest = json.load(f)
+        manifest["metrics"].update(metrics)
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, final)
+        return manifest
+
     def load_table(self, spark: SparkSession, name: str,
                    snapshot_id: int | None = None) -> DataFrame:
         if snapshot_id is None:
