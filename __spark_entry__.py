@@ -385,6 +385,127 @@ def q_spatial_grid_resolution(spark, sf_dir):
         .select("group", "kind", "uniformity", "unit", "resolution")
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Exact-dedup groups over a corpus that actually contains duplicates
+    (documents unioned with an id-shifted copy) — exercises the md5-group
+    keeper semantics end-to-end (operators/dedup.py)."""
+    from cartwright_spark.operators.dedup import exact_duplicates
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    return exact_duplicates(doubled, "text", "doc_id")
+
+
+def q_lang_detect(spark, sf_dir):
+    """Language-ID argmax over stopword-marker hits (textstats.py
+    detect_language): per doc the language with most distinct marker words,
+    ties to the lexicographically smallest code."""
+    from cartwright_spark.operators.textstats import detect_language
+    docs = _t(spark, sf_dir, "documents")
+    return detect_language(docs).select("doc_id", "lang_detected", "lang_score")
+
+
+def q_embedding_cosine_pairs(spark, sf_dir):
+    """Embedding near-dup (exact variant): all vector pairs with cosine ≥
+    0.35 — ids only (float compare stays engine-side; the threshold sits in
+    a gap of the cosine distribution so both engines agree)."""
+    emb = _t(spark, sf_dir, "embeddings") \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = (F.sqrt(F.aggregate(F.transform(F.col("a.v"), lambda x: x * x),
+                               F.lit(0.0), lambda s, x: s + x))
+            * F.sqrt(F.aggregate(F.transform(F.col("b.v"), lambda x: x * x),
+                                 F.lit(0.0), lambda s, x: s + x)))
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .where((dot / norm) >= 0.35)
+            .select(F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b")))
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """Embedding near-dup, LSH-blocked scale path (dedup.py
+    embedding_near_dups): hyperplane buckets prune the self-join.
+    Rows-only (bucket assignment is engine-defined)."""
+    from cartwright_spark.operators.dedup import embedding_near_dups
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, "vec_id", "embedding",
+                               cosine_threshold=0.30, n_planes=4) \
+        .select("id_a", "id_b")
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    """ANN top-k via hyperplane-LSH buckets + multiprobe (simsearch.py) —
+    the scale path next to the brute-force baseline. Rows-only (approximate
+    by construction)."""
+    from cartwright_spark.operators.simsearch import lsh_bucketed_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return lsh_bucketed_topk(emb, q, k=5).select("qid", "neighbor_id", "rank")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing through mapInPandas: documents' text bytes stand
+    in for media payloads; the (stub-decoded) feature extraction emits
+    sha256 + byte counts — both independently computable by the oracle, so
+    the Arrow batch plumbing is value-checked, not just row-counted."""
+    from cartwright_spark.operators.multimodal import extract_features
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(F.lit("x/fake").alias("mime"),
+                 F.lit(8).cast("int").alias("width"),
+                 F.lit(8).cast("int").alias("height"),
+                 F.lit(1000).cast("int").alias("duration_ms")).alias("meta"))
+    return extract_features(media, fake_decode=True) \
+        .select("media_id", "kind", "payload_sha256", "n_bytes")
+
+
+def q_p8_date_format(spark, sf_dir):
+    """P8: date-format predicate — validate `to_timestamp(v, fmt)` over
+    event-derived strings in two formats (one valid, one not)."""
+    ev = _t(spark, sf_dir, "events")
+    s = F.when(F.col("event_id") % 3 == 0,
+               F.date_format(F.col("ts"), "yyyy-MM-dd")) \
+        .otherwise(F.concat(F.lit("not-a-date-"), F.col("event_id")))
+    return (ev.select("event_id", s.alias("v"))
+            .withColumn("is_valid",
+                        F.try_to_timestamp(F.col("v"), F.lit("yyyy-MM-dd"))
+                        .isNotNull().cast("int")))
+
+
+def q_j4_continent_fuzzy(spark, sf_dir):
+    """J4: continent fuzzy membership — region names vs the continent
+    gazetteer (names + codes, the reference's *intended* semantics) at
+    Levenshtein ratio ≥ 0.85."""
+    from cartwright_spark.sources import gazetteers as gz
+    regions = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    terms = spark.createDataFrame(
+        pd.DataFrame({"term": list(gz.continent_terms())}))
+    ln = F.lower(F.trim(F.col("r_name")))
+    rt = F.lower(F.trim(F.col("term")))
+    ratio = 1.0 - F.levenshtein(ln, rt) / F.greatest(F.length(ln), F.length(rt))
+    return (regions.crossJoin(F.broadcast(terms))
+            .where(ratio >= 0.85)
+            .select("r_regionkey", "r_name", "term",
+                    ratio.alias("ratio")))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (textstats.py): min crc32 over
+    8-word grams + whole-doc xxhash64. Rows-only (hash functions are
+    Spark-specific)."""
+    from cartwright_spark.operators.textstats import fingerprint
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fp_min_gram", "fp_doc")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -413,6 +534,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_country_join": q_fuzzy_country_join,
         "o2_topk": q_o2_topk,
         "knn_cells": q_knn_cells,
+        "dedup_groups": q_dedup_groups,
+        "lang_detect": q_lang_detect,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "multimodal_features": q_multimodal_features,
+        "p8_date_format": q_p8_date_format,
+        "j4_continent_fuzzy": q_j4_continent_fuzzy,
+        "doc_fingerprint": q_doc_fingerprint,
     }
 
 
@@ -602,4 +732,87 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid, site_id, rank FROM scored WHERE rank <= 5
         """,
+        "dedup_groups": """
+            WITH doubled AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            )
+            SELECT md5(text) AS content_hash, count(*) AS n_dups,
+                   min(doc_id) AS keeper_id
+            FROM doubled GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "lang_detect": (lambda markers: f"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       str_split_regex(lower(text), '\\s+'), x -> x <> ''))
+                       AS ws
+              FROM documents
+            ),
+            scored AS (
+              {" UNION ALL ".join(
+                  f"SELECT doc_id, '{lang}' AS lang, "
+                  f"len(list_intersect(ws, [{lst}])) AS hits FROM words"
+                  for lang, lst in markers)}
+            ),
+            ranked AS (
+              SELECT doc_id, lang, hits,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY hits DESC, lang ASC) AS rn
+              FROM scored
+            )
+            SELECT doc_id, lang AS lang_detected,
+                   CAST(hits AS INTEGER) AS lang_score
+            FROM ranked WHERE rn = 1
+        """)([(lang, ", ".join(f"'{m}'" for m in ms))
+              for lang, ms in sorted(__import__(
+                  "cartwright_spark.operators.textstats",
+                  fromlist=["x"])._LANG_MARKERS.items())]),
+        "embedding_cosine_pairs": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) *
+                   sqrt(list_dot_product(b.v, b.v))) >= 0.35
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+                   sha256(text) AS payload_sha256,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+            FROM documents
+        """,
+        "p8_date_format": """
+            WITH v AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 3 = 0
+                          THEN strftime(ts, '%Y-%m-%d')
+                          ELSE 'not-a-date-' || CAST(event_id AS VARCHAR)
+                     END AS v
+              FROM events
+            )
+            SELECT event_id, v,
+                   CASE WHEN try_strptime(v, '%Y-%m-%d') IS NOT NULL
+                        THEN 1 ELSE 0 END AS is_valid
+            FROM v
+        """,
+        "j4_continent_fuzzy": (lambda terms: f"""
+            WITH gaz(term) AS (VALUES {terms}),
+            l AS (SELECT r_regionkey, r_name, lower(trim(r_name)) AS ln
+                  FROM region),
+            r AS (SELECT term, lower(trim(term)) AS rt FROM gaz)
+            SELECT r_regionkey, r_name, term,
+                   1.0 - levenshtein(ln, rt) /
+                         greatest(length(ln), length(rt)) AS ratio
+            FROM l CROSS JOIN r
+            WHERE 1.0 - levenshtein(ln, rt) /
+                        greatest(length(ln), length(rt)) >= 0.85
+        """)(", ".join(
+            "('" + t.replace("'", "''") + "')"
+            for t in __import__("cartwright_spark.sources.gazetteers",
+                                fromlist=["x"]).continent_terms())),
     }
