@@ -409,20 +409,9 @@ def q_embedding_cosine_pairs(spark, sf_dir):
     """Embedding near-dup (exact variant): all vector pairs with cosine ≥
     0.35 — ids only (float compare stays engine-side; the threshold sits in
     a gap of the cosine distribution so both engines agree)."""
-    emb = _t(spark, sf_dir, "embeddings") \
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    a, b = emb.alias("a"), emb.alias("b")
-    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),
-                                 lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    norm = (F.sqrt(F.aggregate(F.transform(F.col("a.v"), lambda x: x * x),
-                               F.lit(0.0), lambda s, x: s + x))
-            * F.sqrt(F.aggregate(F.transform(F.col("b.v"), lambda x: x * x),
-                                 F.lit(0.0), lambda s, x: s + x)))
-    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-            .where((dot / norm) >= 0.35)
-            .select(F.col("a.vec_id").alias("id_a"),
-                    F.col("b.vec_id").alias("id_b")))
+    from cartwright_spark.operators.simsearch import cosine_threshold_pairs
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_threshold_pairs(emb, 0.35)
 
 
 def q_embedding_near_dup_lsh(spark, sf_dir):

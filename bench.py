@@ -44,7 +44,9 @@ def main() -> None:
     for name in ("p4_latitude_valid", "j8_tile_grid", "w1_temporal_deltas",
                  "a7_uniformity", "dedup_exact", "text_token_count",
                  "text_quality_counts", "knn_grid", "j6_pip_boxes",
-                 "knn_cells", "o2_topk"):
+                 "knn_cells", "o2_topk", "lang_detect", "dedup_groups",
+                 "embedding_cosine_pairs", "multimodal_features",
+                 "doc_fingerprint"):
         timed(name, lambda n=name: qmap[n](spark, sf_dir)
               .write.format("noop").mode("overwrite").save())
 

@@ -45,6 +45,48 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .where(F.col("rank") <= k))
 
 
+def cosine_threshold_pairs(emb: DataFrame, threshold: float,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold → (id_a, id_b), id_a < id_b.
+
+    The naive formulation (self-join + F.aggregate dot product) evaluates
+    an interpreted 64-dim fold per candidate pair — measured 45 s for
+    5k vectors at sf0.1. Here the whole vector set is collected once
+    (embedding dims are driver-scale: n×d floats), broadcast as a numpy
+    matrix, and each partition computes a vectorized block×all matmul in
+    mapInPandas — no shuffle, no join, numpy throughout. At corpus scales
+    where the matrix no longer broadcasts, the LSH-blocked
+    `embedding_near_dups` is the scale path."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sc = emb.sparkSession.sparkContext
+    b = sc.broadcast((ids, Vn))
+
+    schema = T.StructType([T.StructField("id_a", T.LongType()),
+                           T.StructField("id_b", T.LongType())])
+
+    def fn(batches):
+        all_ids, all_vn = b.value
+        for pdf in batches:
+            bid = pdf[id_col].to_numpy(np.int64)
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            S = M @ all_vn.T                       # (batch, n)
+            hit = (S >= threshold) & (bid[:, None] < all_ids[None, :])
+            r, c = np.nonzero(hit)
+            yield pd.DataFrame({"id_a": bid[r], "id_b": all_ids[c]})
+
+    return emb.select(id_col, vec_col).mapInPandas(fn, schema)
+
+
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       qid_col: str = "qid", qvec_col: str = "qvec",

@@ -72,23 +72,29 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-marker language ID: per language, count distinct marker words
-    present; argmax wins (deterministic tie-break by language code)."""
+    present; argmax wins (deterministic tie-break by language code).
+
+    Argmax is a greatest() + CASE chain in alphabetical language order —
+    whole-stage codegen. (An earlier array_sort/filter-lambda formulation
+    was interpreted per element and 20× slower at sf0.1.)"""
     words = F.array_distinct(F.filter(F.split(F.lower(F.col(text_col)), "\\s+"),
                                       lambda w: w != ""))
-    scores = []
-    for lang, markers in sorted(_LANG_MARKERS.items()):
-        hits = F.size(F.array_intersect(
-            words, F.array([F.lit(m) for m in markers])))
-        scores.append(F.struct(hits.alias("hits"),
-                               F.lit(lang).alias("lang")))
-    # array_max on struct: max by hits, then lang desc... use sort + last for
-    # deterministic (hits asc, lang desc) → last = max hits, tie → smallest lang
-    arr = F.array(*scores)
-    best = F.array_sort(arr)  # sorts by hits, then lang ascending
-    pick = F.element_at(
-        F.filter(best, lambda s: s["hits"] == F.element_at(best, -1)["hits"]), 1)
-    return df.withColumn("lang_detected", pick["lang"]) \
-             .withColumn("lang_score", pick["hits"])
+    langs = sorted(_LANG_MARKERS.items())
+    out = df.withColumn("__w", words)
+    for lang, markers in langs:
+        out = out.withColumn(
+            f"__h_{lang}",
+            F.size(F.array_intersect(
+                F.col("__w"), F.array([F.lit(m) for m in markers]))))
+    mx = F.greatest(*[F.col(f"__h_{lang}") for lang, _ in langs])
+    pick = None
+    for lang, _ in langs:  # alphabetical ⇒ first hit of max = smallest code
+        cond = F.col(f"__h_{lang}") == mx
+        pick = F.when(cond, F.lit(lang)) if pick is None \
+            else pick.when(cond, F.lit(lang))
+    return (out.withColumn("lang_detected", pick)
+            .withColumn("lang_score", mx)
+            .drop("__w", *[f"__h_{lang}" for lang, _ in langs]))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text",
