@@ -332,12 +332,15 @@ def q_knn_cells(spark, sf_dir):
     from cartwright_spark.spatial.knn import knn_join
     from cartwright_spark.sources import gazetteers as gz
     cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 20)
+    # 20 query rows over 32 input partitions would fan a full Python-worker
+    # pool out per UDF stage; collapse the tiny sides first (at scale the
+    # query side is large and keeps its natural partitioning)
     q = cust.select(
         F.col("c_custkey").alias("qid"),
         ((F.col("c_custkey") * 37 % 140) - 65.0).alias("lat"),
-        ((F.col("c_custkey") * 73 % 361) - 180.0).alias("lon"))
+        ((F.col("c_custkey") * 73 % 361) - 180.0).alias("lon")).coalesce(1)
     cities = gz.cities_pdf().reset_index().rename(columns={"index": "site_id"})
-    sites = spark.createDataFrame(cities)
+    sites = spark.createDataFrame(cities).coalesce(2)
     out = knn_join(q, sites, k=3, level=6, r_cover_m=3_000_000.0)
     return out.select("qid", "site_id", "rank")
 
