@@ -69,6 +69,44 @@ def test_extraction_is_jvm_only(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_city_detection_is_codegen_no_shuffle(spark):
+    # capitalized-gram city detection: whole-stage codegen, zero exchanges
+    # before the broadcast gazetteer join, no interpreted HOF lambdas
+    from cartwright_spark.operators.detect import detect_cities
+    from cartwright_spark.sources.corpus import generate_pages
+    df = detect_cities(generate_pages(spark, 10), spark, text_col="text")
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # only the broadcast exchange; the word explode stays map-side
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_language_id_is_codegen(spark):
+    from cartwright_spark.operators.textstats import detect_language
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _physical(detect_language(docs))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # pure per-row map
+
+
+def test_cosine_pairs_no_join_no_shuffle(spark):
+    from cartwright_spark.operators.simsearch import cosine_threshold_pairs
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _physical(cosine_threshold_pairs(emb, 0.35))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_minhash_signature_stage_is_single_pass(spark):
+    from cartwright_spark.operators.dedup import minhash_signatures
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _physical(minhash_signatures(docs))
+    assert "Exchange" not in plan  # map-only Arrow stage
+    assert plan.count("ArrowEvalPython") == 1
+
+
 def test_classify_sampling_prunes_columns(spark):
     # the melt plan projects only the classified columns before sampling
     from cartwright_spark.operators.classify import sample_columns
