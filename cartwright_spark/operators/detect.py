@@ -38,27 +38,92 @@ def detect_all(pages: DataFrame, spark: SparkSession,
     kind ∈ {coord, city, iso3, date}; lat/lon are null for non-spatial
     detections (dates) and gazetteer-resolved for city mentions — the
     detections table the tiling/join stages consume.
+
+    TWO text scans total: coords + ISO3 + all 5 date formats evaluate their
+    regexes in one pass (tagged struct arrays, one explode), cities in a
+    second (its posexplode word pipeline has a different generate shape).
+    At 100 TB scan count is the detect stage's cost model — the earlier
+    per-detector unions read the text column 8×.
     """
     nul = F.lit(None).cast("double")
     nuls = F.lit(None).cast("string")
-    coords = detect_coordinates(pages, text_col).select(
-        "url", F.lit("coord").alias("kind"),
-        F.concat_ws(", ", F.col("lat"), F.col("lon")).alias("value"),
-        F.lit("latlong").alias("subcategory"), nuls.alias("format"),
-        "lat", "lon")
+
+    combined = _detect_entities_single_scan(pages, spark, text_col)
     cities = detect_cities(pages, spark, text_col).select(
         "url", F.lit("city").alias("kind"), F.col("city").alias("value"),
         F.lit("city").alias("subcategory"), nuls.alias("format"),
         "lat", "lon")
-    iso3 = detect_iso3(pages, spark, text_col).select(
-        "url", F.lit("iso3").alias("kind"), F.col("iso3").alias("value"),
-        F.lit("ISO3").alias("subcategory"), nuls.alias("format"),
-        nul.alias("lat"), nul.alias("lon"))
-    dates = detect_dates(pages, text_col).select(
-        "url", F.lit("date").alias("kind"), F.col("raw").alias("value"),
-        F.lit("date").alias("subcategory"), "format",
-        nul.alias("lat"), nul.alias("lon"))
-    return coords.unionByName(cities).unionByName(iso3).unionByName(dates)
+    return combined.unionByName(cities)
+
+
+def _detect_entities_single_scan(pages: DataFrame, spark: SparkSession,
+                                 text_col: str = "text") -> DataFrame:
+    """coord + iso3 + date detections from ONE pass over the text column.
+
+    Each detector's regex yields a match array; arrays are tagged into a
+    common (kind, value, format) struct (transform runs interpreted but
+    only over actual matches, ~1-3/doc), concatenated, exploded once.
+    Per-kind validation happens post-explode on narrow rows: coord range
+    predicates, broadcast ISO3 membership, format-dispatched
+    try_to_timestamp. Output rows are byte-identical to the per-detector
+    branches (locked by detect parity tests)."""
+    def _tag(kind, fmt=None):
+        f = F.lit(fmt) if fmt else F.lit(None).cast("string")
+        return lambda x: F.struct(F.lit(kind).alias("kind"),
+                                  x.alias("value"), f.alias("format"))
+
+    arrays = [
+        F.transform(F.regexp_extract_all(F.col(text_col), F.lit(_COORD_RE), 0),
+                    _tag("coord")),
+        F.transform(F.regexp_extract_all(F.col(text_col), F.lit(_ISO3_RE), 1),
+                    _tag("iso3")),
+    ] + [
+        F.transform(F.regexp_extract_all(F.col(text_col), F.lit(rex), 1),
+                    _tag("date", fmt))
+        for fmt, rex in _DATE_RES.items()
+    ]
+    hits = (pages.select("url", F.explode(F.concat(*arrays)).alias("h"))
+            .select("url", F.col("h.kind").alias("kind"),
+                    F.col("h.value").alias("value"),
+                    F.col("h.format").alias("format")))
+
+    # per-kind validation on narrow rows
+    lat = F.split("value", ",\\s*").getItem(0).cast("double")
+    lon = F.split("value", ",\\s*").getItem(1).cast("double")
+    spark_fmt = {"%Y-%m-%d": "yyyy-MM-dd", "%m/%d/%Y": "MM/dd/yyyy",
+                 "%Y/%m/%d": "yyyy/MM/dd", "%d %B %Y": "d MMMM yyyy",
+                 "%B %d, %Y": "MMMM d, yyyy"}
+    ts = None
+    for fmt, sf in spark_fmt.items():
+        cand = F.try_to_timestamp(F.col("value"), F.lit(sf))
+        ts = F.when(F.col("format") == fmt, cand) if ts is None \
+            else ts.when(F.col("format") == fmt, cand)
+
+    iso3 = F.broadcast(
+        spark.createDataFrame(gz.countries_pdf()[["iso3"]]))
+    validated = (
+        hits
+        .withColumn("lat", F.when(F.col("kind") == "coord", lat))
+        .withColumn("lon", F.when(F.col("kind") == "coord", lon))
+        .withColumn("__ts_ok", ts.isNotNull())
+        .join(iso3, (F.col("kind") == "iso3") & (F.col("value") == F.col("iso3")),
+              "left")
+        .where(
+            ((F.col("kind") == "coord")
+             & F.col("lat").between(-90, 90) & F.col("lon").between(-180, 180))
+            | ((F.col("kind") == "iso3") & F.col("iso3").isNotNull())
+            | ((F.col("kind") == "date") & F.col("__ts_ok"))
+        )
+    )
+    return validated.select(
+        "url", "kind",
+        F.when(F.col("kind") == "coord",
+               F.concat_ws(", ", F.col("lat"), F.col("lon")))
+        .otherwise(F.col("value")).alias("value"),
+        F.when(F.col("kind") == "coord", F.lit("latlong"))
+        .when(F.col("kind") == "iso3", F.lit("ISO3"))
+        .otherwise(F.lit("date")).alias("subcategory"),
+        "format", "lat", "lon")
 
 
 def detect_coordinates(pages: DataFrame, text_col: str = "text") -> DataFrame:
