@@ -489,6 +489,23 @@ def q_j4_continent_fuzzy(spark, sf_dir):
                     ratio.alias("ratio")))
 
 
+def q_knn_hex(spark, sf_dir):
+    """J7 (H3 variant): kNN via hex k-ring expansion (spatial/knn.py
+    knn_join_h3) — rows-only (hex cell ids are engine-defined; exactness
+    asserted vs the brute-force oracle in tests/test_spatial_joins.py)."""
+    from cartwright_spark.spatial.knn import knn_join_h3
+    from cartwright_spark.sources import gazetteers as gz
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 16)
+    q = cust.select(
+        F.col("c_custkey").alias("qid"),
+        ((F.col("c_custkey") * 41 % 120) - 55.0).alias("lat"),
+        ((F.col("c_custkey") * 67 % 340) - 170.0).alias("lon")).coalesce(1)
+    cities = gz.cities_pdf().reset_index().rename(columns={"index": "site_id"})
+    sites = spark.createDataFrame(cities).coalesce(2)
+    return knn_join_h3(q, sites, k=3, res=2, ring_k=2) \
+        .select("qid", "site_id", "rank")
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint (textstats.py): min crc32 over
     8-word grams + whole-doc xxhash64. Rows-only (hash functions are
@@ -535,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p8_date_format": q_p8_date_format,
         "j4_continent_fuzzy": q_j4_continent_fuzzy,
         "doc_fingerprint": q_doc_fingerprint,
+        "knn_hex": q_knn_hex,
     }
 
 

@@ -112,15 +112,87 @@ def knn_join(queries: DataFrame, sites: DataFrame, k: int = 5,
     # 3-4× the single-pass cost. Persist the (tiny: ≤ k rows/query) top-k.
     topk = topk.persist()
 
-    # exactness audit: a query is resolved iff it has k hits all ≤ r_cover
+    # exactness audit: a query is resolved iff it has k hits all ≤ r_cover.
+    # NB: audit only sees qids WITH candidates — a query whose disc found
+    # no sites at all is absent from `audit`, so the unresolved set must be
+    # derived by anti-joining the RESOLVED ids against the full query set
+    # (an earlier formulation silently dropped zero-candidate queries).
     audit = topk.groupBy("qid").agg(
         F.count("*").alias("n_found"), F.max("dist_m").alias("kth"))
-    unresolved = audit.where(
-        (F.col("n_found") < k) | (F.col("kth") > r_cover_m)).select("qid")
-    resolved = topk.join(unresolved, "qid", "left_anti")
+    resolved_ids = audit.where(
+        (F.col("n_found") >= k) & (F.col("kth") <= r_cover_m)).select("qid")
+    resolved = topk.join(resolved_ids, "qid", "left_semi")
 
     # brute-force pass only for unresolved queries (small by construction)
-    qq = q.join(unresolved, "qid", "left_semi")
+    qq = q.join(resolved_ids, "qid", "left_anti")
+    brute = qq.crossJoin(s.drop("cell")).select(
+        "qid", "site_id",
+        haversine_col(F.col("qlat"), F.col("qlon"),
+                      F.col("slat"), F.col("slon")).alias("dist_m"))
+    bw = Window.partitionBy("qid").orderBy(F.asc("dist_m"), F.asc("site_id"))
+    brute_k = (brute.withColumn("rank", F.row_number().over(bw))
+               .where(F.col("rank") <= k))
+    return resolved.select("qid", "site_id", "rank", "dist_m").unionByName(
+        brute_k.select("qid", "site_id", "rank", "dist_m"))
+
+
+def knn_join_h3(queries: DataFrame, sites: DataFrame, k: int = 5,
+                res: int = 3, ring_k: int = 2,
+                qid_col: str = "qid", sid_col: str = "site_id",
+                exact_fallback: bool = True) -> DataFrame:
+    """kNN join via H3-style hex k-ring expansion (SURVEY.md §2.3 J7, the
+    north star's named strategy): sites indexed once by hex cell at `res`;
+    each query explodes into its geometric k-ring (face-boundary-safe),
+    equi-join on cell, per-query top-k window over haversine distance.
+
+    Exactness guarantee mirrors knn_join: rank-k answers are exact iff the
+    k-th distance ≤ the ring cover radius (ring_k · √3 · edge); queries
+    failing the audit fall back to a brute-force pass."""
+    from pyspark.sql.functions import pandas_udf
+
+    from cartwright_spark.spatial import h3
+
+    r_cover_m = ring_k * np.sqrt(3.0) * h3.edge_length_radians(res) \
+        * EARTH_RADIUS_M
+
+    @pandas_udf("array<long>")
+    def ring(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        cid = h3.latlng_to_cell(lat.to_numpy(np.float64),
+                                lon.to_numpy(np.float64), res)
+        return pd.Series([c.tolist() for c in h3.k_ring_geo(cid, ring_k)])
+
+    @pandas_udf("long")
+    def hexcell(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(h3.latlng_to_cell(
+            lat.to_numpy(np.float64), lon.to_numpy(np.float64), res))
+
+    s = sites.select(F.col(sid_col).alias("site_id"),
+                     F.col("lat").alias("slat"), F.col("lon").alias("slon"))
+    s = s.withColumn("cell", hexcell(F.col("slat"), F.col("slon")))
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       F.col("lat").alias("qlat"), F.col("lon").alias("qlon"))
+    qc = q.withColumn("cell", F.explode(ring(F.col("qlat"), F.col("qlon"))))
+
+    dist = haversine_col(F.col("qlat"), F.col("qlon"),
+                         F.col("slat"), F.col("slon"))
+    cand = (qc.join(s, "cell", "inner")
+            .select("qid", "qlat", "qlon", "site_id", dist.alias("dist_m"))
+            .dropDuplicates(["qid", "site_id"]))
+    w = Window.partitionBy("qid").orderBy(F.asc("dist_m"), F.asc("site_id"))
+    topk = (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+    if not exact_fallback:
+        return topk.select("qid", "site_id", "rank", "dist_m")
+
+    topk = topk.persist()
+    # resolved-ids anti-join (NOT unresolved semi-join): zero-candidate
+    # queries are absent from the audit and must still reach the fallback
+    audit = topk.groupBy("qid").agg(
+        F.count("*").alias("n_found"), F.max("dist_m").alias("kth"))
+    resolved_ids = audit.where(
+        (F.col("n_found") >= k) & (F.col("kth") <= r_cover_m)).select("qid")
+    resolved = topk.join(resolved_ids, "qid", "left_semi")
+    qq = q.join(resolved_ids, "qid", "left_anti")
     brute = qq.crossJoin(s.drop("cell")).select(
         "qid", "site_id",
         haversine_col(F.col("qlat"), F.col("qlon"),

@@ -5,7 +5,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from cartwright_spark.spatial.knn import brute_force_knn, knn_join
+from cartwright_spark.spatial.knn import brute_force_knn, knn_join, knn_join_h3
 from cartwright_spark.spatial.pip import (
     brute_force_pip,
     point_in_polygon_join,
@@ -100,6 +100,48 @@ def test_knn_join_matches_bruteforce(spark):
     got_set = {(r["qid"], r["site_id"], r["rank"]) for r in got.collect()}
     want = brute_force_knn(queries, sites, k=5)
     assert got_set == want
+
+
+def test_knn_h3_matches_bruteforce(spark):
+    """The H3 k-ring expansion variant is exact vs the haversine oracle."""
+    rng = np.random.default_rng(29)
+    sites = pd.DataFrame({
+        "site_id": np.arange(300, dtype=np.int64),
+        "lat": rng.uniform(-60, 70, 300),
+        "lon": rng.uniform(-180, 180, 300),
+    })
+    queries = pd.DataFrame({
+        "qid": np.arange(30, dtype=np.int64),
+        "lat": rng.uniform(-55, 65, 30),
+        "lon": rng.uniform(-170, 170, 30),
+    })
+    got = knn_join_h3(spark.createDataFrame(queries),
+                      spark.createDataFrame(sites), k=5, res=3, ring_k=2)
+    got_set = {(r["qid"], r["site_id"], r["rank"]) for r in got.collect()}
+    want = brute_force_knn(queries, sites, k=5)
+    assert got_set == want
+
+
+def test_knn_zero_candidate_queries_still_answered(spark):
+    """Regression: a query whose disc/ring contains NO sites must still get
+    k answers via the brute-force fallback (it is absent from the audit
+    aggregation, which once silently dropped it)."""
+    sites = pd.DataFrame({
+        "site_id": np.arange(5, dtype=np.int64),
+        "lat": [40.0, 41.0, 42.0, 43.0, 44.0],
+        "lon": [-74.0, -73.0, -72.0, -71.0, -70.0],
+    })
+    queries = pd.DataFrame({  # mid-Pacific: no sites within any small cover
+        "qid": np.array([0, 1], dtype=np.int64),
+        "lat": [-40.0, -45.0],
+        "lon": [-150.0, -140.0],
+    })
+    for fn, kw in ((knn_join, {"level": 8, "r_cover_m": 100_000.0}),
+                   (knn_join_h3, {"res": 5, "ring_k": 1})):
+        got = fn(spark.createDataFrame(queries),
+                 spark.createDataFrame(sites), k=2, **kw)
+        got_set = {(r["qid"], r["site_id"], r["rank"]) for r in got.collect()}
+        assert got_set == brute_force_knn(queries, sites, k=2)
 
 
 def test_knn_dense_sites_no_fallback(spark):
