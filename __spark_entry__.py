@@ -356,15 +356,25 @@ def q_o2_topk(spark, sf_dir):
 
 
 def q_fuzzy_country_join(spark, sf_dir):
-    """J1/J2: blocked Levenshtein similarity join — nation names vs the
-    country gazetteer (operators/fuzzyjoin.py)."""
+    """J1/J2: blocked Levenshtein similarity join — typo'd country names
+    (real gazetteer name keyed off n_nationkey, last character dropped) vs
+    the country gazetteer (operators/fuzzyjoin.py). The typo construction
+    is pure string arithmetic so the oracle reproduces it exactly, and
+    every probe is guaranteed ≥0.75 similar to its source row — the join
+    actually exercises the blocking + refine path (nation names in the
+    testdata are synthetic NATION_k strings that match nothing)."""
     from cartwright_spark.operators.fuzzyjoin import fuzzy_join
     from cartwright_spark.sources import gazetteers as gz
-    nations = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    names = sorted(gz.countries_pdf()["country_name"])
+    nations = _t(spark, sf_dir, "nation").select("n_nationkey")
+    base = F.element_at(F.array(*[F.lit(n) for n in names]),
+                        (F.col("n_nationkey") % len(names) + 1).cast("int"))
+    probes = nations.withColumn(
+        "probe", base.substr(F.lit(1), F.length(base) - 1))
     countries = spark.createDataFrame(gz.countries_pdf()[["country_name"]])
-    out = fuzzy_join(nations, "n_name", countries, "country_name",
-                     threshold=0.75)
-    return out.select("n_nationkey", "n_name", "country_name", "similarity")
+    out = fuzzy_join(probes.select("n_nationkey", "probe"), "probe",
+                     countries, "country_name", threshold=0.75)
+    return out.select("n_nationkey", "probe", "country_name", "similarity")
 
 
 def q_temporal_resolution(spark, sf_dir):
@@ -701,13 +711,20 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             ) WHERE rank <= 10
         """,
-        "fuzzy_country_join": (lambda names: f"""
-            WITH gaz(country_name) AS (VALUES {names}),
-            l AS (SELECT n_nationkey, n_name, lower(trim(n_name)) AS ln
-                  FROM nation),
+        "fuzzy_country_join": (lambda names_sorted, names_all: f"""
+            WITH idx(i, nm) AS (VALUES {names_sorted}),
+            gaz(country_name) AS (VALUES {names_all}),
+            probes AS (
+              SELECT n_nationkey,
+                     substr(nm, 1, length(nm) - 1) AS probe
+              FROM nation JOIN idx
+                ON idx.i = (n_nationkey % (SELECT count(*) FROM idx))
+            ),
+            l AS (SELECT n_nationkey, probe, lower(trim(probe)) AS ln
+                  FROM probes),
             r AS (SELECT country_name, lower(trim(country_name)) AS rn
                   FROM gaz)
-            SELECT n_nationkey, n_name, country_name,
+            SELECT n_nationkey, probe, country_name,
                    1.0 - levenshtein(ln, rn) /
                          greatest(length(ln), length(rn)) AS similarity
             FROM l JOIN r
@@ -715,10 +732,16 @@ def oracle_sql() -> dict[str, str]:
              AND abs(length(ln) - length(rn)) <= 3
             WHERE 1.0 - levenshtein(ln, rn) /
                         greatest(length(ln), length(rn)) >= 0.75
-        """)(", ".join(
-            "('" + str(n).replace("'", "''") + "')"
-            for n in __import__("cartwright_spark.sources.gazetteers",
-                                fromlist=["x"]).countries_pdf()["country_name"])),
+        """)(
+            ", ".join(
+                f"({i}, '" + n.replace("'", "''") + "')"
+                for i, n in enumerate(sorted(__import__(
+                    "cartwright_spark.sources.gazetteers",
+                    fromlist=["x"]).countries_pdf()["country_name"]))),
+            ", ".join(
+                "('" + str(n).replace("'", "''") + "')"
+                for n in __import__("cartwright_spark.sources.gazetteers",
+                                    fromlist=["x"]).countries_pdf()["country_name"])),
         "knn_grid": """
             WITH q AS (
               SELECT c_custkey AS qid,
