@@ -167,9 +167,11 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
     if not cell_col:
         from cartwright_spark.spatial.udfs import s2_cell
         pts = pts.withColumn("cell", s2_cell(F.col("lat"), F.col("lon"), level))
-    cand_all = pts.join(cov_df, "cell", "inner")
-    accepted = cand_all.where(F.col("interior")).select("point_id", "admin_id")
-    cand = cand_all.where(~F.col("interior")).drop("interior")
+    # single-branch plan: the interior flag rides the candidate rows and
+    # becomes part of the refine predicate. Splitting into an accepted
+    # branch + a refined branch and unioning would evaluate the point
+    # scan + encode + join once per branch — measured 2× the whole query.
+    cand = pts.join(cov_df, "cell", "inner")
 
     if refine == "vector":
         # 3c) narrow-column vectorized refine: rings indexed by int id live
@@ -183,21 +185,25 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
         from pyspark.sql.functions import pandas_udf
 
         @pandas_udf("boolean")
-        def inside(aidx: pd.Series, la: pd.Series, lo: pd.Series) -> pd.Series:
-            out = np.zeros(len(aidx), dtype=bool)
+        def inside(aidx: pd.Series, la: pd.Series, lo: pd.Series,
+                   interior: pd.Series) -> pd.Series:
+            # interior-cell candidates are provably contained — accepted
+            # without ray casting; only boundary-cell rows pay the kernel
+            out = interior.to_numpy(bool).copy()
+            todo = ~out
             ai = aidx.to_numpy()
             lav = la.to_numpy(np.float64)
             lov = lo.to_numpy(np.float64)
-            for i in np.unique(ai):
-                m = ai == i
+            for i in np.unique(ai[todo]):
+                m = todo & (ai == i)
                 rl, rlon = ring_list[i]
                 out[m] = ray_cast_contains(rl, rlon, lav[m], lov[m])
             return pd.Series(out)
 
         return (cand.join(idx_df, "admin_id")
-                .where(inside(F.col("__aidx"), F.col("lat"), F.col("lon")))
-                .select("point_id", "admin_id")
-                .unionByName(accepted))
+                .where(inside(F.col("__aidx"), F.col("lat"), F.col("lon"),
+                              F.col("interior")))
+                .select("point_id", "admin_id"))
 
     if refine == "expr":
         # 3a) ring arrays ride the broadcast join; refine is an expression
@@ -207,9 +213,9 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
         rings_df = F.broadcast(spark.createDataFrame(
             ring_rows, "admin_id string, ring array<struct<lat:double,lon:double>>"))
         return (cand.join(rings_df, "admin_id")
-                .where(_inside_expr(F.col("lat"), F.col("lon")))
-                .select("point_id", "admin_id")
-                .unionByName(accepted))
+                .where(F.col("interior")
+                       | _inside_expr(F.col("lat"), F.col("lon")))
+                .select("point_id", "admin_id"))
 
     # 3b) pandas refine (cross-check path)
     rings_b = spark.sparkContext.broadcast(rings)
@@ -217,11 +223,16 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
     def refine_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         admin = pdf["admin_id"].iloc[0]
         rl, rlon = rings_b.value[admin]
-        ok = ray_cast_contains(rl, rlon, pdf["lat"].to_numpy(), pdf["lon"].to_numpy())
+        ok = pdf["interior"].to_numpy(bool).copy()
+        todo = ~ok
+        if todo.any():
+            ok[todo] = ray_cast_contains(
+                rl, rlon, pdf.loc[todo, "lat"].to_numpy(),
+                pdf.loc[todo, "lon"].to_numpy())
         return pdf.loc[ok, ["point_id", "admin_id"]]
 
     return cand.groupBy("admin_id").applyInPandas(
-        refine_fn, "point_id string, admin_id string").unionByName(accepted)
+        refine_fn, "point_id string, admin_id string")
 
 
 def brute_force_pip(points: pd.DataFrame, polygons: pd.DataFrame,
