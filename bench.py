@@ -53,9 +53,9 @@ def main() -> None:
     # --- s2 + mercator-tile rollup (flagship shape at bench scale) ---------
     def s2_rollup():
         from cartwright_spark.functions.geodesy import tile_id_col
-        from cartwright_spark.spatial.udfs import s2_cell
+        from cartwright_spark.spatial.udfs import with_s2_cell
         pts = entry_mod._coords(spark, sf_dir)
-        (pts.withColumn("s2_cell", s2_cell(F.col("lat"), F.col("lon"), 10))
+        (with_s2_cell(pts, "lat", "lon", 10, "s2_cell")
          .withColumn("tile_id", tile_id_col(F.col("lat"), F.col("lon"), 8))
          .groupBy("tile_id").agg(F.count("*").alias("n"),
                                  F.approx_count_distinct("s2_cell").alias("c"))

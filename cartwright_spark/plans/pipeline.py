@@ -75,12 +75,15 @@ def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
         ext_snap, build_detect)
     summary["stages"]["detections"] = {"rows": det_snap["row_count"], "reused": reused}
 
-    # 4) encode S2 cell + web-mercator tile for spatial detections
+    # 4) encode S2 cell + web-mercator tile for spatial detections — the
+    # all-JVM staged encode keeps scan→encode→write one codegen stage
+    # (no Python workers in the whole pipeline)
     def build_cells():
+        from cartwright_spark.spatial.udfs import with_s2_cell
         det = cat.load_table(spark, "detections", det_snap["snapshot_id"]) \
             .where(F.col("lat").isNotNull())
         return (
-            det.withColumn("s2_cell", s2_cell(F.col("lat"), F.col("lon"), s2_level))
+            with_s2_cell(det, "lat", "lon", s2_level, "s2_cell")
             .withColumn("tile_x", tile_x_col(F.col("lon"), zoom))
             .withColumn("tile_y", tile_y_col(F.col("lat"), zoom))
             .withColumn("tile_id", tile_id_col(F.col("lat"), F.col("lon"), zoom))

@@ -165,8 +165,8 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
         *([F.col(cell_col).alias("cell")] if cell_col else []),
     )
     if not cell_col:
-        from cartwright_spark.spatial.udfs import s2_cell
-        pts = pts.withColumn("cell", s2_cell(F.col("lat"), F.col("lon"), level))
+        from cartwright_spark.spatial.udfs import with_s2_cell
+        pts = with_s2_cell(pts, "lat", "lon", level, "cell")
     # single-branch plan: the interior flag rides the candidate rows and
     # becomes part of the refine predicate. Splitting into an accepted
     # branch + a refined branch and unioning would evaluate the point

@@ -66,3 +66,35 @@ def test_tile_xy_golden():
     assert (x[0], y[0]) == (0, 0)
     x, y = tile_xy_np(np.array([40.7128]), np.array([-74.0060]), 10)
     assert (x[0], y[0]) == (301, 385)  # NYC z10 tile
+
+
+def test_jvm_expression_encode_matches_numpy(spark):
+    """with_s2_cell (all-JVM staged expressions, incl. the step-skipping
+    optimization for coarse levels) is bit-identical to the numpy encoder
+    at every level, including poles/antimeridian edges."""
+    import pandas as pd
+
+    from cartwright_spark.spatial.udfs import with_s2_cell
+    rng = np.random.default_rng(11)
+    lat = np.concatenate([rng.uniform(-90, 90, 3000),
+                          [0.0, 90.0, -90.0, 89.9999, -89.9999, 0.0]])
+    lon = np.concatenate([rng.uniform(-180, 180, 3000),
+                          [0.0, 180.0, -180.0, 179.9999, -179.9999, -0.0]])
+    df = spark.createDataFrame(pd.DataFrame({"lat": lat, "lon": lon})) \
+        .coalesce(4)
+    for level in (0, 1, 7, 10, 16, 26, 27, 30):
+        got = np.array([r["c"] for r in
+                        with_s2_cell(df, "lat", "lon", level, "c")
+                        .select("c").collect()])
+        want = s2.latlng_to_cell(lat, lon, level).astype(np.int64)
+        assert (got == want).all(), f"level {level}"
+
+
+def test_jvm_expression_encode_plan_is_codegen(spark):
+    import pandas as pd
+
+    from cartwright_spark.spatial.udfs import with_s2_cell
+    df = spark.createDataFrame(pd.DataFrame({"lat": [1.0], "lon": [2.0]}))
+    d = with_s2_cell(df, "lat", "lon", 10, "c").select("c")
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
