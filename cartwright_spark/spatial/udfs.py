@@ -34,7 +34,14 @@ def with_s2_cell(df, lat_col: str, lon_col: str, level: int,
     pure-Column form duplicates the i/j/face subtrees into every walk
     step and balloons to ~150k nodes (measured ~16 s of analysis per
     query). This is the hot-path form: whole-stage codegen end to end,
-    zero Python workers, ~sub-second analysis."""
+    zero Python workers, ~sub-second analysis.
+
+    Measured trade-off vs the numpy pandas UDF (3M rows, local[1..32]):
+    the UDF's vectorized trig is ~1 µs/row faster in steady state, but
+    costs Python-worker pools (cold start, memory) and an Arrow boundary
+    that splits codegen. Rule used in this engine: bulk re-encode jobs
+    over millions of rows with warm workers use `s2_cell`; latency-
+    sensitive or fused paths (pipeline stages, PIP, rollups) use this."""
     from pyspark.sql import functions as F
 
     lat, lon = F.col(lat_col), F.col(lon_col)
