@@ -39,6 +39,20 @@ def main() -> None:
         fn()
         queries[name] = round(time.perf_counter() - t0, 3)
 
+    # warm the JVM, parquet footer cache, and the Python-worker pool once,
+    # so the first timed query isn't billed the session cold start
+    F.broadcast  # (import check)
+    spark.range(1000).select(F.sum("id")).collect()
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def __warm(x):
+        return x
+
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select(__warm(F.col("l_quantity")).alias("q")) \
+        .agg(F.sum("q")).collect()
+
     # --- contract queries over the testdata tables -------------------------
     qmap = entry_mod.queries()
     for name in ("p4_latitude_valid", "j8_tile_grid", "w1_temporal_deltas",
