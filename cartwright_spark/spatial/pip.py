@@ -158,12 +158,33 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
     cov_df = F.broadcast(spark.createDataFrame(
         pd.DataFrame(cov_rows, columns=["admin_id", "cell", "interior"])))
 
-    # 2) encode points once; equi-join on cell (hash join vs broadcast dim)
+    # 2) bbox pre-filter BEFORE the encode: a point can only join a
+    # covering cell if it lies within the polygon's padded bbox plus one
+    # cell of slack — a plain range predicate that Catalyst pushes into
+    # the parquet scan, so the S2 encode only runs on plausible rows.
+    # (With very many polygons the OR chain would bloat the plan; fall
+    # back to the global bbox then.)
     pts = points.select(
         F.col(point_id_col).alias("point_id"),
         F.col(lat_col).alias("lat"), F.col(lon_col).alias("lon"),
         *([F.col(cell_col).alias("cell")] if cell_col else []),
     )
+    edge_deg = float(np.rad2deg(s2.avg_edge_radians(level)))
+    padf = 3.0 * edge_deg  # covering pad (1.5 edge) + cell slack, rounded up
+    boxes = [(np.min(rl), np.max(rl), np.min(rlo), np.max(rlo))
+             for rl, rlo in rings.values()]
+    if len(boxes) <= 32:
+        pre = None
+        for la0, la1, lo0, lo1 in boxes:
+            p = (F.col("lat").between(float(la0) - padf, float(la1) + padf)
+                 & F.col("lon").between(float(lo0) - padf, float(lo1) + padf))
+            pre = p if pre is None else (pre | p)
+    else:
+        la0 = min(b[0] for b in boxes); la1 = max(b[1] for b in boxes)
+        lo0 = min(b[2] for b in boxes); lo1 = max(b[3] for b in boxes)
+        pre = (F.col("lat").between(la0 - padf, la1 + padf)
+               & F.col("lon").between(lo0 - padf, lo1 + padf))
+    pts = pts.where(pre)
     if not cell_col:
         from cartwright_spark.spatial.udfs import with_s2_cell
         pts = with_s2_cell(pts, "lat", "lon", level, "cell")
