@@ -516,6 +516,17 @@ def q_knn_hex(spark, sf_dir):
         .select("qid", "site_id", "rank")
 
 
+def q_p10_latlon_dedup(spark, sf_dir):
+    """P10: lat/lon resolution pre-step — distinct coordinate pairs, nulls
+    dropped, degree→radian conversion (space_resolution.py:9-26 semantics
+    as dropDuplicates + na.drop + radians)."""
+    pts = _coords(spark, sf_dir).select("lat", "lon") \
+        .dropDuplicates(["lat", "lon"]).na.drop()
+    return pts.select(
+        "lat", "lon",
+        F.radians("lat").alias("lat_rad"), F.radians("lon").alias("lon_rad"))
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint (textstats.py): min crc32 over
     8-word grams + whole-doc xxhash64. Rows-only (hash functions are
@@ -563,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_continent_fuzzy": q_j4_continent_fuzzy,
         "doc_fingerprint": q_doc_fingerprint,
         "knn_hex": q_knn_hex,
+        "p10_latlon_dedup": q_p10_latlon_dedup,
     }
 
 
@@ -764,6 +776,12 @@ def oracle_sql() -> dict[str, str]:
               FROM sites s CROSS JOIN q
             )
             SELECT qid, site_id, rank FROM scored WHERE rank <= 5
+        """,
+        "p10_latlon_dedup": f"""
+            SELECT lat, lon,
+                   radians(lat) AS lat_rad, radians(lon) AS lon_rad
+            FROM (SELECT DISTINCT lat, lon FROM ({_COORDS_SQL})
+                  WHERE lat IS NOT NULL AND lon IS NOT NULL)
         """,
         "dedup_groups": """
             WITH doubled AS (
