@@ -95,3 +95,38 @@ def test_hot_tiles_present(spark, tmp_path):
     top = tiles.orderBy(F.desc("n_points")).limit(3).collect()
     # 20% of coords land in 3 hot boxes → 3 dominant tiles of ~33 each
     assert sum(r["n_points"] for r in top) >= 0.15 * 500
+
+
+def test_resume_ignores_torn_commit(spark, tmp_path):
+    """Crash-resume semantics: data files without a committed manifest (or
+    with a half-written manifest) must NOT count as a completed stage —
+    the stage re-runs and commits atomically on the next attempt."""
+    import json
+    import os
+
+    from cartwright_spark.plans.pipeline import run_pipeline
+    from cartwright_spark.sources.iceberg_lite import Catalog
+
+    wd = str(tmp_path / "pipe")
+    s1 = run_pipeline(spark, wd, n_pages=300, s2_level=8, zoom=6)
+    assert not s1["stages"]["detections"]["reused"]
+
+    # simulate a crash mid-commit of the detections stage: keep the data
+    # dir, replace the manifest with a torn (truncated) JSON
+    snapdir = os.path.join(wd, "detections", "_snapshots")
+    fn = sorted(os.listdir(snapdir))[0]
+    with open(os.path.join(snapdir, fn)) as f:
+        full = f.read()
+    with open(os.path.join(snapdir, fn), "w") as f:
+        f.write(full[: len(full) // 2])
+
+    cat = Catalog(wd)
+    assert cat.find_snapshot("detections", json.loads(full)["stage_key"]) is None
+
+    s2 = run_pipeline(spark, wd, n_pages=300, s2_level=8, zoom=6)
+    # upstream stages reused, detections re-ran, downstream consistent
+    assert s2["stages"]["pages"]["reused"]
+    assert s2["stages"]["extracted"]["reused"]
+    assert not s2["stages"]["detections"]["reused"]
+    assert s2["stages"]["detections"]["rows"] == s1["stages"]["detections"]["rows"]
+    assert s2["stages"]["tile_counts"]["rows"] == s1["stages"]["tile_counts"]["rows"]
