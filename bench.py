@@ -34,10 +34,16 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        fn()
-        queries[name] = round(time.perf_counter() - t0, 3)
+    def timed(name, fn, repeats: int = 2):
+        """min-of-N: this box shares its host and external load only ever
+        slows a run down, so the min is the clean per-query signal."""
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
 
     # warm the JVM, parquet footer cache, and the Python-worker pool once,
     # so the first timed query isn't billed the session cold start
