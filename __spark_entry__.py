@@ -516,6 +516,47 @@ def q_knn_hex(spark, sf_dir):
         .select("qid", "site_id", "rank")
 
 
+def q_incremental_microbatch(spark, sf_dir):
+    """§2.9 streaming surface: file-granular incremental micro-batches
+    (streaming/incremental.py). Two appends to a source table are consumed
+    by two increments; the result is the per-batch aggregate union — a
+    third run is a no-op. Deterministic (fixed temp dir derived from
+    sf_dir, rebuilt per call); rows-only check."""
+    import shutil
+    import tempfile
+
+    from cartwright_spark.sources.iceberg_lite import Catalog
+    from cartwright_spark.streaming.incremental import incremental_stage
+    wd = f"{tempfile.gettempdir()}/cw_entry_incr_{abs(hash(sf_dir)) % 99991}"
+    shutil.rmtree(wd, ignore_errors=True)
+    cat = Catalog(wd)
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    batches = [ev.where(F.col("event_id") % 2 == 0),
+               ev.where(F.col("event_id") % 2 == 1)]
+
+    def agg(df):
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"))
+
+    for b in batches:
+        cat.write_table(b.repartition(4), "events_src", stage="src")
+        snap = incremental_stage(spark, cat, "events_src", "user_rollup", agg)
+        assert snap is not None
+    assert incremental_stage(spark, cat, "events_src", "user_rollup", agg) \
+        is None  # no new files ⇒ no-op
+    # appended increments union to the full rollup (exact-sum rounding so
+    # the float hash is stable against summation order)
+    parts = [cat.load_table(spark, "user_rollup", s["snapshot_id"])
+             for s in cat.snapshots("user_rollup")]
+    full = parts[0]
+    for p in parts[1:]:
+        full = full.unionByName(p)
+    return full.groupBy("user_id").agg(
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("sum_value"), 4).alias("sum_value"))
+
+
 def q_p10_latlon_dedup(spark, sf_dir):
     """P10: lat/lon resolution pre-step — distinct coordinate pairs, nulls
     dropped, degree→radian conversion (space_resolution.py:9-26 semantics
@@ -575,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "knn_hex": q_knn_hex,
         "p10_latlon_dedup": q_p10_latlon_dedup,
+        "incremental_microbatch": q_incremental_microbatch,
     }
 
 
@@ -776,6 +818,11 @@ def oracle_sql() -> dict[str, str]:
               FROM sites s CROSS JOIN q
             )
             SELECT qid, site_id, rank FROM scored WHERE rank <= 5
+        """,
+        "incremental_microbatch": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY user_id
         """,
         "p10_latlon_dedup": f"""
             SELECT lat, lon,
