@@ -557,6 +557,25 @@ def q_incremental_microbatch(spark, sf_dir):
         F.round(F.sum("sum_value"), 4).alias("sum_value"))
 
 
+def q_multimodal_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan (multimodal.py frame_sample_plan): one
+    (media_id, frame_ts_ms) row per sample instant — pure sequence/explode
+    expressions over typed media metadata."""
+    from cartwright_spark.operators.multimodal import frame_sample_plan
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(F.lit("x/fake").alias("mime"),
+                 F.lit(8).cast("int").alias("width"),
+                 F.lit(8).cast("int").alias("height"),
+                 (F.col("doc_id") % 7 * 500 + 1500).cast("int")
+                 .alias("duration_ms")).alias("meta"))
+    return frame_sample_plan(media, every_ms=400)
+
+
 def q_p10_latlon_dedup(spark, sf_dir):
     """P10: lat/lon resolution pre-step — distinct coordinate pairs, nulls
     dropped, degree→radian conversion (space_resolution.py:9-26 semantics
@@ -617,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_hex": q_knn_hex,
         "p10_latlon_dedup": q_p10_latlon_dedup,
         "incremental_microbatch": q_incremental_microbatch,
+        "multimodal_frame_plan": q_multimodal_frame_plan,
     }
 
 
@@ -818,6 +838,13 @@ def oracle_sql() -> dict[str, str]:
               FROM sites s CROSS JOIN q
             )
             SELECT qid, site_id, rank FROM scored WHERE rank <= 5
+        """,
+        "multimodal_frame_plan": """
+            SELECT doc_id AS media_id,
+                   CAST(unnest(range(0, (doc_id % 7) * 500 + 1500, 400))
+                        AS INTEGER) AS frame_ts_ms
+            FROM documents
+            WHERE doc_id % 3 = 2
         """,
         "incremental_microbatch": """
             SELECT user_id, count(*) AS n_events,
