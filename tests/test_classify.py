@@ -3,6 +3,7 @@ examples/example_{1..4}.csv + datasets/fake_data.csv shapes (FIXTURES.md F2)
 with golden expected categorize() outputs."""
 
 import datetime
+import os
 
 import numpy as np
 import pandas as pd
@@ -200,3 +201,26 @@ def test_fuzzy_annotation_attached(spark, rng):
     assert cls.fuzzy_column is not None
     assert cls.fuzzy_column["fuzzyCategory"] == "Country"
     assert cls.category == "geo" and cls.subcategory == "country"
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference/examples"),
+                    reason="reference checkout not present")
+def test_reference_example2_exact_parity(spark):
+    """Classify the reference's own examples/example_2.csv (read as DATA,
+    not copied into this repo) and assert the exact categorize() dict the
+    reference documents: y/x → lat/lon, city → city, country → ISO2,
+    ts → '%B %d, %Y', value → excluded."""
+    from cartwright_spark.operators.classify import categorize, read_in
+    df = read_in(spark, "/root/reference/examples/example_2.csv")
+    got = categorize(df)
+    assert got["y"] == {"category": "geo", "subcategory": "latitude",
+                       "format": None}
+    assert got["x"] == {"category": "geo", "subcategory": "longitude",
+                       "format": None}
+    assert got["city"] == {"category": "geo", "subcategory": "city",
+                          "format": None}
+    assert got["country"] == {"category": "geo", "subcategory": "ISO2",
+                             "format": None}
+    assert got["ts"] == {"category": "time", "subcategory": "date",
+                        "format": "%B %d, %Y"}
+    assert "value" not in got
