@@ -557,6 +557,27 @@ def q_incremental_microbatch(spark, sf_dir):
         F.round(F.sum("sum_value"), 4).alias("sum_value"))
 
 
+def q_j9_salted_rollup(spark, sf_dir):
+    """J9: two-stage salted aggregation over a deliberately skewed key —
+    ~25% of rows share one tile (floored coarse bands). Salting must be
+    RESULT-identical to a plain GROUP BY, which is exactly what the oracle
+    asserts (spatial/skew.py salted_aggregate; threshold forces the hot
+    key onto the salt path)."""
+    from cartwright_spark.spatial.skew import salted_aggregate
+    pts = _coords(spark, sf_dir)
+    # skewed key: band 0 swallows every |lat| < 45 row
+    band = F.when(F.abs(F.col("lat")) < 45.0, F.lit(0)) \
+        .otherwise(F.floor(F.col("lat") / 10.0).cast("long"))
+    df = pts.withColumn("band", band)
+    out = salted_aggregate(
+        df, "band",
+        [("n_points", F.count("*"), "sum"),
+         ("lat_min", F.min("lat"), "min"),
+         ("lat_max", F.max("lat"), "max")],
+        hot_threshold=1000, salt_from="l_orderkey")
+    return out.select("band", "n_points", "lat_min", "lat_max")
+
+
 def q_multimodal_frame_plan(spark, sf_dir):
     """Video frame-sampling plan (multimodal.py frame_sample_plan): one
     (media_id, frame_ts_ms) row per sample instant — pure sequence/explode
@@ -637,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p10_latlon_dedup": q_p10_latlon_dedup,
         "incremental_microbatch": q_incremental_microbatch,
         "multimodal_frame_plan": q_multimodal_frame_plan,
+        "j9_salted_rollup": q_j9_salted_rollup,
     }
 
 
@@ -838,6 +860,18 @@ def oracle_sql() -> dict[str, str]:
               FROM sites s CROSS JOIN q
             )
             SELECT qid, site_id, rank FROM scored WHERE rank <= 5
+        """,
+        "j9_salted_rollup": f"""
+            WITH pts AS (SELECT lat FROM ({_COORDS_SQL})),
+            banded AS (
+              SELECT lat,
+                     CASE WHEN abs(lat) < 45.0 THEN 0
+                          ELSE CAST(floor(lat / 10.0) AS BIGINT) END AS band
+              FROM pts
+            )
+            SELECT band, count(*) AS n_points,
+                   min(lat) AS lat_min, max(lat) AS lat_max
+            FROM banded GROUP BY band
         """,
         "multimodal_frame_plan": """
             SELECT doc_id AS media_id,
