@@ -21,12 +21,33 @@ _COORD_RE = r"(-?\d{1,3}\.\d{3,8}),\s*(-?\d{1,3}\.\d{3,8})"
 _ISO3_RE = r"\b([A-Z]{3})\b"
 _MONTHS = ("January|February|March|April|May|June|July|August|September"
            "|October|November|December")
+_MONTHS_AB = "Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec"
 _DATE_RES = {
+    # datetime shapes first so their date prefix is also reported by the
+    # plain-date regex (independent per-format matching, like the
+    # reference's per-label validators)
+    "%Y-%m-%dT%H:%M:%S": r"\b(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})\b",
+    "%Y-%m-%d %H:%M:%S": r"\b(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2})\b",
     "%Y-%m-%d": r"\b(\d{4}-\d{2}-\d{2})\b",
     "%m/%d/%Y": r"\b(\d{2}/\d{2}/\d{4})\b",
     "%Y/%m/%d": r"\b(\d{4}/\d{2}/\d{2})\b",
     "%d %B %Y": rf"\b(\d{{1,2}} (?:{_MONTHS}) \d{{4}})\b",
+    "%d %b %Y": rf"\b(\d{{1,2}} (?:{_MONTHS_AB}) \d{{4}})\b",
     "%B %d, %Y": rf"\b((?:{_MONTHS}) \d{{1,2}}, \d{{4}})\b",
+    # 8-digit compact dates; try_to_timestamp rejects invalid month/day
+    # combos, so only calendar-valid 8-digit runs survive
+    "%Y%m%d": r"\b(\d{8})\b",
+}
+_SPARK_FMT = {
+    "%Y-%m-%dT%H:%M:%S": "yyyy-MM-dd'T'HH:mm:ss",
+    "%Y-%m-%d %H:%M:%S": "yyyy-MM-dd HH:mm:ss",
+    "%Y-%m-%d": "yyyy-MM-dd",
+    "%m/%d/%Y": "MM/dd/yyyy",
+    "%Y/%m/%d": "yyyy/MM/dd",
+    "%d %B %Y": "d MMMM yyyy",
+    "%d %b %Y": "d MMM yyyy",
+    "%B %d, %Y": "MMMM d, yyyy",
+    "%Y%m%d": "yyyyMMdd",
 }
 
 
@@ -39,7 +60,7 @@ def detect_all(pages: DataFrame, spark: SparkSession,
     detections (dates) and gazetteer-resolved for city mentions — the
     detections table the tiling/join stages consume.
 
-    TWO text scans total: coords + ISO3 + all 5 date formats evaluate their
+    TWO text scans total: coords + ISO3 + all date formats evaluate their
     regexes in one pass (tagged struct arrays, one explode), cities in a
     second (its posexplode word pipeline has a different generate shape).
     At 100 TB scan count is the detect stage's cost model — the earlier
@@ -90,9 +111,7 @@ def _detect_entities_single_scan(pages: DataFrame, spark: SparkSession,
     # per-kind validation on narrow rows
     lat = F.split("value", ",\\s*").getItem(0).cast("double")
     lon = F.split("value", ",\\s*").getItem(1).cast("double")
-    spark_fmt = {"%Y-%m-%d": "yyyy-MM-dd", "%m/%d/%Y": "MM/dd/yyyy",
-                 "%Y/%m/%d": "yyyy/MM/dd", "%d %B %Y": "d MMMM yyyy",
-                 "%B %d, %Y": "MMMM d, yyyy"}
+    spark_fmt = _SPARK_FMT
     ts = None
     for fmt, sf in spark_fmt.items():
         cand = F.try_to_timestamp(F.col("value"), F.lit(sf))
@@ -204,9 +223,7 @@ def detect_dates(pages: DataFrame, text_col: str = "text") -> DataFrame:
     array, the arrays are tagged with their format (transform runs
     interpreted but only over actual matches, ~1/doc) and exploded once —
     the earlier per-format union re-read the text column 5×."""
-    spark_fmt = {"%Y-%m-%d": "yyyy-MM-dd", "%m/%d/%Y": "MM/dd/yyyy",
-                 "%Y/%m/%d": "yyyy/MM/dd", "%d %B %Y": "d MMMM yyyy",
-                 "%B %d, %Y": "MMMM d, yyyy"}
+    spark_fmt = _SPARK_FMT
     # NB: the tag lambda must be SINGLE-arg — `lambda x, fmt=fmt:` has
     # arity 2, so F.transform would pass (element, index) and bind the
     # index column to fmt; close over fmt with a factory instead
