@@ -70,11 +70,28 @@ def detect_all(pages: DataFrame, spark: SparkSession,
     nuls = F.lit(None).cast("string")
 
     combined = _detect_entities_single_scan(pages, spark, text_col)
-    cities = detect_cities(pages, spark, text_col).select(
-        "url", F.lit("city").alias("kind"), F.col("city").alias("value"),
-        F.lit("city").alias("subcategory"), nuls.alias("format"),
-        "lat", "lon")
-    return combined.unionByName(cities)
+    # cities + country names share ONE gram scan: a single union dim with a
+    # kind tag (country rows carry null coordinates)
+    cities = gz.cities_pdf().copy()
+    cities["name_norm"] = cities["city"].str.lower()
+    cities = cities.rename(columns={"city": "name"})
+    cities["kind"] = "city"
+    countries = gz.countries_pdf()[["country_name"]].copy()
+    countries["name_norm"] = countries["country_name"].str.lower()
+    countries = countries.rename(columns={"country_name": "name"})
+    countries["kind"] = "country_name"
+    countries["lat"] = float("nan")
+    countries["lon"] = float("nan")
+    import pandas as pd
+    dim = pd.concat([cities[["name", "name_norm", "kind", "lat", "lon"]],
+                     countries[["name", "name_norm", "kind", "lat", "lon"]]],
+                    ignore_index=True)
+    mentions = _gazetteer_gram_mentions(pages, spark, dim, text_col).select(
+        "url", F.col("kind"), F.col("name").alias("value"),
+        F.col("kind").alias("subcategory"), nuls.alias("format"),
+        F.when(~F.isnan("lat"), F.col("lat")).alias("lat"),
+        F.when(~F.isnan("lon"), F.col("lon")).alias("lon"))
+    return combined.unionByName(mentions)
 
 
 def _detect_entities_single_scan(pages: DataFrame, spark: SparkSession,
@@ -173,28 +190,30 @@ def detect_iso3(pages: DataFrame, spark: SparkSession,
         "url", "iso3", "country_name")
 
 
-def detect_cities(pages: DataFrame, spark: SparkSession,
-                  text_col: str = "text") -> DataFrame:
-    """url → gazetteer city mentions with coordinates. Exact-match broadcast
-    join on normalized name; at 100 TB the city dim (~25k rows in the
-    reference) broadcasts trivially. Multi-word city names are matched by
-    joining on extracted capitalized n-grams (n ≤ 3)."""
-    cities = gz.cities_pdf().copy()
-    cities["city_norm"] = cities["city"].str.lower()
-    cities_df = F.broadcast(spark.createDataFrame(cities))
-    # any gram matching a multi-word city name must start with that city's
+def _gazetteer_gram_mentions(pages: DataFrame, spark: SparkSession,
+                             names_pdf, text_col: str = "text",
+                             max_words: int = 3) -> DataFrame:
+    """Capitalized word 1..max_words-grams joined against a broadcast name
+    dim → (url, gram matches + dim payload columns).
+
+    names_pdf: pandas frame with a `name_norm` (lowercased) column plus any
+    payload columns to carry through.
+
+    Design note (measured on the 100k-page corpus): building grams with
+    higher-order functions (transform/filter over word indices) runs
+    interpreted per element in Catalyst — 8.8 s. posexplode + lead()
+    window is codegen but shuffles every word by url — 3.0 s. This
+    shape — posexplode keeping the words array, codegen capitalization +
+    first-word prefilter, then slice/array_join only at surviving
+    positions — is whole-stage codegen with NO shuffle: 1.6 s, and at
+    cluster scale it keeps the detection map-side.
+    """
+    dim = F.broadcast(spark.createDataFrame(names_pdf))
+    # any gram matching a multi-word name must start with that name's
     # first word — broadcast that tiny set as an isin prefilter so gram
     # construction only runs at plausible start positions
-    first_words = sorted({c.split()[0] for c in cities["city_norm"]})
+    first_words = sorted({c.split()[0] for c in names_pdf["name_norm"]})
 
-    # Design note (measured on the 100k-page corpus): building grams with
-    # higher-order functions (transform/filter over word indices) runs
-    # interpreted per element in Catalyst — 8.8 s. posexplode + lead()
-    # window is codegen but shuffles every word by url — 3.0 s. This
-    # shape — posexplode keeping the words array, codegen capitalization +
-    # first-word prefilter, then slice/array_join only at surviving
-    # positions — is whole-stage codegen with NO shuffle: 1.6 s, and at
-    # cluster scale it keeps the detection map-side.
     words = F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z][\w'&-]*"), 0)
     rows = (pages.select("url", words.alias("ws"))
             .select("url", "ws", F.posexplode("ws").alias("pos", "w"))
@@ -208,11 +227,35 @@ def detect_cities(pages: DataFrame, spark: SparkSession,
                       F.array_join(F.slice("ws", F.col("pos") + 1, n), " "))
 
     grams = (rows.select(
-        "url", F.explode(F.array(_gram(1), _gram(2), _gram(3))).alias("gram"))
+        "url",
+        F.explode(F.array(*[_gram(n) for n in range(1, max_words + 1)]))
+        .alias("gram"))
         .where(F.col("gram").isNotNull())
         .withColumn("gram_norm", F.lower("gram")))
-    return grams.join(cities_df, grams.gram_norm == cities_df.city_norm,
-                      "inner").select("url", "city", "lat", "lon")
+    return grams.join(dim, grams.gram_norm == dim.name_norm, "inner")
+
+
+def detect_cities(pages: DataFrame, spark: SparkSession,
+                  text_col: str = "text") -> DataFrame:
+    """url → gazetteer city mentions with coordinates. Exact-match broadcast
+    join on normalized name; at 100 TB the city dim (~25k rows in the
+    reference) broadcasts trivially. Multi-word city names are matched by
+    joining on extracted capitalized n-grams (n ≤ 3)."""
+    cities = gz.cities_pdf().copy()
+    cities["name_norm"] = cities["city"].str.lower()
+    return _gazetteer_gram_mentions(pages, spark, cities, text_col) \
+        .select("url", "city", "lat", "lon")
+
+
+def detect_countries(pages: DataFrame, spark: SparkSession,
+                     text_col: str = "text") -> DataFrame:
+    """url → country-name mentions with ISO3 (J2 applied to free text —
+    the same capitalized-gram machinery as cities against the country
+    dim)."""
+    countries = gz.countries_pdf()[["country_name", "iso3"]].copy()
+    countries["name_norm"] = countries["country_name"].str.lower()
+    return _gazetteer_gram_mentions(pages, spark, countries, text_col) \
+        .select("url", "country_name", "iso3")
 
 
 def detect_dates(pages: DataFrame, text_col: str = "text") -> DataFrame:

@@ -71,7 +71,7 @@ def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
         from cartwright_spark.operators.detect import detect_all
         return detect_all(ext, spark, text_col="extracted_text")
     det_snap, reused = _stage(
-        cat, "detections", f"detect:v2:parent={ext_snap['snapshot_id']}",
+        cat, "detections", f"detect:v3:parent={ext_snap['snapshot_id']}",
         ext_snap, build_detect)
     summary["stages"]["detections"] = {"rows": det_snap["row_count"], "reused": reused}
 
