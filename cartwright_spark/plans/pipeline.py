@@ -80,8 +80,12 @@ def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
     # (no Python workers in the whole pipeline)
     def build_cells():
         from cartwright_spark.spatial.udfs import with_s2_cell
+        # project to the columns the tiling layer consumes BEFORE the
+        # encode — the detections table carries wide entity strings that
+        # would otherwise ride through the scan, encode, and snapshot
         det = cat.load_table(spark, "detections", det_snap["snapshot_id"]) \
-            .where(F.col("lat").isNotNull())
+            .where(F.col("lat").isNotNull()) \
+            .select("url", "kind", "lat", "lon")
         return (
             with_s2_cell(det, "lat", "lon", s2_level, "s2_cell")
             .withColumn("tile_x", tile_x_col(F.col("lon"), zoom))
@@ -89,7 +93,7 @@ def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
             .withColumn("tile_id", tile_id_col(F.col("lat"), F.col("lon"), zoom))
         )
     cell_snap, reused = _stage(
-        cat, "cells", f"cells:v1:s2={s2_level}:z={zoom}:parent={det_snap['snapshot_id']}",
+        cat, "cells", f"cells:v2:s2={s2_level}:z={zoom}:parent={det_snap['snapshot_id']}",
         det_snap, build_cells)
     summary["stages"]["cells"] = {"rows": cell_snap["row_count"], "reused": reused}
 
