@@ -861,6 +861,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid, site_id, rank FROM scored WHERE rank <= 5
         """,
+        # golden-values oracle: the E1/E2 classification of this fixed
+        # 6-column fixture is deterministic (seeded sampling) and locked —
+        # any cascade/validator regression shows up as a value mismatch
+        "cartwright_categorize": """
+            SELECT * FROM (VALUES
+              ('event_date', 'time', 'date', '%Y-%m-%d'),
+              ('month', 'time', 'date', '%m'),
+              ('Year', 'time', 'date', '%Y'),
+              ('reading_lat', 'geo', 'latitude', ''),
+              ('kind', '', '', ''),
+              ('value', 'geo', 'longitude', '')
+            ) AS t("column", category, subcategory, format)
+        """,
         "j9_salted_rollup": f"""
             WITH pts AS (SELECT lat FROM ({_COORDS_SQL})),
             banded AS (
