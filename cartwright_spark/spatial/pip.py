@@ -7,9 +7,14 @@ equi-join on cell id; an exact ray-casting refine runs vectorized inside a
 pandas UDF over the (few) candidates per polygon. No pairwise point×polygon
 cross product ever forms, and the big side is never shuffled (broadcast).
 
-Assumptions (documented): polygon rings are lat/lon linear rings that do
-not cross the antimeridian; even-odd rule; boundary points count as inside
-(>= on one bound — ties are measure-zero for our fixtures).
+Polygon model: one outer ring per admin_id plus optional hole rings
+(`holes` column: list of (hole_lat_list, hole_lon_list) pairs); containment
+is even-odd across all rings. Rings that cross the antimeridian are handled
+by longitude unwrapping (western lons shifted +360, points tested at both
+lon and lon+360). Rings wider than 180° of longitude are out of scope
+(indistinguishable from a crossing ring without winding metadata).
+Boundary points count as inside (>= on one bound — ties are measure-zero
+for our fixtures).
 """
 
 from __future__ import annotations
@@ -41,12 +46,50 @@ def ray_cast_contains(ring_lat: np.ndarray, ring_lon: np.ndarray,
     return inside
 
 
+def _unwrap_ring(ring_lat, ring_lon) -> tuple[np.ndarray, np.ndarray]:
+    """Make a ring's longitudes continuous: if the raw span exceeds 180° the
+    ring is taken to cross the antimeridian and western lons shift +360
+    (resulting range ⊂ [0, 360))."""
+    la = np.asarray(ring_lat, float)
+    lo = np.asarray(ring_lon, float)
+    if lo.max() - lo.min() > 180.0:
+        lo = np.where(lo < 0, lo + 360.0, lo)
+    return la, lo
+
+
+def _rings_of(row) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Outer ring + optional holes from a polygons-frame row, each unwrapped."""
+    rings = [_unwrap_ring(row.ring_lat, row.ring_lon)]
+    holes = getattr(row, "holes", None)
+    if holes is not None and not (isinstance(holes, float) and pd.isna(holes)):
+        for hla, hlo in holes:
+            rings.append(_unwrap_ring(hla, hlo))
+    return rings
+
+
+def multi_ring_contains(rings, plat, plon) -> np.ndarray:
+    """Even-odd containment across rings (outer + holes). Rings unwrapped
+    past 180° also test points shifted +360 (at most one shift can land
+    inside a <360°-wide ring, so OR within a ring is exact)."""
+    plat = np.asarray(plat, float)
+    plon = np.asarray(plon, float)
+    inside = np.zeros(len(plat), dtype=bool)
+    for rla, rlo in rings:
+        r = ray_cast_contains(rla, rlo, plat, plon)
+        if rlo.max() > 180.0:
+            r |= ray_cast_contains(rla, rlo, plat, plon + 360.0)
+        inside ^= r
+    return inside
+
+
 def polygon_covering_cells(ring_lat, ring_lon, level: int) -> np.ndarray:
-    """Superset of S2 cells at `level` intersecting the polygon: sample the
-    (padded) bbox on a grid finer than the cell edge and encode. Driver-side,
-    polygon dims are metadata-scale."""
-    ring_lat = np.asarray(ring_lat, float)
-    ring_lon = np.asarray(ring_lon, float)
+    """Superset of S2 cells at `level` intersecting the (outer-ring) bbox:
+    sample the (padded) bbox on a grid finer than the MIN cell edge and
+    encode. Driver-side, polygon dims are metadata-scale. Holes only remove
+    area, so the outer ring's covering is a superset of the polygon's.
+    Antimeridian rings sample in unwrapped space; grid lons re-wrap before
+    encoding."""
+    ring_lat, ring_lon = _unwrap_ring(ring_lat, ring_lon)
     edge_deg = np.rad2deg(s2.avg_edge_radians(level))
     pad = 1.5 * edge_deg
     la0, la1 = ring_lat.min() - pad, ring_lat.max() + pad
@@ -54,62 +97,84 @@ def polygon_covering_cells(ring_lat, ring_lon, level: int) -> np.ndarray:
     step = edge_deg / 2.5
     las = np.arange(la0, la1 + step, step)
     los = np.arange(lo0, lo1 + step, step)
-    glat, glon = np.meshgrid(np.clip(las, -89.999, 89.999),
-                             np.clip(los, -179.999, 179.999))
+    glat, glon = np.meshgrid(np.clip(las, -89.999, 89.999), los)
+    glon = ((glon + 180.0) % 360.0) - 180.0
     cells = s2.latlng_to_cell(glat.ravel(), glon.ravel(), level)
     return np.unique(cells)
 
 
-def classify_interior_cells(cells: np.ndarray, ring_lat: np.ndarray,
-                            ring_lon: np.ndarray, level: int) -> np.ndarray:
+def classify_interior_cells(cells: np.ndarray, rings, level: int) -> np.ndarray:
     """Conservative interior flags for covering cells: True ⇒ the whole cell
     is provably inside the polygon, so candidate points in it skip the
     ray-cast refine entirely (the classic S2 interior-covering trick; at a
     coarse level most of a large polygon's cover is interior, leaving only
     the O(perimeter) boundary cells for the refine).
 
-    Conservative on both axes: the cell is modeled as an *enlarged* bbox
-    (center ± one full avg edge — real S2 cells are smaller), and an edge
-    "intersection" is declared whenever a polygon edge's own bbox overlaps
-    the cell bbox (over-inclusive ⇒ fewer interior flags, never wrong)."""
-    ring_lat = np.asarray(ring_lat, float)
-    ring_lon = np.asarray(ring_lon, float)
-    clat, clon = s2.cell_to_latlng(np.asarray(cells, np.uint64))
-    half = np.rad2deg(s2.avg_edge_radians(level))
-    la0, la1 = clat - half, clat + half
-    lo0, lo1 = clon - half, clon + half
-    inside = np.ones(len(clat), dtype=bool)
+    `rings` is the unwrapped ring list (outer + holes). Each cell's bounds
+    come from its ACTUAL boundary vertices (`s2.cell_bbox_deg`), fixing the
+    round-1 high-latitude bug where a center±avg-edge-degrees model
+    underestimated the cell's 1/cos(lat) longitude extent and produced false
+    interior flags (hence silent PIP false positives) above ~55°.
+
+    A cell is interior iff all 4 bbox corners are inside (even-odd over all
+    rings) AND no ring edge's bbox overlaps the cell bbox (checked at lon
+    and lon+360 to match unwrapped edges) — if no edge crosses the bbox, the
+    bbox is entirely on one side, and the corners decide which."""
+    la0, la1, lo0, lo1 = s2.cell_bbox_deg(np.asarray(cells, np.uint64), level)
+    inside = np.ones(len(la0), dtype=bool)
     for yy, xx in ((la0, lo0), (la0, lo1), (la1, lo0), (la1, lo1)):
-        inside &= ray_cast_contains(ring_lat, ring_lon, yy, xx)
-    ela0 = np.minimum(ring_lat, np.roll(ring_lat, -1))
-    ela1 = np.maximum(ring_lat, np.roll(ring_lat, -1))
-    elo0 = np.minimum(ring_lon, np.roll(ring_lon, -1))
-    elo1 = np.maximum(ring_lon, np.roll(ring_lon, -1))
-    overlap = ((la0[:, None] <= ela1[None, :]) & (la1[:, None] >= ela0[None, :])
-               & (lo0[:, None] <= elo1[None, :]) & (lo1[:, None] >= elo0[None, :]))
-    return inside & ~overlap.any(axis=1)
+        inside &= multi_ring_contains(rings, yy, xx)
+    no_edge = np.ones(len(la0), dtype=bool)
+    for rla, rlo in rings:
+        ela0 = np.minimum(rla, np.roll(rla, -1))
+        ela1 = np.maximum(rla, np.roll(rla, -1))
+        elo0 = np.minimum(rlo, np.roll(rlo, -1))
+        elo1 = np.maximum(rlo, np.roll(rlo, -1))
+        lat_ov = (la0[:, None] <= ela1[None, :]) & (la1[:, None] >= ela0[None, :])
+        for shift in (0.0, 360.0):
+            overlap = (lat_ov
+                       & ((lo0 + shift)[:, None] <= elo1[None, :])
+                       & ((lo1 + shift)[:, None] >= elo0[None, :]))
+            no_edge &= ~overlap.any(axis=1)
+    return inside & no_edge
 
 
-def _inside_expr(plat, plon):
+def _inside_expr(edges, plat, plon):
     """Even-odd ray casting as a pure column expression: fold over the
-    polygon's edge array (arrays_zip of ring and ring-rotated-by-1).
-    Whole-stage codegen, no Python — the refine step runs at scan speed
-    and parallelizes per partition instead of per polygon."""
-    ring = F.col("ring")
-    n = F.size(ring)
-    rot = F.concat(F.slice(ring, 2, n - 1), F.slice(ring, 1, 1))
-    edges = F.arrays_zip(ring.alias("a"), rot.alias("b"))
-    y, x = plat, plon
+    polygon's flattened edge array (all rings concatenated — crossing parity
+    over the union of ring edges equals the even-odd result across rings).
+    Evaluated at lon and lon+360 and XORed, so antimeridian-unwrapped edges
+    (lon ∈ [0,360)) work in the same fold: for a normal point/edge pair the
+    shifted test never crosses, contributing nothing. Whole-stage codegen,
+    no Python."""
+    y = plat
 
-    def step(acc, e):
-        yi, xi = e["a"]["lat"], e["a"]["lon"]
-        yj, xj = e["b"]["lat"], e["b"]["lon"]
-        crosses = (yi > y) != (yj > y)
-        # doubles: division by (yj-yi)=0 yields ±Inf, masked by `crosses`
-        x_at = xi + (y - yi) * (xj - xi) / (yj - yi)
-        return F.when(crosses & (x < x_at), ~acc).otherwise(acc)
+    def fold(x):
+        def step(acc, e):
+            yi, xi = e["a"]["lat"], e["a"]["lon"]
+            yj, xj = e["b"]["lat"], e["b"]["lon"]
+            crosses = (yi > y) != (yj > y)
+            # doubles: division by (yj-yi)=0 yields ±Inf, masked by `crosses`
+            x_at = xi + (y - yi) * (xj - xi) / (yj - yi)
+            return F.when(crosses & (x < x_at), ~acc).otherwise(acc)
 
-    return F.aggregate(edges, F.lit(False), step)
+        return F.aggregate(edges, F.lit(False), step)
+
+    a = fold(plon)
+    b = fold(plon + F.lit(360.0))
+    return (a & ~b) | (~a & b)
+
+
+def _edge_rows(rings) -> list[dict]:
+    """Flattened edge structs {a:{lat,lon}, b:{lat,lon}} across all rings."""
+    out = []
+    for rla, rlo in rings:
+        n = len(rla)
+        for i in range(n):
+            j = (i + 1) % n
+            out.append({"a": {"lat": float(rla[i]), "lon": float(rlo[i])},
+                        "b": {"lat": float(rla[j]), "lon": float(rlo[j])}})
+    return out
 
 
 def point_in_polygon_join(spark: SparkSession, points: DataFrame,
@@ -118,11 +183,12 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
                           point_id_col: str = "url",
                           refine: str = "vector",
                           cell_col: str | None = None) -> DataFrame:
-    """points(id, lat, lon) ⋈ polygons(admin_id, ring_lat[], ring_lon[])
-    → (point_id, admin_id).
+    """points(id, lat, lon) ⋈ polygons(admin_id, ring_lat[], ring_lon[]
+    [, holes]) → (point_id, admin_id).
 
     polygons is a pandas frame (broadcast-scale dim): columns
-    admin_id, ring_lat (list[float]), ring_lon (list[float]).
+    admin_id, ring_lat (list[float]), ring_lon (list[float]), and an
+    optional `holes` column (list of (hole_lat_list, hole_lon_list)).
 
     refine:
       'vector' (default) — narrow-column pandas UDF (admin idx + lat/lon in,
@@ -130,7 +196,7 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
         measured: Arrow moves only 3 narrow columns and the kernel is
         vectorized (Catalyst higher-order folds are interpreted per element,
         2× slower at sf0.1).
-      'expr' — ray casting as a JVM fold over the ring array;
+      'expr' — ray casting as a JVM fold over the flattened edge array;
         zero Python, DuckDB-parity-friendly.
       'pandas' — grouped-per-polygon numpy refine (cross-check only: its
         parallelism is capped at the polygon count).
@@ -145,13 +211,12 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
     # 1) covering cells per polygon (driver-side, broadcast), with a
     #    conservative interior flag per cell
     cov_rows = []
-    rings: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    rings: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
     for r in polygons.itertuples(index=False):
-        rla = np.asarray(r.ring_lat, float)
-        rlo = np.asarray(r.ring_lon, float)
-        cells = polygon_covering_cells(rla, rlo, level)
-        interior = classify_interior_cells(cells, rla, rlo, level)
-        rings[r.admin_id] = (rla, rlo)
+        rr = _rings_of(r)
+        cells = polygon_covering_cells(r.ring_lat, r.ring_lon, level)
+        interior = classify_interior_cells(cells, rr, level)
+        rings[r.admin_id] = rr
         for c, flag in zip(cells, interior):
             cov_rows.append((r.admin_id,
                              int(np.uint64(c).astype(np.int64)), bool(flag)))
@@ -162,6 +227,7 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
     # covering cell if it lies within the polygon's padded bbox plus one
     # cell of slack — a plain range predicate that Catalyst pushes into
     # the parquet scan, so the S2 encode only runs on plausible rows.
+    # Antimeridian polygons (unwrapped bbox past 180) also admit lon+360.
     # (With very many polygons the OR chain would bloat the plan; fall
     # back to the global bbox then.)
     pts = points.select(
@@ -171,19 +237,27 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
     )
     edge_deg = float(np.rad2deg(s2.avg_edge_radians(level)))
     padf = 3.0 * edge_deg  # covering pad (1.5 edge) + cell slack, rounded up
-    boxes = [(np.min(rl), np.max(rl), np.min(rlo), np.max(rlo))
-             for rl, rlo in rings.values()]
+    boxes = [(float(np.min(rr[0][0])), float(np.max(rr[0][0])),
+              float(np.min(rr[0][1])), float(np.max(rr[0][1])))
+             for rr in rings.values()]
+
+    def lon_pred(lo0, lo1):
+        p = F.col("lon").between(lo0 - padf, lo1 + padf)
+        if lo1 > 180.0 - padf:
+            p = p | (F.col("lon") + 360.0).between(lo0 - padf, lo1 + padf)
+        return p
+
     if len(boxes) <= 32:
         pre = None
         for la0, la1, lo0, lo1 in boxes:
-            p = (F.col("lat").between(float(la0) - padf, float(la1) + padf)
-                 & F.col("lon").between(float(lo0) - padf, float(lo1) + padf))
+            p = (F.col("lat").between(la0 - padf, la1 + padf)
+                 & lon_pred(lo0, lo1))
             pre = p if pre is None else (pre | p)
     else:
         la0 = min(b[0] for b in boxes); la1 = max(b[1] for b in boxes)
         lo0 = min(b[2] for b in boxes); lo1 = max(b[3] for b in boxes)
         pre = (F.col("lat").between(la0 - padf, la1 + padf)
-               & F.col("lon").between(lo0 - padf, lo1 + padf))
+               & lon_pred(lo0, lo1))
     pts = pts.where(pre)
     if not cell_col:
         from cartwright_spark.spatial.udfs import with_s2_cell
@@ -217,8 +291,7 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
             lov = lo.to_numpy(np.float64)
             for i in np.unique(ai[todo]):
                 m = todo & (ai == i)
-                rl, rlon = ring_list[i]
-                out[m] = ray_cast_contains(rl, rlon, lav[m], lov[m])
+                out[m] = multi_ring_contains(ring_list[i], lav[m], lov[m])
             return pd.Series(out)
 
         return (cand.join(idx_df, "admin_id")
@@ -227,15 +300,17 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
                 .select("point_id", "admin_id"))
 
     if refine == "expr":
-        # 3a) ring arrays ride the broadcast join; refine is an expression
-        ring_rows = [(aid, [{"lat": float(la), "lon": float(lo)}
-                            for la, lo in zip(*rl_lo)])
-                     for aid, rl_lo in rings.items()]
+        # 3a) flattened edge arrays ride the broadcast join; refine is an
+        # expression over all rings' edges at once
+        ring_rows = [(aid, _edge_rows(rr)) for aid, rr in rings.items()]
         rings_df = F.broadcast(spark.createDataFrame(
-            ring_rows, "admin_id string, ring array<struct<lat:double,lon:double>>"))
+            ring_rows,
+            "admin_id string, edges array<struct<"
+            "a:struct<lat:double,lon:double>,b:struct<lat:double,lon:double>>>"))
         return (cand.join(rings_df, "admin_id")
                 .where(F.col("interior")
-                       | _inside_expr(F.col("lat"), F.col("lon")))
+                       | _inside_expr(F.col("edges"), F.col("lat"),
+                                      F.col("lon")))
                 .select("point_id", "admin_id"))
 
     # 3b) pandas refine (cross-check path)
@@ -243,12 +318,12 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
 
     def refine_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         admin = pdf["admin_id"].iloc[0]
-        rl, rlon = rings_b.value[admin]
+        rr = rings_b.value[admin]
         ok = pdf["interior"].to_numpy(bool).copy()
         todo = ~ok
         if todo.any():
-            ok[todo] = ray_cast_contains(
-                rl, rlon, pdf.loc[todo, "lat"].to_numpy(),
+            ok[todo] = multi_ring_contains(
+                rr, pdf.loc[todo, "lat"].to_numpy(),
                 pdf.loc[todo, "lon"].to_numpy())
         return pdf.loc[ok, ["point_id", "admin_id"]]
 
@@ -259,12 +334,13 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
 def brute_force_pip(points: pd.DataFrame, polygons: pd.DataFrame,
                     lat_col="lat", lon_col="lon",
                     point_id_col="point_id") -> set[tuple]:
-    """Oracle: plain double loop over polygons (tests only)."""
+    """Oracle: plain double loop over polygons (tests only). Same even-odd +
+    unwrap rules, implemented directly on the raw ring arrays."""
     out = set()
     for r in polygons.itertuples(index=False):
-        ok = ray_cast_contains(np.asarray(r.ring_lat), np.asarray(r.ring_lon),
-                               points[lat_col].to_numpy(),
-                               points[lon_col].to_numpy())
+        ok = multi_ring_contains(_rings_of(r),
+                                 points[lat_col].to_numpy(),
+                                 points[lon_col].to_numpy())
         for pid in points.loc[ok, point_id_col]:
             out.add((pid, r.admin_id))
     return out

@@ -231,3 +231,64 @@ def contains(parent_id, child_id) -> np.ndarray:
 # average edge length of a level-L cell, radians (S2 metric ~ kAvgEdge)
 def avg_edge_radians(level: int) -> float:
     return 1.459 * (2.0 ** (-level))
+
+
+def cell_ij_bounds(cell_id, level: int):
+    """(face, i0, j0, size) per cell: the leaf-ij lower corner and side of the
+    cell's ij square on its face. Decoding the id's Hilbert position yields a
+    leaf inside the cell; masking to the level's granularity gives the corner."""
+    cell_id = np.asarray(cell_id, dtype=np.uint64)
+    face = (cell_id >> np.uint64(61)).astype(np.int64)
+    pos = (cell_id >> np.uint64(1)) & np.uint64((1 << 60) - 1)
+    i, j = _face_pos_to_ij(face, pos)
+    size = np.int64(1) << np.int64(MAX_LEVEL - level)
+    i0 = i & ~(size - 1)
+    j0 = j & ~(size - 1)
+    return face, i0, j0, size
+
+
+def cell_bbox_deg(cell_id, level: int, samples_per_edge: int = 12):
+    """Conservative lat/lon bbox per cell from its ACTUAL boundary.
+
+    Samples each of the 4 cell edges in (s, t) space, projects to lat/lon,
+    takes min/max, and pads by 5% of the extent (covers the tiny chord-vs-arc
+    sampling gap by a wide margin). Cells whose boundary longitude span
+    exceeds 180° (antimeridian-crossing or pole-containing cells) get the
+    full longitude range and a pole-extended latitude bound — over-inclusive,
+    never under-inclusive, which is the safe direction for interior tests.
+
+    This replaces the former center ± avg-edge-degrees model, whose longitude
+    half-width was wrong by 1/cos(lat) at high latitude (round-1 ADVICE item:
+    false 'interior' flags above ~55°N caused silent PIP false positives).
+
+    Returns (la0, la1, lo0, lo1) float64 arrays.
+    """
+    face, i0, j0, size = cell_ij_bounds(cell_id, level)
+    n = len(face)
+    f = np.linspace(0.0, 1.0, samples_per_edge)
+    one = np.ones_like(f)
+    zero = np.zeros_like(f)
+    us = np.concatenate([f, one, f[::-1], zero])
+    vs = np.concatenate([zero, f, one, f[::-1]])
+    m = len(us)
+    s = (i0[:, None].astype(np.float64) + us[None, :] * size) / (1 << MAX_LEVEL)
+    t = (j0[:, None].astype(np.float64) + vs[None, :] * size) / (1 << MAX_LEVEL)
+    u = _st_to_uv(s).ravel()
+    v = _st_to_uv(t).ravel()
+    fb = np.repeat(face, m)
+    x, y, z = _face_uv_to_xyz(fb, u, v)
+    norm = np.sqrt(x * x + y * y + z * z)
+    lat = np.rad2deg(np.arcsin(z / norm)).reshape(n, m)
+    lon = np.rad2deg(np.arctan2(y, x)).reshape(n, m)
+    la0, la1 = lat.min(axis=1), lat.max(axis=1)
+    lo0, lo1 = lon.min(axis=1), lon.max(axis=1)
+    pad_la = 0.05 * (la1 - la0) + 1e-9
+    pad_lo = 0.05 * (lo1 - lo0) + 1e-9
+    la0, la1 = la0 - pad_la, la1 + pad_la
+    lo0, lo1 = lo0 - pad_lo, lo1 + pad_lo
+    wrap = (lo1 - lo0) > 180.0
+    lo0 = np.where(wrap, -180.001, lo0)
+    lo1 = np.where(wrap, 180.001, lo1)
+    la1 = np.where(wrap & (la1 > 0), 90.0, la1)
+    la0 = np.where(wrap & (la0 < 0), -90.0, la0)
+    return la0, la1, lo0, lo1

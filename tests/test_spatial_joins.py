@@ -82,6 +82,119 @@ def test_pip_join_matches_bruteforce(spark, refine):
     assert len(want) > 50  # fixture sanity: plenty of hits
 
 
+HIGH_LAT_POLYGONS = pd.DataFrame([
+    # round-1 ADVICE repro band: interior-cell bboxes were wrong above ~55°
+    {"admin_id": "nordic", "ring_lat": _box(55, 5, 65, 30)[0],
+     "ring_lon": _box(55, 5, 65, 30)[1]},
+    {"admin_id": "arctic", "ring_lat": _box(75, -40, 85, 20)[0],
+     "ring_lon": _box(75, -40, 85, 20)[1]},
+    {"admin_id": "taimyr", "ring_lat": _box(62, 80, 74, 110)[0],
+     "ring_lon": _box(62, 80, 74, 110)[1]},
+])
+
+
+@pytest.mark.parametrize("refine", ["expr", "pandas", "vector"])
+def test_pip_high_latitude_matches_bruteforce(spark, refine):
+    """Dense probe grids at 55-85°N: the exact cell-bbox interior test must
+    produce zero false accepts (the old center±edge model produced 8-978)."""
+    las = np.linspace(50, 89, 140)
+    los = np.linspace(-60, 130, 200)
+    glat, glon = np.meshgrid(las, los)
+    pts = pd.DataFrame({
+        "point_id": [f"g{i}" for i in range(glat.size)],
+        "lat": glat.ravel(), "lon": glon.ravel(),
+    })
+    got = point_in_polygon_join(spark, spark.createDataFrame(pts),
+                                HIGH_LAT_POLYGONS, level=8,
+                                point_id_col="point_id", refine=refine)
+    got_set = {(r["point_id"], r["admin_id"]) for r in got.collect()}
+    want = brute_force_pip(pts, HIGH_LAT_POLYGONS)
+    assert got_set == want
+    assert len(want) > 1000
+
+
+def test_cell_bbox_contains_cell(spark):
+    """s2.cell_bbox_deg is conservative: every point of a cell falls inside
+    the cell's reported bbox — incl. high-latitude and polar cells."""
+    from cartwright_spark.spatial import s2
+    rng = np.random.default_rng(3)
+    la = np.concatenate([rng.uniform(-89.9, 89.9, 4000),
+                         rng.uniform(55, 89.9, 4000)])
+    lo = rng.uniform(-180, 180, 8000)
+    for level in (4, 6, 8, 10):
+        cells = s2.latlng_to_cell(la, lo, level)
+        la0, la1, lo0, lo1 = s2.cell_bbox_deg(cells, level)
+        assert (la >= la0).all() and (la <= la1).all()
+        in_lon = (lo >= lo0) & (lo <= lo1)
+        assert in_lon.all(), f"level {level}: {int((~in_lon).sum())} escapes"
+
+
+HOLED_POLYGONS = pd.DataFrame([
+    # 40-55N box with a hole at 45-50N/5-15E (donut)
+    {"admin_id": "donut", "ring_lat": _box(40, 0, 55, 20)[0],
+     "ring_lon": _box(40, 0, 55, 20)[1],
+     "holes": [(_box(45, 5, 50, 15)[0], _box(45, 5, 50, 15)[1])]},
+    # control: same box, no hole
+    {"admin_id": "solid", "ring_lat": _box(40, 0, 55, 20)[0],
+     "ring_lon": _box(40, 0, 55, 20)[1], "holes": None},
+])
+
+
+@pytest.mark.parametrize("refine", ["expr", "pandas", "vector"])
+def test_pip_holes_even_odd(spark, refine):
+    rng = np.random.default_rng(11)
+    pts = pd.DataFrame({
+        "point_id": [f"h{i}" for i in range(3000)],
+        "lat": rng.uniform(38, 57, 3000),
+        "lon": rng.uniform(-3, 23, 3000),
+    })
+    got = point_in_polygon_join(spark, spark.createDataFrame(pts),
+                                HOLED_POLYGONS, level=8,
+                                point_id_col="point_id", refine=refine)
+    got_set = {(r["point_id"], r["admin_id"]) for r in got.collect()}
+    want = brute_force_pip(pts, HOLED_POLYGONS)
+    assert got_set == want
+    # the hole actually removes points: solid ⊋ donut
+    donut = {p for p, a in want if a == "donut"}
+    solid = {p for p, a in want if a == "solid"}
+    assert donut < solid
+    in_hole = pts[(pts.lat.between(45, 50)) & (pts.lon.between(5, 15))]
+    assert len(in_hole) > 50 and donut.isdisjoint(set(in_hole.point_id))
+
+
+FIJI_POLYGONS = pd.DataFrame([
+    # a Fiji-style box crossing the antimeridian: lon 177E..178W
+    {"admin_id": "fiji", "ring_lat": [-19, -19, -15, -15],
+     "ring_lon": [177, -178, -178, 177]},
+    # control box away from the dateline
+    {"admin_id": "tonga", "ring_lat": _box(-22, -176, -18, -173)[0],
+     "ring_lon": _box(-22, -176, -18, -173)[1]},
+])
+
+
+@pytest.mark.parametrize("refine", ["expr", "pandas", "vector"])
+def test_pip_antimeridian(spark, refine):
+    rng = np.random.default_rng(17)
+    lon = np.where(rng.random(3000) < 0.5,
+                   rng.uniform(170, 180, 3000),
+                   rng.uniform(-180, -170, 3000))
+    pts = pd.DataFrame({
+        "point_id": [f"f{i}" for i in range(3000)],
+        "lat": rng.uniform(-25, -12, 3000),
+        "lon": lon,
+    })
+    got = point_in_polygon_join(spark, spark.createDataFrame(pts),
+                                FIJI_POLYGONS, level=8,
+                                point_id_col="point_id", refine=refine)
+    got_set = {(r["point_id"], r["admin_id"]) for r in got.collect()}
+    want = brute_force_pip(pts, FIJI_POLYGONS)
+    assert got_set == want
+    # hits on both sides of the dateline
+    fiji = {p for p, a in want if a == "fiji"}
+    east = {p for p in fiji if pts.set_index("point_id").loc[p, "lon"] > 0}
+    assert east and (fiji - east)
+
+
 def test_knn_join_matches_bruteforce(spark):
     rng = np.random.default_rng(13)
     sites = pd.DataFrame({
