@@ -65,10 +65,17 @@ def main() -> None:
                  "a7_uniformity", "dedup_exact", "text_token_count",
                  "text_quality_counts", "knn_grid", "j6_pip_boxes",
                  "knn_cells", "o2_topk", "lang_detect", "dedup_groups",
-                 "embedding_cosine_pairs", "multimodal_features",
-                 "doc_fingerprint"):
+                 "embedding_cosine_pairs", "multimodal_features"):
         timed(name, lambda n=name: qmap[n](spark, sf_dir)
               .write.format("noop").mode("overwrite").save())
+
+    # doc_fingerprint's contract query runs a fixed fixture (golden oracle);
+    # bench it over the real documents table at this SF instead
+    def doc_fp():
+        from cartwright_spark.operators.textstats import fingerprint
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        fingerprint(docs).write.format("noop").mode("overwrite").save()
+    timed("doc_fingerprint", doc_fp)
 
     # --- s2 + mercator-tile rollup (flagship shape at bench scale) ---------
     def s2_rollup():

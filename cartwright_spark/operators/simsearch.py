@@ -116,10 +116,17 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                        F.col(qvec_col).cast("array<double>").alias("qv"))
     q = q.withColumn("qbucket", bucket(F.col("qv")))
 
-    # multiprobe: enumerate bucket ids within hamming distance
-    probes = [F.col("qbucket")]
-    if multiprobe >= 1:
-        probes += [F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    # multiprobe: enumerate bucket ids within hamming distance `multiprobe`
+    # of the query's own bucket (xor with every ≤multiprobe-bit mask). The
+    # probe fan-out is a query-side explode — the corpus is scanned once and
+    # each query row joins C(n_planes,≤m) buckets, still a bucket-pruned
+    # equi-join, no cross product.
+    from itertools import combinations
+    masks = [0]
+    for m in range(1, multiprobe + 1):
+        masks += [sum(1 << i for i in c)
+                  for c in combinations(range(n_planes), m)]
+    probes = [F.col("qbucket").bitwiseXOR(F.lit(mk)) for mk in masks]
     q = q.withColumn("bucket", F.explode(F.array(*probes)))
 
     scored = c.join(F.broadcast(q), "bucket").select(

@@ -149,3 +149,38 @@ def test_lsh_topk_high_recall(emb):
     want = {(a, b) for a, b, _ in _oracle_topk(rows, range(10), 5)}
     recall = len(got & want) / len(want)
     assert recall >= 0.6  # approximate path; brute force is the exact baseline
+
+
+# ---------------------------------------------------------------------------
+# contract-fixture recall gates (VERDICT r1 item 7): the ANN paths used by
+# the golden contract queries must hold ≥0.9 recall vs their exact
+# counterparts on the exact fixture + parameters the contract runs
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def contract_emb(spark):
+    from cartwright_spark.sources.fixtures import fixture_embeddings_pdf
+    return spark.createDataFrame(fixture_embeddings_pdf()).coalesce(4)
+
+
+def test_contract_ann_topk_recall(contract_emb):
+    q = contract_emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    exact = {(r["qid"], r["neighbor_id"])
+             for r in brute_force_topk(contract_emb, q, k=5).collect()}
+    ann = {(r["qid"], r["neighbor_id"])
+           for r in lsh_bucketed_topk(contract_emb, q, k=5, n_planes=6,
+                                      multiprobe=3, dim=32).collect()}
+    assert len(ann & exact) / len(exact) >= 0.9
+
+
+def test_contract_near_dup_recall_and_precision(contract_emb):
+    from cartwright_spark.operators.simsearch import cosine_threshold_pairs
+    exact = {(r["id_a"], r["id_b"])
+             for r in cosine_threshold_pairs(contract_emb, 0.8).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in embedding_near_dups(contract_emb, "vec_id", "embedding",
+                                        cosine_threshold=0.8, n_planes=4,
+                                        dim=32).collect()}
+    assert lsh <= exact                      # exact-cosine refine ⇒ no FPs
+    assert len(lsh) / len(exact) >= 0.9      # bucket blocking recall
