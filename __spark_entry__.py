@@ -988,12 +988,8 @@ def oracle_sql() -> dict[str, str]:
         # SF-independent (customer keys + gazetteer sites; the part-key
         # mesh), so their exact outputs are locked as constants —
         # verified identical across sf0.001/sf0.01/sf0.1
-        "knn_cells": """
-            SELECT * FROM (VALUES (0, 249, 3), (0, 297, 1), (0, 307, 2), (1, 238, 1), (1, 441, 2), (1, 461, 3), (2, 258, 2), (2, 269, 3), (2, 426, 1), (3, 18, 3), (3, 19, 2), (3, 270, 1), (4, 293, 2), (4, 418, 1), (4, 465, 3), (5, 248, 1), (5, 257, 2), (5, 469, 3), (6, 30, 1), (6, 323, 3), (6, 378, 2), (7, 325, 1), (7, 367, 3), (7, 456, 2), (8, 430, 1), (8, 449, 3), (8, 477, 2), (9, 53, 3), (9, 303, 2), (9, 306, 1), (10, 285, 3), (10, 333, 1), (10, 467, 2), (11, 287, 1), (11, 410, 3), (11, 483, 2), (12, 319, 3), (12, 453, 2), (12, 488, 1), (13, 16, 2), (13, 300, 1), (13, 393, 3), (14, 11, 1), (14, 335, 2), (14, 407, 3), (15, 305, 1), (15, 358, 3), (15, 403, 2), (16, 238, 1), (16, 331, 3), (16, 342, 2), (17, 269, 3), (17, 408, 1), (17, 475, 2), (18, 340, 1), (18, 365, 2), (18, 450, 3), (19, 241, 3), (19, 293, 1), (19, 418, 2), (20, 251, 2), (20, 370, 3), (20, 438, 1)) AS t(qid, site_id, rank)
-        """,
-        "knn_hex": """
-            SELECT * FROM (VALUES (0, 249, 3), (0, 297, 1), (0, 307, 2), (1, 298, 3), (1, 441, 2), (1, 494, 1), (2, 301, 2), (2, 415, 1), (2, 498, 3), (3, 430, 3), (3, 433, 2), (3, 449, 1), (4, 53, 1), (4, 242, 2), (4, 306, 3), (5, 267, 2), (5, 440, 3), (5, 443, 1), (6, 317, 2), (6, 388, 1), (6, 461, 3), (7, 258, 2), (7, 413, 1), (7, 472, 3), (8, 14, 2), (8, 50, 1), (8, 481, 3), (9, 264, 2), (9, 350, 1), (9, 391, 3), (10, 245, 1), (10, 289, 2), (10, 460, 3), (11, 1, 2), (11, 38, 3), (11, 463, 1), (12, 247, 3), (12, 280, 2), (12, 454, 1), (13, 254, 1), (13, 309, 3), (13, 311, 2), (14, 240, 3), (14, 353, 2), (14, 399, 1), (15, 22, 3), (15, 291, 1), (15, 442, 2), (16, 324, 2), (16, 328, 1), (16, 401, 3)) AS t(qid, site_id, rank)
-        """,
+        "knn_cells": _golden_sql("knn_cells", ["qid", "site_id", "rank"]),
+        "knn_hex": _golden_sql("knn_hex", ["qid", "site_id", "rank"]),
         "spatial_grid_resolution": """
             SELECT * FROM (VALUES ('_all', 'square', 'PERFECT', 'degrees',
               CAST(0.5000000000000007 AS DOUBLE)))

@@ -56,3 +56,54 @@ def extract_one(query: str, choices, scorer=token_sort_ratio):
     if best is None:
         return None
     return best, best_score
+
+
+# ---------------------------------------------------------------------------
+# gazetteer-scale probe: "does ANY choice score > cutoff" without the full
+# O(n) SequenceMatcher scan. At the reference city-dim size (24,534 names)
+# the naive extract_one costs seconds per probed value; this path is
+# boolean-identical (same prep, same ratio on survivors) but prunes with a
+# vectorized character-multiset upper bound:  M ≤ Σ_ch min(cnt_q, cnt_c)
+# ⇒ 100·2M/(len_q+len_c) bounds the (pre-rounding) ratio from above.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+from functools import lru_cache
+
+_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789 "
+_CHAR_IDX = {c: i for i, c in enumerate(_CHARS)}
+_NCH = len(_CHARS) + 1  # last bucket: any other character
+
+
+def _char_vec(s: str):
+    v = np.zeros(_NCH, dtype=np.int32)
+    for ch in s:
+        v[_CHAR_IDX.get(ch, _NCH - 1)] += 1
+    return v
+
+
+@lru_cache(maxsize=8)
+def _probe_index(choices: tuple):
+    prepped = [_token_sort_prep(c) for c in choices]
+    mat = np.stack([_char_vec(p) for p in prepped])
+    lens = np.array([len(p) for p in prepped], dtype=np.int64)
+    return prepped, mat, lens, frozenset(prepped)
+
+
+def any_over_cutoff(query: str, choices: tuple, cutoff: int = 90) -> bool:
+    """True iff extract_one(query, choices, token_sort_ratio) scores
+    strictly above `cutoff` — i.e. ∃ choice: token_sort_ratio > cutoff.
+    Exact-prep hits short-circuit; otherwise the char-count bound keeps the
+    exact difflib ratio to a handful of candidates."""
+    prepped, mat, lens, exact = _probe_index(tuple(choices))
+    q = _token_sort_prep(str(query))
+    if cutoff < 100 and q in exact:
+        return True
+    qv = _char_vec(q)
+    inter = np.minimum(mat, qv[None, :]).sum(axis=1)
+    ub = 200.0 * inter / np.maximum(lens + len(q), 1)
+    # rounded int ratio > cutoff requires the raw value ≥ cutoff + 0.5
+    for i in np.flatnonzero(ub >= cutoff + 0.5):
+        if ratio(q, prepped[i]) > cutoff:
+            return True
+    return False

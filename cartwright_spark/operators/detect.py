@@ -11,6 +11,8 @@ and dates in reference formats.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -210,15 +212,24 @@ def _gazetteer_gram_mentions(pages: DataFrame, spark: SparkSession,
     """
     dim = F.broadcast(spark.createDataFrame(names_pdf))
     # any gram matching a multi-word name must start with that name's
-    # first word — broadcast that tiny set as an isin prefilter so gram
-    # construction only runs at plausible start positions
+    # first word — prefilter word positions on that set so gram
+    # construction only runs at plausible start positions. Small sets ride
+    # the plan as an isin literal (InSet); at gazetteer scale (24k names,
+    # still only ~300 distinct first words after dedup, but guard anyway)
+    # a broadcast LEFT SEMI join keeps the plan compact and the filter
+    # build-side hashed instead of re-analyzed per query
     first_words = sorted({c.split()[0] for c in names_pdf["name_norm"]})
 
     words = F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z][\w'&-]*"), 0)
     rows = (pages.select("url", words.alias("ws"))
             .select("url", "ws", F.posexplode("ws").alias("pos", "w"))
-            .where(F.substring("w", 1, 1).between("A", "Z")
-                   & F.lower("w").isin(first_words)))
+            .where(F.substring("w", 1, 1).between("A", "Z")))
+    if len(first_words) <= 1000:
+        rows = rows.where(F.lower("w").isin(first_words))
+    else:
+        fw = F.broadcast(spark.createDataFrame(
+            pd.DataFrame({"__fw": first_words})))
+        rows = rows.join(fw, F.lower(rows.w) == fw.__fw, "left_semi")
 
     def _gram(n):
         # null (skipped) when fewer than n full words remain — preserves

@@ -181,11 +181,18 @@ HOT_BOXES: list[tuple[str, float, float]] = [
     ("hotbox_tokyo", 35.68, 139.70),
 ]
 
-N_CITIES = 500
+N_CITIES = 24534  # reference city CSV row count (CategoryBases.py:24-51)
 
 
 @lru_cache(maxsize=1)
 def cities_pdf() -> pd.DataFrame:
+    """24,534 rows — reference-parity scale (round-1 gap: 500). Real
+    anchors + hot-box clusters + seeded synthetic fill. Synthetic names are
+    two alphabetic words ('Zorandia Kelovia') built from a shuffled
+    syllable-pair enumeration: unique by construction, detectable by the
+    capitalized-gram scan (digit-suffixed names never match the word
+    regex), and sharing only ~240 distinct first words — which is what the
+    gram prefilter keys on."""
     rng = np.random.default_rng(4242)
     rows = [(n, la, lo) for (n, la, lo) in _REAL_CITIES]
     # hot-box cluster cities: 60 per box
@@ -196,16 +203,15 @@ def cities_pdf() -> pd.DataFrame:
                 round(bla + float(rng.uniform(-0.05, 0.05)), 6),
                 round(blo + float(rng.uniform(-0.05, 0.05)), 6),
             ))
-    # synthetic fill over land-ish boxes
-    k = 0
-    while len(rows) < N_CITIES:
-        a = _SYL_A[int(rng.integers(len(_SYL_A)))]
-        b = _SYL_B[int(rng.integers(len(_SYL_B)))]
-        name = f"{a}{b} City {k}"
-        la = round(float(rng.uniform(-55, 70)), 6)
-        lo = round(float(rng.uniform(-180, 180)), 6)
-        rows.append((name, la, lo))
-        k += 1
+    # synthetic fill: shuffled enumeration of two-word syllable names
+    base = [a + b for a in _SYL_A for b in _SYL_B]          # 240 words
+    n_need = N_CITIES - len(rows)
+    combos = rng.permutation(len(base) * len(base))[:n_need]
+    la = np.round(rng.uniform(-55, 70, n_need), 6)
+    lo = np.round(rng.uniform(-180, 180, n_need), 6)
+    for idx, c in enumerate(combos):
+        rows.append((f"{base[c // len(base)]} {base[c % len(base)]}",
+                     float(la[idx]), float(lo[idx])))
     return pd.DataFrame(rows, columns=["city", "lat", "lon"])
 
 

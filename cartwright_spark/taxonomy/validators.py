@@ -18,7 +18,12 @@ import datetime
 import numpy as np
 import pandas as pd
 
-from cartwright_spark.functions.fuzzy import extract_one, fuzzy_match, token_sort_ratio
+from cartwright_spark.functions.fuzzy import (
+    any_over_cutoff,
+    extract_one,
+    fuzzy_match,
+    token_sort_ratio,
+)
 from cartwright_spark.sources import gazetteers as gz
 
 # reference utils.py:157-194 — note the nonstandard 'tues','thur','sept'
@@ -165,11 +170,13 @@ def v_continent(s: pd.Series, threshold: float = 0.85) -> np.ndarray:
 
 def probe_gazetteer(series: pd.Series, choices, min_hits: int = 2,
                     probes: int = 6, cutoff: int = 90) -> int:
+    # any_over_cutoff ≡ extract_one(...)[1] > cutoff, but prunes the
+    # 24k-name city dim with a vectorized bound instead of a full
+    # SequenceMatcher scan per probe (functions/fuzzy.py)
     vals = _as_str(series).tolist()
     passed = 0
     for v in vals[:probes]:
-        m = extract_one(v, choices, scorer=token_sort_ratio)
-        if m is not None and m[1] > cutoff:
+        if any_over_cutoff(v, choices, cutoff=cutoff):
             passed += 1
             if passed >= min_hits:
                 return len(vals)
