@@ -314,6 +314,32 @@ def ngram_jaccard_pairs(df: DataFrame, candidate_pairs: DataFrame,
 # embedding near-dup (cosine over a normalized-vector self-join via buckets)
 # ---------------------------------------------------------------------------
 
+def _hyperplane_bucket_udf(n_planes: int, seed: int, dim: int | None):
+    """Arrow UDF: vector → n_planes-bit hyperplane-sign bucket id. The
+    plane matrix depends only on (seed, n_planes, dim); with dim unknown it
+    is generated (and memoized) per observed batch width inside the UDF —
+    bit-identical to the driver-side form, no corpus action needed."""
+    from pyspark.sql.functions import pandas_udf
+
+    fixed = (np.random.default_rng(seed).standard_normal((n_planes, dim))
+             if dim is not None else None)
+    cache: dict[int, np.ndarray] = {}
+
+    @pandas_udf("int")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        planes = fixed
+        if planes is None:
+            planes = cache.get(m.shape[1])
+            if planes is None:
+                planes = np.random.default_rng(seed).standard_normal(
+                    (n_planes, m.shape[1]))
+                cache[m.shape[1]] = planes
+        signs = (m @ planes.T) > 0
+        return pd.Series((signs @ (1 << np.arange(n_planes))).astype(np.int32))
+
+    return bucket
+
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         cosine_threshold: float = 0.95,
@@ -321,19 +347,13 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         dim: int | None = None) -> DataFrame:
     """Near-duplicate vectors by cosine ≥ threshold. Random-hyperplane LSH
     bucket (n_planes sign bits) as the blocking key, exact cosine refine via
-    zip_with/aggregate expressions — no UDF in the refine."""
-    if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    zip_with/aggregate expressions — no UDF in the refine.
 
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("int")
-    def bucket(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())
-        signs = (m @ planes.T) > 0
-        return pd.Series((signs @ (1 << np.arange(n_planes))).astype(np.int32))
+    dim: pass it when known to build the plane matrix driver-side; when
+    None the planes are derived lazily inside the UDF from (seed, observed
+    batch width) — same seeded matrix, no `.first()` driver action on the
+    corpus (round-1 hygiene item)."""
+    bucket = _hyperplane_bucket_udf(n_planes, seed, dim)
 
     withb = emb.select(F.col(id_col).alias("id"),
                        F.col(vec_col).cast("array<double>").alias("v")) \

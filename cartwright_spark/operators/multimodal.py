@@ -68,19 +68,21 @@ def extract_features(media: DataFrame, fake_decode: bool = True,
         return (hist / total).astype(np.float32).tolist()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # columnar batch construction — the only per-item Python is the
+        # codec boundary itself (sha256/decode are inherently per-payload);
+        # no iterrows row boxing (round-1 hygiene item)
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
-                raster = decode_image(payload, fake=fake_decode)
-                rows.append({
-                    "media_id": r["media_id"],
-                    "kind": r["kind"],
-                    "payload_sha256": hashlib.sha256(payload).hexdigest(),
-                    "n_bytes": len(payload),
-                    "feature": _featurize(raster),
-                })
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            payloads = [bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy(),
+                "kind": pdf["kind"].to_numpy(),
+                "payload_sha256": [hashlib.sha256(p).hexdigest()
+                                   for p in payloads],
+                "n_bytes": np.fromiter((len(p) for p in payloads),
+                                       dtype=np.int64, count=len(payloads)),
+                "feature": [_featurize(decode_image(p, fake=fake_decode))
+                            for p in payloads],
+            }, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     cols = ["media_id", "kind", "payload", "meta"]
     return media.select(*cols).mapInPandas(fn, FEATURE_SCHEMA)

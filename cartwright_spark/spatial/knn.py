@@ -107,10 +107,13 @@ def knn_join(queries: DataFrame, sites: DataFrame, k: int = 5,
         return topk.select("qid", "site_id", "rank", "dist_m")
 
     # The audit + fallback below consume `topk` three times (audit agg,
-    # anti-join, semi-join); without a persist Spark would re-run the
+    # anti-join, semi-join); without materialization Spark would re-run the
     # whole disc-explode + candidate join + window per consumer — measured
-    # 3-4× the single-pass cost. Persist the (tiny: ≤ k rows/query) top-k.
-    topk = topk.persist()
+    # 3-4× the single-pass cost. Eager localCheckpoint materializes the
+    # (tiny: ≤ k rows/query) top-k once AND releases its blocks via the
+    # context cleaner when unreferenced — unlike persist(), which leaked a
+    # cache entry per call across a long session (round-1 ADVICE item).
+    topk = topk.localCheckpoint(eager=True)
 
     # exactness audit: a query is resolved iff it has k hits all ≤ r_cover.
     # NB: audit only sees qids WITH candidates — a query whose disc found
@@ -184,7 +187,8 @@ def knn_join_h3(queries: DataFrame, sites: DataFrame, k: int = 5,
     if not exact_fallback:
         return topk.select("qid", "site_id", "rank", "dist_m")
 
-    topk = topk.persist()
+    # eager localCheckpoint, not persist: see knn_join (cache-leak fix)
+    topk = topk.localCheckpoint(eager=True)
     # resolved-ids anti-join (NOT unresolved semi-join): zero-candidate
     # queries are absent from the audit and must still reach the fallback
     audit = topk.groupBy("qid").agg(

@@ -174,6 +174,48 @@ def test_contract_ann_topk_recall(contract_emb):
     assert len(ann & exact) / len(exact) >= 0.9
 
 
+def test_cosine_pairs_blocked_matches_broadcast(spark):
+    """The block-pair grouped strategy (no driver collect) is result-
+    identical to the broadcast-matrix strategy on the same input."""
+    from cartwright_spark.operators.simsearch import cosine_threshold_pairs
+    rng = np.random.default_rng(1)
+    n, d = 2000, 32
+    V = rng.standard_normal((n, d))
+    V[100:150] = V[:50] + 0.05 * rng.standard_normal((50, d))  # planted pairs
+    emb = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": [v.tolist() for v in V]})) \
+        .repartition(8).cache()
+    a = {(r["id_a"], r["id_b"])
+         for r in cosine_threshold_pairs(emb, 0.8).collect()}
+    b = {(r["id_a"], r["id_b"])
+         for r in cosine_threshold_pairs(emb, 0.8, broadcast_max_rows=0,
+                                         block_rows=300).collect()}
+    emb.unpersist()
+    assert a == b
+    assert {(i, 100 + i) for i in range(50)} <= a
+
+
+def test_cosine_pairs_50k_no_driver_collect(spark):
+    """Scale gate (VERDICT r1 item 3): exact all-pairs at 50k vectors runs
+    through the block-pair path — no corpus collect on the driver — and
+    finds the planted near-dup pairs."""
+    from cartwright_spark.operators.simsearch import cosine_threshold_pairs
+    rng = np.random.default_rng(2)
+    n, d = 50_000, 16
+    V = rng.standard_normal((n, d))
+    V[40_000:40_100] = V[:100] + 0.02 * rng.standard_normal((100, d))
+    emb = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": [v.tolist() for v in V]})) \
+        .repartition(32).cache()
+    try:
+        got = {(r["id_a"], r["id_b"])
+               for r in cosine_threshold_pairs(
+                   emb, 0.95, broadcast_max_rows=0).collect()}
+    finally:
+        emb.unpersist()
+    assert {(i, 40_000 + i) for i in range(100)} <= got
+
+
 def test_contract_near_dup_recall_and_precision(contract_emb):
     from cartwright_spark.operators.simsearch import cosine_threshold_pairs
     exact = {(r["id_a"], r["id_b"])
