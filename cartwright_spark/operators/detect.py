@@ -24,33 +24,162 @@ _ISO3_RE = r"\b([A-Z]{3})\b"
 _MONTHS = ("January|February|March|April|May|June|July|August|September"
            "|October|November|December")
 _MONTHS_AB = "Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec"
-_DATE_RES = {
-    # datetime shapes first so their date prefix is also reported by the
-    # plain-date regex (independent per-format matching, like the
-    # reference's per-label validators)
-    "%Y-%m-%dT%H:%M:%S": r"\b(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})\b",
-    "%Y-%m-%d %H:%M:%S": r"\b(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2})\b",
-    "%Y-%m-%d": r"\b(\d{4}-\d{2}-\d{2})\b",
-    "%m/%d/%Y": r"\b(\d{2}/\d{2}/\d{4})\b",
-    "%Y/%m/%d": r"\b(\d{4}/\d{2}/\d{2})\b",
-    "%d %B %Y": rf"\b(\d{{1,2}} (?:{_MONTHS}) \d{{4}})\b",
-    "%d %b %Y": rf"\b(\d{{1,2}} (?:{_MONTHS_AB}) \d{{4}})\b",
-    "%B %d, %Y": rf"\b((?:{_MONTHS}) \d{{1,2}}, \d{{4}})\b",
-    # 8-digit compact dates; try_to_timestamp rejects invalid month/day
-    # combos, so only calendar-valid 8-digit runs survive
-    "%Y%m%d": r"\b(\d{8})\b",
-}
-_SPARK_FMT = {
-    "%Y-%m-%dT%H:%M:%S": "yyyy-MM-dd'T'HH:mm:ss",
-    "%Y-%m-%d %H:%M:%S": "yyyy-MM-dd HH:mm:ss",
-    "%Y-%m-%d": "yyyy-MM-dd",
-    "%m/%d/%Y": "MM/dd/yyyy",
-    "%Y/%m/%d": "yyyy/MM/dd",
-    "%d %B %Y": "d MMMM yyyy",
-    "%d %b %Y": "d MMM yyyy",
-    "%B %d, %Y": "MMMM d, yyyy",
-    "%Y%m%d": "yyyyMMdd",
-}
+_WD_AB = "Mon|Tue|Wed|Thu|Fri|Sat|Sun"
+_WD_FULL = "Monday|Tuesday|Wednesday|Thursday|Friday|Saturday|Sunday"
+
+# ---------------------------------------------------------------------------
+# free-text date detection at taxonomy scale: 43 of the reference's 47
+# formats (dates.py:4-457 / partial_dates.py). One regex per *shape family*
+# (not per format) keeps the scan to ~20 regexes: a family match expands
+# into every format candidate it could instantiate (mdy AND dmy for an
+# ambiguous 05-06-2021; datetime AND its date prefix when a time part is
+# present — uniform for 'T' and space separators, replacing the
+# \b-dependent inconsistency flagged in round-1 ADVICE), and per-format
+# validity is decided post-explode by try_to_timestamp. Not covered:
+# %Y%d (no Spark pattern, ambiguous digits), free-text unix_time
+# (indistinguishable from plain integers without column context — P6
+# covers the column form), and %m/%d/%y %H:%M:%S %p (12h/%p with %H is
+# unparseable as written; the reference's own faker never emits it).
+# Weekday-named formats parse the part after the weekday, like strptime
+# (which ignores %A/%a consistency when y-m-d are present).
+# ---------------------------------------------------------------------------
+
+_SEPS = ["-", "_", "/", "."]
+_SEP_CLS = r"[-_/.]"
+_TIME_RE = r"(?: \d{2}:\d{2}:\d{2})?"
+
+
+def _date_families() -> list[tuple[str, int | None, list[tuple[str, str]]]]:
+    """[(regex, sep_group_pos, [(fmt_template, candidate_kind)])].
+
+    Numeric families use ONE regex across all four separators (character
+    class + backreference, so mixed-sep strings like 2021-05_06 never
+    match); the template's {s} is filled from the matched separator at
+    plan-build time (substring of the match), keeping the fused text scan
+    at 12 date regexes instead of 38 — regex count IS the detect stage's
+    cost model. sep_group_pos = 1-based char index of the separator within
+    the match (None for fixed-format families). candidate_kind ∈
+    {date, datetime, t_prefix, wd_date, wd_datetime} controls value
+    extraction."""
+    return [
+        # ymd (+ optional time)
+        (rf"\b(\d{{4}}({_SEP_CLS})\d{{2}}\2\d{{2}}{_TIME_RE})\b", 5,
+         [("%Y{s}%m{s}%d", "date"), ("%Y{s}%m{s}%d %H:%M:%S", "datetime")]),
+        # mdy / dmy, 4-digit year (+ optional time)
+        (rf"\b(\d{{2}}({_SEP_CLS})\d{{2}}\2\d{{4}}{_TIME_RE})\b", 3,
+         [("%m{s}%d{s}%Y", "date"), ("%d{s}%m{s}%Y", "date"),
+          ("%m{s}%d{s}%Y %H:%M:%S", "datetime"),
+          ("%d{s}%m{s}%Y %H:%M:%S", "datetime")]),
+        # mdy / dmy, 2-digit year
+        (rf"\b(\d{{2}}({_SEP_CLS})\d{{2}}\2\d{{2}})\b(?!\2?\d)", 3,
+         [("%m{s}%d{s}%y", "date"), ("%d{s}%m{s}%y", "date")]),
+        # %Y<sep>%m partial — guarded against being a full date's prefix
+        (rf"\b(\d{{4}}({_SEP_CLS})\d{{2}})\b(?!\2\d|:)", 5,
+         [("%Y{s}%m", "date")]),
+        (r"\b(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})\b", None,
+         [("%Y-%m-%dT%H:%M:%S", "datetime"), ("%Y-%m-%d", "t_prefix")]),
+        # 8-digit compact; try_to_timestamp rejects non-calendar runs
+        (r"\b(\d{8})\b", None, [("%Y%m%d", "date")]),
+        (rf"\b(\d{{1,2}} (?:{_MONTHS}) \d{{4}})\b", None,
+         [("%d %B %Y", "date")]),
+        (rf"\b(\d{{1,2}} (?:{_MONTHS}) \d{{2}})\b(?!\d)", None,
+         [("%d %B %y", "date")]),
+        (rf"\b(\d{{1,2}} (?:{_MONTHS_AB}) \d{{4}})\b", None,
+         [("%d %b %Y", "date")]),
+        (rf"\b((?:{_MONTHS}) \d{{1,2}}, \d{{4}})\b", None,
+         [("%B %d, %Y", "date")]),
+        (rf"\b((?:{_WD_AB}), \d{{1,2}} (?:{_MONTHS_AB}) \d{{4}})\b", None,
+         [("%a, %d %b %Y", "wd_date")]),
+        (rf"\b((?:{_WD_FULL}), (?:{_MONTHS}) \d{{1,2}}, \d{{4}}"
+         rf"(?:, \d{{2}}:\d{{2}}:\d{{2}})?)\b", None,
+         [("%A, %B %d, %Y", "wd_date"),
+          ("%A, %B %d, %Y, %H:%M:%S", "wd_datetime")]),
+    ]
+
+
+def _strftime_to_spark(fmt: str) -> str:
+    return (fmt.replace("%Y", "yyyy").replace("%y", "yy")
+            .replace("%m", "MM").replace("%d", "dd")
+            .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+            .replace("%B", "MMMM").replace("%b", "MMM"))
+
+
+# every detectable format → the Spark parse pattern applied to the value
+# AFTER the weekday prefix (if any) is stripped
+_SPARK_FMT: dict[str, str] = {}
+for _rex, _sep_pos, _cands in _date_families():
+    for _tpl, _ck in _cands:
+        _insts = ([_tpl.replace("{s}", _s) for _s in _SEPS]
+                  if "{s}" in _tpl else [_tpl])
+        for _fmt in _insts:
+            if _ck.startswith("wd_"):
+                _SPARK_FMT[_fmt] = _strftime_to_spark(_fmt.split(", ", 1)[1])
+            elif _fmt == "%Y-%m-%dT%H:%M:%S":
+                _SPARK_FMT[_fmt] = "yyyy-MM-dd'T'HH:mm:ss"
+            else:
+                _SPARK_FMT[_fmt] = _strftime_to_spark(_fmt)
+
+DETECTABLE_DATE_FORMATS = tuple(sorted(_SPARK_FMT))
+
+
+def _candidate_value(x, kind: str):
+    """Per-candidate value expression from a family match `x`."""
+    if kind == "date":          # strip a trailing ' HH:MM:SS' if present
+        return F.when(x.contains(":"),
+                      F.substring(x, 1, F.length(x) - 9)).otherwise(x)
+    if kind == "datetime":      # only when a time part is present
+        return F.when(x.contains(":"), x)
+    if kind == "t_prefix":      # date prefix of the ISO-T shape
+        return F.substring(x, 1, 10)
+    if kind == "wd_date":       # strip a trailing ', HH:MM:SS'
+        return F.when(x.contains(":"),
+                      F.substring(x, 1, F.length(x) - 10)).otherwise(x)
+    if kind == "wd_datetime":
+        return F.when(x.contains(":"), x)
+    raise ValueError(kind)
+
+
+def _date_hit_arrays(text_col: str):
+    """One array<struct<kind,value,format>> per family regex; null values
+    (inapplicable candidates) are filtered post-explode."""
+    # NB: the transform lambda must be SINGLE-arg (arity 2 would bind the
+    # element index to the second parameter) — close over cands via factory
+    def _fmt_col(x, tpl: str, sep_pos):
+        if "{s}" not in tpl:
+            return F.lit(tpl)
+        sep = F.substring(x, sep_pos, 1)
+        parts = tpl.split("{s}")
+        out = [F.lit(parts[0])]
+        for p in parts[1:]:
+            out += [sep, F.lit(p)]
+        return F.concat(*out)
+
+    def _expander(cands, sep_pos):
+        def expand(x):
+            return F.array(*[
+                F.struct(F.lit("date").alias("kind"),
+                         _candidate_value(x, ck).alias("value"),
+                         _fmt_col(x, tpl, sep_pos).alias("format"))
+                for tpl, ck in cands])
+        return expand
+
+    arrays = []
+    for rex, sep_pos, cands in _date_families():
+        arrays.append(F.flatten(F.transform(
+            F.regexp_extract_all(F.col(text_col), F.lit(rex), 1),
+            _expander(cands, sep_pos))))
+    return arrays
+
+
+def _date_ts_expr(value_col, format_col):
+    """format-dispatched try_to_timestamp; weekday prefixes stripped first."""
+    parse_src = F.regexp_replace(value_col, r"^[A-Za-z]+, ", "")
+    ts = None
+    for fmt, pat in _SPARK_FMT.items():
+        cand = F.try_to_timestamp(parse_src, F.lit(pat))
+        ts = F.when(format_col == fmt, cand) if ts is None \
+            else ts.when(format_col == fmt, cand)
+    return ts
 
 
 def detect_all(pages: DataFrame, spark: SparkSession,
@@ -117,25 +246,19 @@ def _detect_entities_single_scan(pages: DataFrame, spark: SparkSession,
                     _tag("coord")),
         F.transform(F.regexp_extract_all(F.col(text_col), F.lit(_ISO3_RE), 1),
                     _tag("iso3")),
-    ] + [
-        F.transform(F.regexp_extract_all(F.col(text_col), F.lit(rex), 1),
-                    _tag("date", fmt))
-        for fmt, rex in _DATE_RES.items()
-    ]
+    ] + _date_hit_arrays(text_col)
     hits = (pages.select("url", F.explode(F.concat(*arrays)).alias("h"))
             .select("url", F.col("h.kind").alias("kind"),
                     F.col("h.value").alias("value"),
-                    F.col("h.format").alias("format")))
+                    F.col("h.format").alias("format"))
+            # date candidates inapplicable to their match (e.g. the
+            # datetime form of a time-less match) carry null values
+            .where(F.col("value").isNotNull()))
 
     # per-kind validation on narrow rows
     lat = F.split("value", ",\\s*").getItem(0).cast("double")
     lon = F.split("value", ",\\s*").getItem(1).cast("double")
-    spark_fmt = _SPARK_FMT
-    ts = None
-    for fmt, sf in spark_fmt.items():
-        cand = F.try_to_timestamp(F.col("value"), F.lit(sf))
-        ts = F.when(F.col("format") == fmt, cand) if ts is None \
-            else ts.when(F.col("format") == fmt, cand)
+    ts = _date_ts_expr(F.col("value"), F.col("format"))
 
     iso3 = F.broadcast(
         spark.createDataFrame(gz.countries_pdf()[["iso3"]]))
@@ -270,34 +393,19 @@ def detect_countries(pages: DataFrame, spark: SparkSession,
 
 
 def detect_dates(pages: DataFrame, text_col: str = "text") -> DataFrame:
-    """url → (format, raw, ts) for regex-detectable reference formats;
-    validity re-checked with to_timestamp (P8 pushdown-friendly subset).
+    """url → (format, raw, ts) across the 43 detectable taxonomy formats;
+    validity decided by format-dispatched try_to_timestamp.
 
-    All 5 format regexes are evaluated in ONE scan: each produces a match
-    array, the arrays are tagged with their format (transform runs
-    interpreted but only over actual matches, ~1/doc) and exploded once —
-    the earlier per-format union re-read the text column 5×."""
-    spark_fmt = _SPARK_FMT
-    # NB: the tag lambda must be SINGLE-arg — `lambda x, fmt=fmt:` has
-    # arity 2, so F.transform would pass (element, index) and bind the
-    # index column to fmt; close over fmt with a factory instead
-    def _tag(fmt):
-        return lambda x: F.struct(F.lit(fmt).alias("format"),
-                                  x.alias("raw"))
-
-    tagged = [
-        F.transform(F.regexp_extract_all(F.col(text_col), F.lit(rex), 1),
-                    _tag(fmt))
-        for fmt, rex in _DATE_RES.items()
-    ]
-    hits = (pages.select("url", F.explode(F.concat(*tagged)).alias("hit"))
-            .select("url", F.col("hit.format").alias("format"),
-                    F.col("hit.raw").alias("raw")))
-    ts = None
-    for fmt, sf in spark_fmt.items():
-        cand = F.try_to_timestamp(F.col("raw"), F.lit(sf))
-        ts = F.when(F.col("format") == fmt, cand) if ts is None \
-            else ts.when(F.col("format") == fmt, cand)
+    ONE scan: every family regex produces a match array, matches expand to
+    their format candidates (transform runs interpreted but only over
+    actual matches, ~1-3/doc), one explode — same machinery as the fused
+    entity scan, so detect_all parity holds by construction."""
+    hits = (pages.select(
+        "url", F.explode(F.concat(*_date_hit_arrays(text_col))).alias("h"))
+        .select("url", F.col("h.format").alias("format"),
+                F.col("h.value").alias("raw"))
+        .where(F.col("raw").isNotNull()))
+    ts = _date_ts_expr(F.col("raw"), F.col("format"))
     return (hits.withColumn("ts", ts)
             .where(F.col("ts").isNotNull())
             .select("url", "format", "raw", "ts"))
