@@ -60,12 +60,27 @@ def main() -> None:
         .agg(F.sum("q")).collect()
 
     # --- contract queries over the testdata tables -------------------------
+    # r01's list plus every query that went green in r02 — same names each
+    # round so per-query regressions stay visible (VERDICT r1 item 9).
+    # doc_fingerprint is benched separately below (its contract query now
+    # runs a fixed golden fixture); incremental_microbatch writes snapshot
+    # dirs per call and is covered by the pipeline timing instead.
     qmap = entry_mod.queries()
-    for name in ("p4_latitude_valid", "j8_tile_grid", "w1_temporal_deltas",
-                 "a7_uniformity", "dedup_exact", "text_token_count",
-                 "text_quality_counts", "knn_grid", "j6_pip_boxes",
-                 "knn_cells", "o2_topk", "lang_detect", "dedup_groups",
-                 "embedding_cosine_pairs", "multimodal_features"):
+    for name in ("p4_latitude_valid", "p5_latlong_pair", "p6_unix_time",
+                 "p7_year_range", "p8_date_format", "p9_iso3_membership",
+                 "p10_latlon_dedup", "j4_continent_fuzzy", "j6_pip_boxes",
+                 "j8_tile_grid", "j9_salted_rollup", "w1_temporal_deltas",
+                 "a5_threshold_cascade", "a7_uniformity",
+                 "temporal_resolution", "spatial_grid_resolution",
+                 "cartwright_categorize", "fuzzy_country_join",
+                 "dedup_exact", "dedup_groups",
+                 "simhash_pairs", "embedding_cosine_pairs",
+                 "embedding_near_dup_lsh", "lsh_ann_topk",
+                 "s2_histogram", "h3_histogram",
+                 "text_token_count", "text_quality_counts",
+                 "lang_stopword_hits", "lang_detect",
+                 "knn_grid", "knn_cells", "knn_hex", "o2_topk",
+                 "multimodal_features", "multimodal_frame_plan"):
         timed(name, lambda n=name: qmap[n](spark, sf_dir)
               .write.format("noop").mode("overwrite").save())
 

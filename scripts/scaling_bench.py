@@ -44,6 +44,27 @@ def prepare(n_pages: int) -> str:
     return src
 
 
+def prepare_extracted(n_pages: int) -> str:
+    """Pre-extracted corpus for the bandwidth-light 'engine' variant: the
+    html→text extraction (the single-socket memory-bandwidth wall, see
+    BENCH/BASELINE.md) runs ONCE here; the measured job then starts at
+    detection. In production this is exactly the checkpointed `extracted`
+    stage a resumed pipeline reads."""
+    src = os.path.join(WORK, f"extracted_{n_pages}")
+    if os.path.exists(os.path.join(src, "_SUCCESS")):
+        return src
+    prepare(n_pages)
+    from cartwright_spark.operators.extract import extract_pages
+    from cartwright_spark.session import get_spark
+    spark = get_spark("scaling_prep_ext", master="local[32]")
+    pages = spark.read.parquet(os.path.join(WORK, f"pages_{n_pages}"))
+    extract_pages(pages.select("url", "html")) \
+        .select("url", "extracted_text") \
+        .repartition(256).write.mode("overwrite").parquet(src)
+    spark.stop()
+    return src
+
+
 def _corpus_boxes():
     """Admin polygons aligned with the corpus coordinate regions (hot urban
     boxes + land boxes) so the PIP join actually selects rows."""
@@ -63,7 +84,12 @@ def _corpus_boxes():
     return pd.DataFrame(rows)
 
 
-def run_once(cores: int, n_pages: int) -> dict:
+def run_once(cores: int, n_pages: int, variant: str = "full") -> dict:
+    """variant='full': extract → detect → encode → PIP ‖ rollup from raw
+    html. variant='engine': same from the pre-extracted text corpus —
+    isolates the engine stages' scaling from the extraction stage's
+    single-socket memory-bandwidth wall (which a multi-executor cluster
+    does not share: each executor brings its own memory system)."""
     from pyspark.sql import functions as F
 
     from cartwright_spark.functions.geodesy import tile_id_col
@@ -73,7 +99,9 @@ def run_once(cores: int, n_pages: int) -> dict:
     from cartwright_spark.spatial.pip import point_in_polygon_join
     from cartwright_spark.spatial.udfs import s2_cell, s2_parent_col
 
-    src = os.path.join(WORK, f"pages_{n_pages}")
+    engine = variant == "engine"
+    src = os.path.join(
+        WORK, f"{'extracted' if engine else 'pages'}_{n_pages}")
     spark = get_spark("scaling_run", master=f"local[{cores}]",
                       shuffle_partitions=2 * cores)
     spark.sparkContext.setLogLevel("ERROR")
@@ -81,14 +109,20 @@ def run_once(cores: int, n_pages: int) -> dict:
 
     # warm JVM + the python worker pool (incl. the s2 UDF path) so worker
     # cold-start isn't billed to the measured run
-    warm = extract_pages(pages.limit(5000))
+    if engine:
+        warm = pages.limit(5000)
+    else:
+        warm = extract_pages(pages.limit(5000))
     warm = detect_coordinates(warm, text_col="extracted_text")
     warm.withColumn("c", s2_cell(F.col("lat"), F.col("lon"), 10)) \
         .write.format("noop").mode("overwrite").save()
 
     def measure() -> dict:
         t0 = time.perf_counter()
-        ext = extract_pages(pages.select("url", "html"))
+        if engine:
+            ext = pages
+        else:
+            ext = extract_pages(pages.select("url", "html"))
         det = detect_coordinates(ext, text_col="extracted_text")
         cells = (det.withColumn("s2_cell", s2_cell(F.col("lat"), F.col("lon"), 10))
                  .withColumn("tile_id", tile_id_col(F.col("lat"), F.col("lon"), 8))
@@ -118,16 +152,22 @@ def run_once(cores: int, n_pages: int) -> dict:
                 "phase_joins_sec": round(wall - t_cells, 2),
                 "coords": n_coords, "pip_rows": n_pip, "tiles": n_tiles}
 
-    # best-of-3: this sandbox shares its host (idle loadavg ~10/32), and
-    # interference only ever slows a run down — min wall is the clean signal
-    runs = [measure() for _ in range(3)]
+    # best-of-N: this sandbox shares its host, and interference only ever
+    # slows a run down — min wall is the clean signal. Each repeat records
+    # the 1-min loadavg at its start so reports can show the runs were
+    # externally quiet (loadavg-gated evidence, round-2 VERDICT item 4).
+    runs = []
+    for _ in range(3):
+        with open("/proc/loadavg") as f:
+            load_at_start = float(f.read().split()[0])
+        r = measure()
+        r["loadavg_at_start"] = load_at_start
+        runs.append(r)
     best = min(runs, key=lambda r: r["wall_sec"])
-    with open("/proc/loadavg") as f:
-        load = f.read().split()[:3]
     spark.stop()
-    return {"cores": cores, "pages": n_pages, **best,
+    return {"cores": cores, "pages": n_pages, "variant": variant, **best,
             "all_walls": [r["wall_sec"] for r in runs],
-            "host_loadavg": load}
+            "all_loadavg": [r["loadavg_at_start"] for r in runs]}
 
 
 def main() -> None:
@@ -135,6 +175,7 @@ def main() -> None:
     ap.add_argument("--pages", type=int, default=3_000_000)
     ap.add_argument("cmd", choices=["prepare", "run", "all", "report"])
     ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--variant", default="full", choices=["full", "engine"])
     ap.add_argument("--pair", default="8,32",
                     help="N,4N parallelism levels for the all/report modes")
     args = ap.parse_args()
@@ -142,30 +183,39 @@ def main() -> None:
 
     os.makedirs(WORK, exist_ok=True)
     if args.cmd == "prepare":
-        prepare(args.pages)
+        if args.variant == "engine":
+            prepare_extracted(args.pages)
+        else:
+            prepare(args.pages)
     elif args.cmd == "run":
-        res = run_once(args.cores, args.pages)
-        with open(os.path.join(WORK, f"result_{args.cores}.json"), "w") as f:
+        res = run_once(args.cores, args.pages, args.variant)
+        path = os.path.join(WORK, f"result_{args.variant}_{args.cores}.json")
+        with open(path, "w") as f:
             json.dump(res, f)
         print(json.dumps(res))
     elif args.cmd == "all":
-        prepare(args.pages)
+        if args.variant == "engine":
+            prepare_extracted(args.pages)
+        else:
+            prepare(args.pages)
         for cores in (lo, hi):
             # fresh process per run → clean JVM, no cross-run cache effects
             subprocess.run(
                 [sys.executable, __file__, "--pages", str(args.pages),
-                 "run", "--cores", str(cores)], check=True)
+                 "run", "--cores", str(cores), "--variant", args.variant],
+                check=True)
         args.cmd = "report"
     if args.cmd == "report":
-        with open(os.path.join(WORK, f"result_{lo}.json")) as f:
+        v = args.variant
+        with open(os.path.join(WORK, f"result_{v}_{lo}.json")) as f:
             rlo = json.load(f)
-        with open(os.path.join(WORK, f"result_{hi}.json")) as f:
+        with open(os.path.join(WORK, f"result_{v}_{hi}.json")) as f:
             rhi = json.load(f)
         eff = rhi["docs_per_sec"] / ((hi / lo) * rlo["docs_per_sec"])
-        out = {f"n{lo}": rlo, f"n{hi}": rhi,
+        out = {f"n{lo}": rlo, f"n{hi}": rhi, "variant": v,
                f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3)}
         print(json.dumps(out, indent=1))
-        with open(os.path.join(WORK, f"scaling_{lo}_{hi}.json"), "w") as f:
+        with open(os.path.join(WORK, f"scaling_{v}_{lo}_{hi}.json"), "w") as f:
             json.dump(out, f)
 
 
