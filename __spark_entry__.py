@@ -647,6 +647,22 @@ def q_p10_latlon_dedup(spark, sf_dir):
         F.radians("lat").alias("lat_rad"), F.radians("lon").alias("lon_rad"))
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """§2.9 stateful-streaming surface: gap-based sessionization. The
+    contract runs the batch form (streaming/structured.py
+    sessionize_batch — window lag → gap breaks → per-session agg); the
+    applyInPandasWithState streaming form is asserted equal to it in
+    tests/test_structured_streaming.py. Full SQL oracle."""
+    from cartwright_spark.streaming.structured import sessionize_batch
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = sessionize_batch(ev, gap_sec=1800.0)
+    return out.select(
+        "user_id",
+        F.round("session_start", 3).alias("session_start"),
+        F.round("session_end", 3).alias("session_end"),
+        "n_events", F.round("sum_value", 4).alias("sum_value"))
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint (textstats.py): min crc32 over
     8-word grams + whole-doc xxhash64, over the fixture corpus (golden
@@ -698,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_hex": q_knn_hex,
         "p10_latlon_dedup": q_p10_latlon_dedup,
         "incremental_microbatch": q_incremental_microbatch,
+        "stream_sessionize": q_stream_sessionize,
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "j9_salted_rollup": q_j9_salted_rollup,
     }
@@ -1031,6 +1048,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY user_id
+        """,
+        # gap-break sessionization re-derived in SQL: lag → break flag →
+        # running session id → per-session aggregate (ties in secs give
+        # gap 0, so session assignment is order-ambiguity-free)
+        "stream_sessionize": """
+            WITH src AS (
+              SELECT user_id, epoch_us(ts) / 1e6 AS secs, value
+              FROM events WHERE ts IS NOT NULL
+            ),
+            lagged AS (
+              SELECT user_id, secs, value,
+                     CASE WHEN secs - lag(secs) OVER
+                            (PARTITION BY user_id ORDER BY secs) > 1800.0
+                          THEN 1 ELSE 0 END AS brk
+              FROM src
+            ),
+            sess AS (
+              SELECT user_id, secs, value,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY secs
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM lagged
+            )
+            SELECT user_id,
+                   round(min(secs), 3) AS session_start,
+                   round(max(secs), 3) AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM sess GROUP BY user_id, sid
         """,
         "p10_latlon_dedup": f"""
             SELECT lat, lon,

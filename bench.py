@@ -80,7 +80,8 @@ def main() -> None:
                  "text_token_count", "text_quality_counts",
                  "lang_stopword_hits", "lang_detect",
                  "knn_grid", "knn_cells", "knn_hex", "o2_topk",
-                 "multimodal_features", "multimodal_frame_plan"):
+                 "multimodal_features", "multimodal_frame_plan",
+                 "stream_sessionize"):
         timed(name, lambda n=name: qmap[n](spark, sf_dir)
               .write.format("noop").mode("overwrite").save())
 

@@ -84,7 +84,8 @@ def _corpus_boxes():
     return pd.DataFrame(rows)
 
 
-def run_once(cores: int, n_pages: int, variant: str = "full") -> dict:
+def run_once(cores: int, n_pages: int, variant: str = "full",
+             repeats: int = 3) -> dict:
     """variant='full': extract → detect → encode → PIP ‖ rollup from raw
     html. variant='engine': same from the pre-extracted text corpus —
     isolates the engine stages' scaling from the extraction stage's
@@ -102,8 +103,16 @@ def run_once(cores: int, n_pages: int, variant: str = "full") -> dict:
     engine = variant == "engine"
     src = os.path.join(
         WORK, f"{'extracted' if engine else 'pages'}_{n_pages}")
+    # pin GC parallelism to the core budget: local[N] caps task slots at N
+    # but ParallelGC otherwise spawns host-core-count GC threads, silently
+    # lending the low-N runs extra cores (a real N-core executor gets N) —
+    # without this the N→4N ratio understates true scaling
+    # keep ParallelGC (session default would be overwritten by this key)
+    gc_opts = (f"-XX:+UseParallelGC -XX:ParallelGCThreads={cores} "
+               f"-XX:ConcGCThreads={max(1, cores // 4)}")
     spark = get_spark("scaling_run", master=f"local[{cores}]",
-                      shuffle_partitions=2 * cores)
+                      shuffle_partitions=2 * cores,
+                      extra_conf={"spark.driver.extraJavaOptions": gc_opts})
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(src)
 
@@ -157,7 +166,7 @@ def run_once(cores: int, n_pages: int, variant: str = "full") -> dict:
     # the 1-min loadavg at its start so reports can show the runs were
     # externally quiet (loadavg-gated evidence, round-2 VERDICT item 4).
     runs = []
-    for _ in range(3):
+    for _ in range(repeats):
         with open("/proc/loadavg") as f:
             load_at_start = float(f.read().split()[0])
         r = measure()
@@ -176,6 +185,7 @@ def main() -> None:
     ap.add_argument("cmd", choices=["prepare", "run", "all", "report"])
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--variant", default="full", choices=["full", "engine"])
+    ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--pair", default="8,32",
                     help="N,4N parallelism levels for the all/report modes")
     args = ap.parse_args()
@@ -188,7 +198,7 @@ def main() -> None:
         else:
             prepare(args.pages)
     elif args.cmd == "run":
-        res = run_once(args.cores, args.pages, args.variant)
+        res = run_once(args.cores, args.pages, args.variant, args.repeats)
         path = os.path.join(WORK, f"result_{args.variant}_{args.cores}.json")
         with open(path, "w") as f:
             json.dump(res, f)
@@ -202,7 +212,8 @@ def main() -> None:
             # fresh process per run → clean JVM, no cross-run cache effects
             subprocess.run(
                 [sys.executable, __file__, "--pages", str(args.pages),
-                 "run", "--cores", str(cores), "--variant", args.variant],
+                 "run", "--cores", str(cores), "--variant", args.variant,
+                 "--repeats", str(args.repeats)],
                 check=True)
         args.cmd = "report"
     if args.cmd == "report":
