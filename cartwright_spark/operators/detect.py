@@ -139,36 +139,70 @@ def _candidate_value(x, kind: str):
     raise ValueError(kind)
 
 
-def _date_hit_arrays(text_col: str):
-    """One array<struct<kind,value,format>> per family regex; null values
-    (inapplicable candidates) are filtered post-explode."""
-    # NB: the transform lambda must be SINGLE-arg (arity 2 would bind the
-    # element index to the second parameter) — close over cands via factory
-    def _fmt_col(x, tpl: str, sep_pos):
-        if "{s}" not in tpl:
-            return F.lit(tpl)
-        sep = F.substring(x, sep_pos, 1)
-        parts = tpl.split("{s}")
-        out = [F.lit(parts[0])]
-        for p in parts[1:]:
-            out += [sep, F.lit(p)]
-        return F.concat(*out)
+def _fmt_col(x, tpl: str, sep_pos):
+    if "{s}" not in tpl:
+        return F.lit(tpl)
+    sep = F.substring(x, sep_pos, 1)
+    parts = tpl.split("{s}")
+    out = [F.lit(parts[0])]
+    for p in parts[1:]:
+        out += [sep, F.lit(p)]
+    return F.concat(*out)
 
-    def _expander(cands, sep_pos):
-        def expand(x):
-            return F.array(*[
-                F.struct(F.lit("date").alias("kind"),
-                         _candidate_value(x, ck).alias("value"),
-                         _fmt_col(x, tpl, sep_pos).alias("format"))
-                for tpl, ck in cands])
-        return expand
 
-    arrays = []
-    for rex, sep_pos, cands in _date_families():
-        arrays.append(F.flatten(F.transform(
-            F.regexp_extract_all(F.col(text_col), F.lit(rex), 1),
-            _expander(cands, sep_pos))))
-    return arrays
+def _date_match_rows(pages: DataFrame, text_col: str,
+                     extra_fams: list | None = None) -> DataFrame:
+    """(url, fam, m) — one row per (family, raw regex match), via two
+    codegen explodes: pages → array<struct<fam, matches>> (ONE regex scan
+    per family, all in one projection over the text column) → family rows
+    → match rows. No higher-order-function lambdas anywhere: Catalyst
+    evaluates transform()/flatten() callbacks interpreted per element,
+    which made the previous per-match candidate expansion the detect
+    stage's dominant cost (measured ~2 s of the 3 s single scan at 100k
+    pages; the 14 raw regex scans are ~0.05 s each).
+
+    extra_fams: [(fam_id, regex, group_idx)] appended families (coord/iso3
+    ride the same scan in detect_all)."""
+    fams = _date_families()
+    structs = [
+        F.struct(F.lit(i).alias("fam"),
+                 F.regexp_extract_all(F.col(text_col), F.lit(rex), 1)
+                 .alias("ms"))
+        for i, (rex, _sp, _c) in enumerate(fams)
+    ] + [
+        F.struct(F.lit(fid).alias("fam"),
+                 F.regexp_extract_all(F.col(text_col), F.lit(rex), grp)
+                 .alias("ms"))
+        for fid, rex, grp in (extra_fams or [])
+    ]
+    return (pages
+            .select("url", F.explode(F.array(*structs)).alias("fm"))
+            .select("url", F.col("fm.fam").alias("fam"),
+                    F.explode("fm.ms").alias("m")))
+
+
+def _date_candidate_rows(rows: DataFrame) -> DataFrame:
+    """(url, kind, value, format) date candidates from (url, fam, m) match
+    rows: a fam-dispatched when-chain builds each family's candidate-struct
+    array (all plain codegen exprs — value extraction and separator-derived
+    format strings), one explode, null (inapplicable) candidates dropped."""
+    fams = _date_families()
+    arr = None
+    for i, (_rex, sep_pos, cands) in enumerate(fams):
+        m = F.col("m")
+        a = F.array(*[
+            F.struct(F.lit("date").alias("kind"),
+                     _candidate_value(m, ck).alias("value"),
+                     _fmt_col(m, tpl, sep_pos).alias("format"))
+            for tpl, ck in cands])
+        arr = F.when(F.col("fam") == i, a) if arr is None \
+            else arr.when(F.col("fam") == i, a)
+    return (rows.where(F.col("fam") < len(fams))
+            .select("url", F.explode(arr).alias("h"))
+            .select("url", F.col("h.kind").alias("kind"),
+                    F.col("h.value").alias("value"),
+                    F.col("h.format").alias("format"))
+            .where(F.col("value").isNotNull()))
 
 
 def _date_ts_expr(value_col, format_col):
@@ -236,18 +270,34 @@ def _detect_entities_single_scan(pages: DataFrame, spark: SparkSession,
     predicates, broadcast ISO3 membership, format-dispatched
     try_to_timestamp. Output rows are byte-identical to the per-detector
     branches (locked by detect parity tests)."""
-    def _tag(kind, fmt=None):
-        f = F.lit(fmt) if fmt else F.lit(None).cast("string")
-        return lambda x: F.struct(F.lit(kind).alias("kind"),
-                                  x.alias("value"), f.alias("format"))
+    # coord/iso3 ride the same match-row pipeline as the date families
+    # (fam ids past the date range), so the whole entity scan is two
+    # codegen explodes + one fam-dispatched candidate explode — zero
+    # interpreted HOF lambdas
+    n_date_fams = len(_date_families())
+    FAM_COORD, FAM_ISO3 = n_date_fams, n_date_fams + 1
+    rows = _date_match_rows(pages, text_col, extra_fams=[
+        (FAM_COORD, _COORD_RE, 0), (FAM_ISO3, _ISO3_RE, 1)])
 
-    arrays = [
-        F.transform(F.regexp_extract_all(F.col(text_col), F.lit(_COORD_RE), 0),
-                    _tag("coord")),
-        F.transform(F.regexp_extract_all(F.col(text_col), F.lit(_ISO3_RE), 1),
-                    _tag("iso3")),
-    ] + _date_hit_arrays(text_col)
-    hits = (pages.select("url", F.explode(F.concat(*arrays)).alias("h"))
+    fams = _date_families()
+    m = F.col("m")
+    arr = None
+    for i, (_rex, sep_pos, cands) in enumerate(fams):
+        a = F.array(*[
+            F.struct(F.lit("date").alias("kind"),
+                     _candidate_value(m, ck).alias("value"),
+                     _fmt_col(m, tpl, sep_pos).alias("format"))
+            for tpl, ck in cands])
+        arr = F.when(F.col("fam") == i, a) if arr is None \
+            else arr.when(F.col("fam") == i, a)
+    nulf = F.lit(None).cast("string")
+    arr = arr.when(F.col("fam") == FAM_COORD,
+                   F.array(F.struct(F.lit("coord").alias("kind"),
+                                    m.alias("value"), nulf.alias("format"))))
+    arr = arr.when(F.col("fam") == FAM_ISO3,
+                   F.array(F.struct(F.lit("iso3").alias("kind"),
+                                    m.alias("value"), nulf.alias("format"))))
+    hits = (rows.select("url", F.explode(arr).alias("h"))
             .select("url", F.col("h.kind").alias("kind"),
                     F.col("h.value").alias("value"),
                     F.col("h.format").alias("format"))
@@ -396,15 +446,12 @@ def detect_dates(pages: DataFrame, text_col: str = "text") -> DataFrame:
     """url → (format, raw, ts) across the 43 detectable taxonomy formats;
     validity decided by format-dispatched try_to_timestamp.
 
-    ONE scan: every family regex produces a match array, matches expand to
-    their format candidates (transform runs interpreted but only over
-    actual matches, ~1-3/doc), one explode — same machinery as the fused
-    entity scan, so detect_all parity holds by construction."""
-    hits = (pages.select(
-        "url", F.explode(F.concat(*_date_hit_arrays(text_col))).alias("h"))
-        .select("url", F.col("h.format").alias("format"),
-                F.col("h.value").alias("raw"))
-        .where(F.col("raw").isNotNull()))
+    ONE scan: every family regex produces a match array in one projection,
+    two codegen explodes yield match rows, and a fam-dispatched candidate
+    explode expands formats — same machinery as the fused entity scan, so
+    detect_all parity holds by construction."""
+    hits = _date_candidate_rows(_date_match_rows(pages, text_col)) \
+        .select("url", "format", F.col("value").alias("raw"))
     ts = _date_ts_expr(F.col("raw"), F.col("format"))
     return (hits.withColumn("ts", ts)
             .where(F.col("ts").isNotNull())
