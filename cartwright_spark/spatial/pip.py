@@ -331,6 +331,86 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
         refine_fn, "point_id string, admin_id string")
 
 
+def point_in_polygon_join_bulk(spark: SparkSession, points: DataFrame,
+                               polygons: DataFrame, level: int = 8,
+                               lat_col: str = "lat", lon_col: str = "lon",
+                               point_id_col: str = "url",
+                               cell_col: str | None = None,
+                               refine_salt: int = 16) -> DataFrame:
+    """PIP join for LARGE polygon sets (the driver-side covering loop in
+    `point_in_polygon_join` is right for broadcast-scale dims; at ~50k+
+    admin polygons it serializes minutes of numpy on the driver and the
+    per-polygon bbox OR-chain stops helping).
+
+    polygons: a Spark DataFrame (admin_id string, ring_lat array<double>,
+    ring_lon array<double>) — one outer ring per admin (holes: use the
+    driver-side variant; bulk admin datasets model holes as separate
+    rings/admins in practice).
+
+    Plan shape, stage by stage:
+      1. covering cells + interior flags computed DISTRIBUTED — one
+         mapInPandas over the polygon table runs the same numpy kernels
+         (polygon_covering_cells / classify_interior_cells) per polygon;
+         output (admin_id, cell, interior) is a shuffle-scale table, not a
+         driver structure.
+      2. points encode to the same level (skipped when `cell_col` is
+         given) and equi-join on cell — Catalyst picks broadcast vs
+         shuffled join from the covering's actual size, and AQE splits
+         skewed dense cells.
+      3. interior-cell candidates are accepted outright; boundary
+         candidates refine in applyInPandas grouped by
+         (admin_id, salt) — the salt bounds any one country's group size,
+         and rings ride a broadcast dict (polygon dims are GB-scale at
+         worst; the FACT side never moves to the driver)."""
+    rows = polygons.select("admin_id", "ring_lat", "ring_lon")
+
+    def cov_fn(batches):
+        for pdf in batches:
+            out_admin, out_cell, out_int = [], [], []
+            for r in pdf.itertuples(index=False):
+                rr = [_unwrap_ring(r.ring_lat, r.ring_lon)]
+                cells = polygon_covering_cells(r.ring_lat, r.ring_lon, level)
+                interior = classify_interior_cells(cells, rr, level)
+                out_admin.extend([r.admin_id] * len(cells))
+                out_cell.extend(np.asarray(cells, np.uint64)
+                                .astype(np.int64).tolist())
+                out_int.extend(interior.tolist())
+            yield pd.DataFrame({"admin_id": out_admin, "cell": out_cell,
+                                "interior": out_int})
+
+    cov = rows.mapInPandas(
+        cov_fn, "admin_id string, cell long, interior boolean")
+
+    pts = points.select(
+        F.col(point_id_col).alias("point_id"),
+        F.col(lat_col).alias("lat"), F.col(lon_col).alias("lon"),
+        *([F.col(cell_col).alias("cell")] if cell_col else []))
+    if not cell_col:
+        from cartwright_spark.spatial.udfs import with_s2_cell
+        pts = with_s2_cell(pts, "lat", "lon", level, "cell")
+    cand = pts.join(cov, "cell", "inner")
+
+    accepted = cand.where("interior").select("point_id", "admin_id")
+    boundary = cand.where(~F.col("interior")) \
+        .withColumn("__salt", F.pmod(F.hash("point_id"),
+                                     F.lit(refine_salt)))
+
+    rings_b = spark.sparkContext.broadcast({
+        r["admin_id"]: _unwrap_ring(r["ring_lat"], r["ring_lon"])
+        for r in rows.collect()})
+
+    def refine_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        admin = pdf["admin_id"].iloc[0]
+        ok = multi_ring_contains([rings_b.value[admin]],
+                                 pdf["lat"].to_numpy(),
+                                 pdf["lon"].to_numpy())
+        return pdf.loc[ok, ["point_id", "admin_id"]]
+
+    refined = boundary.groupBy("admin_id", "__salt").applyInPandas(
+        refine_fn, "point_id string, admin_id string")
+    return accepted.unionByName(refined)
+
+
 def brute_force_pip(points: pd.DataFrame, polygons: pd.DataFrame,
                     lat_col="lat", lon_col="lon",
                     point_id_col="point_id") -> set[tuple]:

@@ -114,3 +114,63 @@ def test_classify_sampling_prunes_columns(spark):
     s = sample_columns(df, ["o_orderstatus"], n_samples=9)
     plan = _formatted(s)
     assert "o_totalprice" not in plan.split("ReadSchema")[-1]
+
+
+def test_date_scan_is_single_pass_codegen(spark):
+    """The fused 46-format date scan: one text scan (every family regex in
+    one projection), codegen explodes only — no interpreted HOF lambdas
+    (transform/flatten callbacks), no Python nodes, no shuffle."""
+    from cartwright_spark.operators.detect import detect_dates
+    from cartwright_spark.sources.corpus import generate_pages
+    plan = _physical(detect_dates(generate_pages(spark, 10)))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+    # two generate (explode) nodes: family rows, then candidate rows...
+    # plus the match-array explode = 3; lambdafunction would indicate an
+    # interpreted HOF crept back in
+    assert "lambdafunction" not in plan.lower()
+
+
+def test_knn_site_index_materialized_once(spark):
+    """The kNN join must not re-evaluate the site-encode Arrow stage per
+    consumer: the site index is checkpointed, so the full plan contains
+    only the query-side disc UDF evaluation (regression for the 24k-dim
+    4.7 s -> 1.5 s fix)."""
+    import numpy as np
+    import pandas as pd
+
+    from cartwright_spark.spatial.knn import knn_join
+    rng = np.random.default_rng(1)
+    sites = spark.createDataFrame(pd.DataFrame({
+        "site_id": np.arange(200, dtype=np.int64),
+        "lat": rng.uniform(-60, 60, 200), "lon": rng.uniform(-170, 170, 200)}))
+    queries = spark.createDataFrame(pd.DataFrame({
+        "qid": np.arange(5, dtype=np.int64),
+        "lat": rng.uniform(-50, 50, 5), "lon": rng.uniform(-160, 160, 5)}))
+    out = knn_join(queries, sites, k=3, level=6, r_cover_m=3_000_000.0)
+    plan = _physical(out)
+    # the only Arrow stages left are the query-side disc evaluations
+    # (one per branch: candidate path + fallback path); the site encode
+    # is behind a Scan ExistingRDD from the checkpoint
+    assert "ExistingRDD" in plan
+    assert plan.count("ArrowEvalPython") <= 2
+
+
+def test_blocked_cosine_pairs_single_shuffle(spark):
+    """The distributed exact all-pairs path: exactly one exchange (the
+    block-pair group shuffle), no join node, no driver-side collect in
+    the plan (FlatMapGroupsInPandas over the replicated rows)."""
+    import numpy as np
+    import pandas as pd
+
+    from cartwright_spark.operators.simsearch import cosine_threshold_pairs
+    rng = np.random.default_rng(2)
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(300, dtype=np.int64),
+        "embedding": [v.tolist() for v in rng.standard_normal((300, 8))]}))
+    out = cosine_threshold_pairs(emb, 0.9, broadcast_max_rows=0,
+                                 block_rows=100)
+    plan = _physical(out)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

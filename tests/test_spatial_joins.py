@@ -305,3 +305,47 @@ def test_hot_map_and_salt_distribution(spark):
     assert max(counts) < 3 * min(counts)  # roughly even
     cold = salted.where(F.col("cell") == 2).select("salt").distinct().collect()
     assert [r["salt"] for r in cold] == [0]
+
+
+def test_pip_bulk_matches_bruteforce_and_driver_variant(spark):
+    """The distributed-covering bulk PIP (many-polygon path) equals both
+    the brute-force oracle and the driver-side variant on a 120-polygon
+    dim — incl. concave and high-latitude rings."""
+    from cartwright_spark.spatial.pip import point_in_polygon_join_bulk
+    rng = np.random.default_rng(41)
+    polys = []
+    for i in range(116):
+        la0 = float(rng.uniform(-60, 70))
+        lo0 = float(rng.uniform(-170, 150))
+        h = float(rng.uniform(2, 8)); w = float(rng.uniform(2, 12))
+        polys.append({"admin_id": f"b{i}", "ring_lat": _box(la0, lo0, la0 + h, lo0 + w)[0],
+                      "ring_lon": _box(la0, lo0, la0 + h, lo0 + w)[1]})
+    polys.append({"admin_id": "l_shape",
+                  "ring_lat": [0, 0, 10, 10, 20, 20],
+                  "ring_lon": [0, 20, 20, 10, 10, 0]})
+    polys.append({"admin_id": "nordic", "ring_lat": _box(55, 5, 65, 30)[0],
+                  "ring_lon": _box(55, 5, 65, 30)[1]})
+    polys.append({"admin_id": "chevron", "ring_lat": [-40, -30, -40, -20, -20],
+                  "ring_lon": [60, 70, 80, 80, 60]})
+    polys.append({"admin_id": "arctic", "ring_lat": _box(75, -40, 85, 20)[0],
+                  "ring_lon": _box(75, -40, 85, 20)[1]})
+    ppdf = pd.DataFrame(polys)
+    pts = pd.DataFrame({
+        "point_id": [f"p{i}" for i in range(4000)],
+        "lat": rng.uniform(-70, 88, 4000),
+        "lon": rng.uniform(-180, 180, 4000),
+    })
+    sdf = spark.createDataFrame(pts)
+    polys_df = spark.createDataFrame(ppdf).repartition(8)
+    got = {(r["point_id"], r["admin_id"])
+           for r in point_in_polygon_join_bulk(
+               spark, sdf, polys_df, level=8,
+               point_id_col="point_id").collect()}
+    want = brute_force_pip(pts, ppdf)
+    assert got == want
+    driver = {(r["point_id"], r["admin_id"])
+              for r in point_in_polygon_join(
+                  spark, sdf, ppdf, level=8,
+                  point_id_col="point_id").collect()}
+    assert driver == want
+    assert len(want) > 200
