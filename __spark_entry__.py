@@ -488,6 +488,21 @@ def q_lsh_ann_topk(spark, sf_dir):
                              dim=32).select("qid", "neighbor_id", "rank")
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    """ANN top-k via a from-scratch IVF index (simsearch.py ivf_topk:
+    sampled spherical k-means train → nearest-centroid assignment →
+    nprobe probing) over the vector fixture. Golden oracle (centroids are
+    engine-defined); recall@5 ≥0.9 vs brute force asserted in
+    tests/test_dedup_simsearch.py."""
+    from cartwright_spark.operators.simsearch import ivf_topk
+    from cartwright_spark.sources.fixtures import fixture_embeddings_pdf
+    emb = spark.createDataFrame(fixture_embeddings_pdf()).coalesce(4)
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4) \
+        .select("qid", "neighbor_id", "rank")
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing through mapInPandas: documents' text bytes stand
     in for media payloads; the (stub-decoded) feature extraction emits
@@ -647,6 +662,21 @@ def q_p10_latlon_dedup(spark, sf_dir):
         F.radians("lat").alias("lat_rad"), F.radians("lon").alias("lon_rad"))
 
 
+def q_corpus_curation(spark, sf_dir):
+    """Composed training-data curation pipeline (plans/curation.py):
+    exact dedup → quality scoring → language ID → filters. Full SQL
+    oracle re-deriving every step (md5 keeper join, the same integer
+    counts, the same left-associated score sum, the same marker argmax).
+    quality_score rounded to 4dp on both sides for hash stability."""
+    from cartwright_spark.plans.curation import curate_documents
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = curate_documents(docs, min_words=10, min_quality=0.5,
+                           langs=("en", "es"))
+    return out.select("doc_id", "n_words",
+                      F.round("quality_score", 4).alias("quality_score"),
+                      "lang_detected")
+
+
 def q_stream_sessionize(spark, sf_dir):
     """§2.9 stateful-streaming surface: gap-based sessionization. The
     contract runs the batch form (streaming/structured.py
@@ -707,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
         "p8_date_format": q_p8_date_format,
         "j4_continent_fuzzy": q_j4_continent_fuzzy,
@@ -715,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p10_latlon_dedup": q_p10_latlon_dedup,
         "incremental_microbatch": q_incremental_microbatch,
         "stream_sessionize": q_stream_sessionize,
+        "corpus_curation": q_corpus_curation,
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "j9_salted_rollup": q_j9_salted_rollup,
     }
@@ -999,6 +1031,8 @@ def oracle_sql() -> dict[str, str]:
                                               ["id_a", "id_b"]),
         "lsh_ann_topk": _golden_sql("lsh_ann_topk",
                                     ["qid", "neighbor_id", "rank"]),
+        "ivf_ann_topk": _golden_sql("ivf_ann_topk",
+                                    ["qid", "neighbor_id", "rank"]),
         "doc_fingerprint": _golden_sql("doc_fingerprint",
                                        ["doc_id", "fp_min_gram", "fp_doc"]),
         # golden-values oracles: these queries' inputs are
@@ -1049,6 +1083,82 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY user_id
         """,
+        # full re-derivation of the curation composition: md5 min-id
+        # keeper join, identical integer counts, the same left-associated
+        # score sum (bit-identical double arithmetic), marker argmax with
+        # (hits DESC, lang ASC) tie-break
+        "corpus_curation": (lambda markers, stopwords: f"""
+            WITH keeper AS (
+              SELECT md5(text) AS h, min(doc_id) AS k
+              FROM documents GROUP BY md5(text)
+            ),
+            kept AS (
+              SELECT d.doc_id, d.text FROM documents d
+              JOIN keeper ON md5(d.text) = keeper.h AND d.doc_id = keeper.k
+            ),
+            feats AS (
+              SELECT doc_id, text,
+                     list_filter(str_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))
+                       AS n_punct
+              FROM kept
+            ),
+            scored AS (
+              SELECT doc_id, ws,
+                     len(ws) AS n_words,
+                     CASE WHEN len(ws) > 0 THEN
+                       CAST(list_sum(list_transform(ws, w -> length(w)))
+                            AS DOUBLE) / len(ws) ELSE 0.0 END AS mwl,
+                     CASE WHEN n_chars > 0 THEN
+                       CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0
+                     END AS punct_ratio,
+                     len(list_intersect(list_distinct(ws),
+                                        [{stopwords}])) AS n_stop
+              FROM feats
+            ),
+            q AS (
+              SELECT doc_id, n_words,
+                     (CASE WHEN n_words >= 10 AND n_words <= 100000
+                           THEN 0.4 ELSE 0.0 END
+                      + CASE WHEN mwl >= 3 AND mwl <= 12
+                             THEN 0.3 ELSE 0.0 END
+                      + CASE WHEN punct_ratio <= 0.2
+                             THEN 0.2 ELSE 0.0 END
+                      + CASE WHEN n_stop >= 2
+                             THEN 0.1 ELSE 0.0 END) AS quality_score,
+                     list_distinct(ws) AS dws
+              FROM scored
+            ),
+            lang_scored AS (
+              {" UNION ALL ".join(
+                  f"SELECT doc_id, '{lang}' AS lang, "
+                  f"len(list_intersect(dws, [{lst}])) AS hits FROM q"
+                  for lang, lst in markers)}
+            ),
+            lang_pick AS (
+              SELECT doc_id, lang AS lang_detected,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY hits DESC, lang ASC) AS rn
+              FROM lang_scored
+            )
+            SELECT q.doc_id, q.n_words,
+                   round(q.quality_score, 4) AS quality_score,
+                   lang_pick.lang_detected
+            FROM q JOIN lang_pick USING (doc_id)
+            WHERE lang_pick.rn = 1
+              AND q.n_words BETWEEN 10 AND 100000
+              AND q.quality_score >= 0.5
+              AND lang_pick.lang_detected IN ('en', 'es')
+        """)(
+            [(lang, ", ".join(f"'{m}'" for m in ms))
+             for lang, ms in sorted(__import__(
+                 "cartwright_spark.operators.textstats",
+                 fromlist=["x"])._LANG_MARKERS.items())],
+            ", ".join(f"'{s}'" for s in __import__(
+                "cartwright_spark.operators.textstats",
+                fromlist=["x"])._STOPWORDS_EN)),
         # gap-break sessionization re-derived in SQL: lag → break flag →
         # running session id → per-session aggregate (ties in secs give
         # gap 0, so session assignment is order-ambiguity-free)
