@@ -1120,14 +1120,18 @@ def oracle_sql() -> dict[str, str]:
             ),
             q AS (
               SELECT doc_id, n_words,
+                     -- CAST to DOUBLE: bare literals are DECIMAL in
+                     -- DuckDB (exact decimal sums AND a Decimal-typed
+                     -- result), while Spark sums doubles
                      (CASE WHEN n_words >= 10 AND n_words <= 100000
-                           THEN 0.4 ELSE 0.0 END
+                           THEN CAST(0.4 AS DOUBLE) ELSE 0.0 END
                       + CASE WHEN mwl >= 3 AND mwl <= 12
-                             THEN 0.3 ELSE 0.0 END
+                             THEN CAST(0.3 AS DOUBLE) ELSE 0.0 END
                       + CASE WHEN punct_ratio <= 0.2
-                             THEN 0.2 ELSE 0.0 END
+                             THEN CAST(0.2 AS DOUBLE) ELSE 0.0 END
                       + CASE WHEN n_stop >= 2
-                             THEN 0.1 ELSE 0.0 END) AS quality_score,
+                             THEN CAST(0.1 AS DOUBLE) ELSE 0.0 END)
+                       AS quality_score,
                      list_distinct(ws) AS dws
               FROM scored
             ),
