@@ -191,9 +191,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
         return pd.Series([row.tolist() for row in top])
 
+    # coalesce(-1): non-null join key ⇒ no pushed isnotnull filter
+    # re-evaluating the Arrow assignment stage (see embedding_near_dups)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).cast("array<double>").alias("v"))
-    c = c.withColumn("centroid", nearest(F.col("v")))
+    c = c.withColumn("centroid", F.coalesce(nearest(F.col("v")), F.lit(-1)))
     q = queries.select(F.col(qid_col).alias("qid"),
                        F.col(qvec_col).cast("array<double>").alias("qv"))
     q = q.withColumn("centroid", F.explode(probes(F.col("qv"))))
@@ -222,9 +224,11 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     from cartwright_spark.operators.dedup import _hyperplane_bucket_udf
     bucket = _hyperplane_bucket_udf(n_planes, seed, dim)
 
+    # coalesce(-1): non-null join key ⇒ no pushed isnotnull filter
+    # re-evaluating the Arrow bucket stage (see embedding_near_dups)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).cast("array<double>").alias("v"))
-    c = c.withColumn("bucket", bucket(F.col("v")))
+    c = c.withColumn("bucket", F.coalesce(bucket(F.col("v")), F.lit(-1)))
     q = queries.select(F.col(qid_col).alias("qid"),
                        F.col(qvec_col).cast("array<double>").alias("qv"))
     q = q.withColumn("qbucket", bucket(F.col("qv")))
