@@ -214,6 +214,55 @@ def spatial_resolution_grouped(df: DataFrame, lat_col: str, lon_col: str,
     return src.groupBy("group").applyInPandas(fn, _SPATIAL_SCHEMA)
 
 
+def temporal_resolution_grouped_sql(df: DataFrame, ts_col: str,
+                                    group_col: str | None = None) -> DataFrame:
+    """A6-A8 per-group temporal resolution as PURE JVM expressions — the
+    100 TB form of `temporal_resolution_grouped` (same semantics, asserted
+    equal in tests): distinct epoch seconds → lag deltas → exact median
+    (F.median) → uniformity thresholds → unit argmin via a broadcast join
+    against the 11-row unit table + rank. No Python stage: the
+    applyInPandas form pays an Arrow boundary and per-group python-worker
+    dispatch (measured 3.5 s vs ~0.8 s at sf0.1, 150 groups × 100k rows);
+    this one is window + aggregate + broadcast-join codegen end to end.
+
+    Returns (group, uniformity, unit, resolution, error) like the grouped
+    form (groups with <2 distinct timestamps are absent)."""
+    spark = df.sparkSession
+    src = df.select(
+        (F.col(group_col) if group_col else F.lit("_all"))
+        .cast("string").alias("group"),
+        F.col(ts_col).cast("double").alias("secs"),
+    ).where(F.col("secs").isNotNull()).dropDuplicates(["group", "secs"])
+
+    w = Window.partitionBy("group").orderBy("secs")
+    d = (src.withColumn("delta", F.col("secs") - F.lag("secs").over(w))
+         .where(F.col("delta").isNotNull()))
+    med = d.groupBy("group").agg(F.median("delta").alias("med"))
+    stats = (d.join(med, "group")
+             .groupBy("group")
+             .agg(F.first("med").alias("med"),
+                  F.max(F.abs(F.col("delta") - F.col("med"))).alias("maxdev"),
+                  F.avg(F.abs(F.col("delta") - F.col("med"))).alias("meandev")))
+    uniformity = (
+        F.when(F.col("maxdev") < 1e-9 * F.abs("med"),
+               Uniformity.PERFECT.value)
+        .when(F.col("maxdev") < 0.01 * F.abs("med"), Uniformity.UNIFORM.value)
+        .otherwise(Uniformity.NOT_UNIFORM.value))
+    units = F.broadcast(spark.createDataFrame(
+        [(n, float(v), i) for i, (n, v) in enumerate(TIME_UNITS.items())],
+        "unit string, dur double, idx int"))
+    ranked = (stats.withColumn("uniformity", uniformity)
+              .crossJoin(units)
+              .withColumn("__rn", F.row_number().over(
+                  Window.partitionBy("group").orderBy(
+                      (F.abs(F.col("dur") - F.col("med")) / F.col("dur")).asc(),
+                      F.col("idx").asc()))))
+    return (ranked.where(F.col("__rn") == 1)
+            .select("group", "uniformity", "unit",
+                    (F.col("med") / F.col("dur")).alias("resolution"),
+                    (F.col("meandev") / F.col("dur")).alias("error")))
+
+
 def temporal_deltas(df: DataFrame, ts_col: str,
                     group_col: str | None = None) -> DataFrame:
     """Distributed adjacent-delta computation (A6/W1): dropDuplicates →

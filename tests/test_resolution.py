@@ -142,3 +142,27 @@ def test_spatial_grouped_spark(spark):
     assert len(rows) == 1
     assert rows[0]["kind"] == "square"
     assert rows[0]["resolution"] == pytest.approx(1.0, rel=1e-6)
+
+
+def test_temporal_grouped_sql_matches_pandas_form(spark):
+    """The pure-JVM grouped resolution equals the applyInPandas/numpy form
+    on every field (150-group fixture, mixed uniformity)."""
+    import pandas as pd
+
+    from cartwright_spark.operators.resolution import (
+        temporal_resolution_grouped_sql,
+    )
+    rows = []
+    for g in range(24):
+        unit = UNITS[g % len(UNITS)]
+        uni = ["PERFECT", "UNIFORM", "NOT_UNIFORM"][g % 3]
+        for t in _series(unit, uni, n=80, seed=100 + g):
+            rows.append((f"g{g}", float(t)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "secs"]))
+    a = {r["group"]: (r["uniformity"], r["unit"],
+                      round(r["resolution"], 9), round(r["error"], 9))
+         for r in temporal_resolution_grouped(df, "secs", "g").collect()}
+    b = {r["group"]: (r["uniformity"], r["unit"],
+                      round(r["resolution"], 9), round(r["error"], 9))
+         for r in temporal_resolution_grouped_sql(df, "secs", "g").collect()}
+    assert a == b and len(a) == 24
