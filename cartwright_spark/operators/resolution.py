@@ -263,6 +263,106 @@ def temporal_resolution_grouped_sql(df: DataFrame, ts_col: str,
                     (F.col("meandev") / F.col("dur")).alias("error")))
 
 
+def spatial_resolution_grouped_sql(df: DataFrame, lat_col: str, lon_col: str,
+                                   group_col: str | None = None,
+                                   tol: float = 1e-6) -> DataFrame:
+    """A9 grid detection as PURE JVM expressions — the distributable form
+    the `detect_latlon_resolution_np` docstring promises (groupBy bin +
+    window lag), semantics field-identical to the numpy kernel (parity
+    test): unique radian points → axis-adjacent diffs within rows/columns
+    quantized at `tol` (np.rint ≡ F.rint, half-even) → edge-count
+    acceptance (n_h + n_v ≥ n_points, both axes non-empty) → exact medians
+    → square-vs-rect branch with the reference's uniformity thresholds,
+    unit argmin, and (quirk preserved) the rect branch's dimensionless
+    rad2deg(|1 − d/avg|) error."""
+    spark = df.sparkSession
+    src = (df.select(
+        (F.col(group_col) if group_col else F.lit("_all"))
+        .cast("string").alias("group"),
+        F.radians(F.col(lat_col).cast("double")).alias("la"),
+        F.radians(F.col(lon_col).cast("double")).alias("lo"))
+        .dropna().dropDuplicates(["group", "la", "lo"]))
+    n_pts = src.groupBy("group").agg(F.count("*").alias("n_points"))
+
+    binned = (src.withColumn("latbin", F.rint(F.col("la") / tol).cast("long"))
+              .withColumn("lonbin", F.rint(F.col("lo") / tol).cast("long")))
+    wlon = Window.partitionBy("group", "latbin").orderBy("lo")
+    dlon = (binned.withColumn("d", F.col("lo") - F.lag("lo").over(wlon))
+            .where(F.col("d").isNotNull())
+            .select("group", F.lit("lon").alias("axis"),
+                    F.abs("d").alias("d")))
+    wlat = Window.partitionBy("group", "lonbin").orderBy("la")
+    dlat = (binned.withColumn("d", F.col("la") - F.lag("la").over(wlat))
+            .where(F.col("d").isNotNull())
+            .select("group", F.lit("lat").alias("axis"),
+                    F.abs("d").alias("d")))
+    diffs = dlon.unionByName(dlat)
+
+    med_axis = diffs.groupBy("group", "axis").agg(
+        F.median("d").alias("med_ax"), F.count("*").alias("n_ax"))
+    med_all = diffs.groupBy("group").agg(
+        F.median("d").alias("med_all"), F.count("*").alias("n_d"))
+
+    enriched = diffs.join(med_axis, ["group", "axis"]).join(med_all, "group")
+    ax_stats = enriched.groupBy("group", "axis").agg(
+        F.first("med_ax").alias("med_ax"),
+        F.max(F.abs(F.col("d") - F.col("med_ax"))).alias("mx_ax"),
+        F.avg(F.abs(F.lit(1.0) - F.col("d") / F.col("med_ax")))
+        .alias("rel_me_ax"))
+    sq_stats = enriched.groupBy("group").agg(
+        F.first("med_all").alias("med_all"), F.first("n_d").alias("n_d"),
+        F.max(F.abs(F.col("d") - F.col("med_all"))).alias("mx_all"),
+        F.avg(F.abs(F.col("d") - F.col("med_all"))).alias("me_all"))
+
+    # acceptance + square test per group
+    axp = (med_axis.groupBy("group")
+           .pivot("axis", ["lat", "lon"]).agg(F.first("med_ax")))
+    gates = (sq_stats.join(n_pts, "group").join(axp, "group")
+             .where((F.col("n_d") >= F.col("n_points"))
+                    & F.col("lat").isNotNull() & F.col("lon").isNotNull())
+             .withColumn("is_square",
+                         F.abs(F.col("lon") - F.col("lat")) < F.lit(1e-6)))
+
+    units = F.broadcast(spark.createDataFrame(
+        [(n, float(v), i) for i, (n, v) in enumerate(ANGLE_UNITS.items())],
+        "unit string, dur double, idx int"))
+
+    def _uniformity(mx, avg):
+        return (F.when(mx < 1e-9 * F.abs(avg), Uniformity.PERFECT.value)
+                .when(mx < 0.01 * F.abs(avg), Uniformity.UNIFORM.value)
+                .otherwise(Uniformity.NOT_UNIFORM.value))
+
+    def _pick_unit(dfx, avg_rad_col):
+        w = Window.partitionBy("group", "kind").orderBy(
+            (F.abs(F.col("dur") - F.degrees(F.col(avg_rad_col)))
+             / F.col("dur")).asc(), F.col("idx").asc())
+        return (dfx.crossJoin(units)
+                .withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1))
+
+    sq = (gates.where("is_square")
+          .withColumn("kind", F.lit("square"))
+          .withColumn("uniformity", _uniformity(F.col("mx_all"),
+                                                F.col("med_all"))))
+    sq = _pick_unit(sq, "med_all").select(
+        "group", "kind", "uniformity", "unit",
+        (F.degrees("med_all") / F.col("dur")).alias("resolution"),
+        (F.degrees("me_all") / F.col("dur")).alias("error"))
+
+    rect = (gates.where(~F.col("is_square")).select("group")
+            .join(ax_stats, "group")
+            .withColumn("kind", F.col("axis"))
+            .withColumn("uniformity", _uniformity(F.col("mx_ax"),
+                                                  F.col("med_ax"))))
+    rect = _pick_unit(rect, "med_ax").select(
+        "group", "kind", "uniformity", "unit",
+        (F.degrees("med_ax") / F.col("dur")).alias("resolution"),
+        # reference quirk (space_resolution.py): the rect-branch error is
+        # rad2deg of a DIMENSIONLESS mean relative deviation
+        (F.degrees("rel_me_ax") / F.col("dur")).alias("error"))
+    return sq.unionByName(rect)
+
+
 def temporal_deltas(df: DataFrame, ts_col: str,
                     group_col: str | None = None) -> DataFrame:
     """Distributed adjacent-delta computation (A6/W1): dropDuplicates →

@@ -343,9 +343,10 @@ def point_in_polygon_join_bulk(spark: SparkSession, points: DataFrame,
     per-polygon bbox OR-chain stops helping).
 
     polygons: a Spark DataFrame (admin_id string, ring_lat array<double>,
-    ring_lon array<double>) — one outer ring per admin (holes: use the
-    driver-side variant; bulk admin datasets model holes as separate
-    rings/admins in practice).
+    ring_lon array<double>[, hole_lat array<array<double>>,
+    hole_lon array<array<double>>]) — outer ring plus optional hole
+    rings per admin; containment is even-odd across rings, antimeridian
+    rings unwrap, exactly like the driver-side variant.
 
     Plan shape, stage by stage:
       1. covering cells + interior flags computed DISTRIBUTED — one
@@ -362,13 +363,24 @@ def point_in_polygon_join_bulk(spark: SparkSession, points: DataFrame,
          (admin_id, salt) — the salt bounds any one country's group size,
          and rings ride a broadcast dict (polygon dims are GB-scale at
          worst; the FACT side never moves to the driver)."""
-    rows = polygons.select("admin_id", "ring_lat", "ring_lon")
+    has_holes = ("hole_lat" in polygons.columns
+                 and "hole_lon" in polygons.columns)
+    cols = ["admin_id", "ring_lat", "ring_lon"] + \
+        (["hole_lat", "hole_lon"] if has_holes else [])
+    rows = polygons.select(*cols)
+
+    def _row_rings(r):
+        rr = [_unwrap_ring(r.ring_lat, r.ring_lon)]
+        if has_holes and r.hole_lat is not None:
+            for hla, hlo in zip(r.hole_lat, r.hole_lon):
+                rr.append(_unwrap_ring(hla, hlo))
+        return rr
 
     def cov_fn(batches):
         for pdf in batches:
             out_admin, out_cell, out_int = [], [], []
             for r in pdf.itertuples(index=False):
-                rr = [_unwrap_ring(r.ring_lat, r.ring_lon)]
+                rr = _row_rings(r)
                 cells = polygon_covering_cells(r.ring_lat, r.ring_lon, level)
                 interior = classify_interior_cells(cells, rr, level)
                 out_admin.extend([r.admin_id] * len(cells))
@@ -396,12 +408,12 @@ def point_in_polygon_join_bulk(spark: SparkSession, points: DataFrame,
                                      F.lit(refine_salt)))
 
     rings_b = spark.sparkContext.broadcast({
-        r["admin_id"]: _unwrap_ring(r["ring_lat"], r["ring_lon"])
+        r.admin_id: _row_rings(r)
         for r in rows.collect()})
 
     def refine_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         admin = pdf["admin_id"].iloc[0]
-        ok = multi_ring_contains([rings_b.value[admin]],
+        ok = multi_ring_contains(rings_b.value[admin],
                                  pdf["lat"].to_numpy(),
                                  pdf["lon"].to_numpy())
         return pdf.loc[ok, ["point_id", "admin_id"]]

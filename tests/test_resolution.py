@@ -166,3 +166,42 @@ def test_temporal_grouped_sql_matches_pandas_form(spark):
                       round(r["resolution"], 9), round(r["error"], 9))
          for r in temporal_resolution_grouped_sql(df, "secs", "g").collect()}
     assert a == b and len(a) == 24
+
+
+def test_spatial_grouped_sql_matches_pandas_form(spark):
+    """The pure-JVM A9 grid detection equals the applyInPandas/numpy form
+    across square, rectangular, and no-grid groups."""
+    import pandas as pd
+
+    from cartwright_spark.operators.resolution import (
+        spatial_resolution_grouped_sql,
+    )
+    rows = []
+    for g, scale in (("sq_half", 0.5), ("sq_one", 1.0), ("sq_quarter", 0.25)):
+        la, lo = _square_grid(scale, n=14)
+        rows += [(g, float(a), float(b)) for a, b in zip(la, lo)]
+    # rectangular grid
+    la = 10.0 + 0.5 * np.arange(15)
+    lo = -30.0 + 1.0 * np.arange(15)
+    gl, go = np.meshgrid(la, lo)
+    rows += [("rect", float(a), float(b))
+             for a, b in zip(gl.ravel(), go.ravel())]
+    # random: no grid → absent from both outputs
+    rng = np.random.default_rng(5)
+    rows += [("rand", float(a), float(b))
+             for a, b in zip(rng.uniform(-80, 80, 200),
+                             rng.uniform(-170, 170, 200))]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["g", "lat", "lon"]))
+    a = {(r["group"], r["kind"]): (r["uniformity"], r["unit"],
+                                   round(r["resolution"], 9),
+                                   round(r["error"], 9))
+         for r in spatial_resolution_grouped(df, "lat", "lon", "g").collect()}
+    b = {(r["group"], r["kind"]): (r["uniformity"], r["unit"],
+                                   round(r["resolution"], 9),
+                                   round(r["error"], 9))
+         for r in spatial_resolution_grouped_sql(df, "lat", "lon", "g").collect()}
+    assert a == b
+    assert ("sq_half", "square") in a and ("rect", "lat") in a \
+        and ("rect", "lon") in a
+    assert not any(g == "rand" for g, _ in a)

@@ -349,3 +349,47 @@ def test_pip_bulk_matches_bruteforce_and_driver_variant(spark):
                   point_id_col="point_id").collect()}
     assert driver == want
     assert len(want) > 200
+
+
+def test_pip_bulk_holes_and_antimeridian(spark):
+    """Bulk PIP with hole rings and a dateline-crossing ring matches the
+    brute-force oracle."""
+    from cartwright_spark.spatial.pip import point_in_polygon_join_bulk
+    rng = np.random.default_rng(53)
+    polys_pd = pd.DataFrame([
+        {"admin_id": "donut", "ring_lat": _box(40, 0, 55, 20)[0],
+         "ring_lon": _box(40, 0, 55, 20)[1],
+         "holes": [(_box(45, 5, 50, 15)[0], _box(45, 5, 50, 15)[1])]},
+        {"admin_id": "fiji", "ring_lat": [-19, -19, -15, -15],
+         "ring_lon": [177, -178, -178, 177], "holes": None},
+    ])
+    # bulk schema: holes as parallel array-of-array columns
+    bulk_rows = [
+        {"admin_id": "donut", "ring_lat": polys_pd.iloc[0].ring_lat,
+         "ring_lon": polys_pd.iloc[0].ring_lon,
+         "hole_lat": [_box(45, 5, 50, 15)[0]],
+         "hole_lon": [_box(45, 5, 50, 15)[1]]},
+        {"admin_id": "fiji", "ring_lat": polys_pd.iloc[1].ring_lat,
+         "ring_lon": polys_pd.iloc[1].ring_lon,
+         "hole_lat": None, "hole_lon": None},
+    ]
+    polys_df = spark.createDataFrame(
+        pd.DataFrame(bulk_rows),
+        "admin_id string, ring_lat array<double>, ring_lon array<double>, "
+        "hole_lat array<array<double>>, hole_lon array<array<double>>")
+    lon = np.where(rng.random(3000) < 0.5,
+                   rng.uniform(-10, 30, 3000),
+                   np.where(rng.random(3000) < 0.5,
+                            rng.uniform(170, 180, 3000),
+                            rng.uniform(-180, -170, 3000)))
+    pts = pd.DataFrame({
+        "point_id": [f"x{i}" for i in range(3000)],
+        "lat": rng.uniform(-30, 60, 3000), "lon": lon})
+    got = {(r["point_id"], r["admin_id"])
+           for r in point_in_polygon_join_bulk(
+               spark, spark.createDataFrame(pts), polys_df, level=8,
+               point_id_col="point_id").collect()}
+    want = brute_force_pip(pts, polys_pd)
+    assert got == want
+    hits = {a for _, a in want}
+    assert hits == {"donut", "fiji"}
