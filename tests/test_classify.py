@@ -224,3 +224,46 @@ def test_reference_example2_exact_parity(spark):
     assert got["ts"] == {"category": "time", "subcategory": "date",
                         "format": "%B %d, %Y"}
     assert "value" not in got
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference/examples"),
+                    reason="reference checkout not present")
+@pytest.mark.parametrize("n,expected", [
+    # expected = reference-rule outcomes (validated against the taxonomy:
+    # header skip-list incl. the lng→latitude bug, partial-date formats,
+    # the in-[-90,90]-floats→latitude quirk, misc validators commented out
+    # in the reference ⇒ bool/free-text columns stay None)
+    (1, {"latitude": ("geo", "latitude", None),
+         "longitude": ("geo", "longitude", None),
+         "date": ("time", "date", "%Y-%m-%d"),
+         "value": ("geo", "latitude", None)}),   # floats all in [-90,90]
+    (3, {"lat": ("geo", "latitude", None),
+         "lng": ("geo", "latitude", None),       # utils.py:198 bug, verbatim
+         "region": ("geo", "region", None),
+         "place_name": ("geo", "city", None),    # real gazetteer anchors
+         "month": ("time", "date", "%m"),
+         "day": ("time", "date", "%d"),
+         "year": ("time", "date", "%Y"),
+         "value": (None, None, None)}),          # ints > 90 ⇒ no label
+    (4, {"country": ("geo", "country", None),    # via header fuzzy backfill
+         "Latitude": ("geo", "latitude", None),
+         "Longitude": ("geo", "longitude", None),
+         "Y/d/m": (None, None, None),            # not a taxonomy format
+         "month_name": ("time", "date", "%B"),
+         "month_number": ("time", "date", "%m"),
+         "year": ("time", "date", "%Y"),
+         "Day_name": ("time", "date", "%A"),
+         "Day Number": ("time", "date", "%d"),
+         "bool": (None, None, None)}),           # misc validators are
+                                                 # commented out upstream
+])
+def test_reference_examples_parity(spark, n, expected):
+    """Classify the reference's own examples/example_{1,3,4}.csv and match
+    the reference-rule outcome per column (example_2 has its own exact
+    test above)."""
+    from cartwright_spark.operators.classify import columns_categorized, read_in
+    df = read_in(spark, f"/root/reference/examples/example_{n}.csv")
+    res = columns_categorized(df)
+    got = {c: (v["category"], v["subcategory"], v["format"])
+           for c, v in res.items() if c in expected}
+    assert got == expected
