@@ -14,7 +14,8 @@ from cartwright_spark.operators.resolution import (
 )
 from cartwright_spark.schemas import TIME_UNITS
 
-UNITS = ["second", "minute", "hour", "day", "week", "year", "month", "decade"]
+UNITS = ["second", "minute", "hour", "day", "week", "year", "month",
+         "decade", "century", "millennium"]
 
 
 def _series(unit: str, uniformity: str, n=200, seed=11):
@@ -37,6 +38,16 @@ def test_temporal_unit_and_uniformity(unit, uniformity):
     assert res.unit == unit
     assert res.uniformity == uniformity
     assert res.resolution == pytest.approx(1.0, rel=0.05)
+
+
+def test_millisecond_not_uniform():
+    """Reference parity (test_time_resolution_detection.py:32-35):
+    millisecond PERFECT/UNIFORM xfail upstream on float precision; the
+    NOT_UNIFORM case must detect."""
+    res = detect_temporal_resolution_np(
+        _series("millisecond", "NOT_UNIFORM", n=200))
+    assert res is not None and res.unit == "millisecond"
+    assert res.uniformity == "NOT_UNIFORM"
 
 
 def test_temporal_too_few_points():
