@@ -406,6 +406,9 @@ def point_in_polygon_join_bulk(spark: SparkSession, points: DataFrame,
     boundary = cand.where(~F.col("interior")) \
         .withColumn("__salt", F.pmod(F.hash("point_id"),
                                      F.lit(refine_salt)))
+    # output schema follows the caller's id type (a hardcoded string id
+    # crashed on bigint point ids)
+    pid_type = dict(pts.dtypes)["point_id"]
 
     rings_b = spark.sparkContext.broadcast({
         r.admin_id: _row_rings(r)
@@ -419,7 +422,7 @@ def point_in_polygon_join_bulk(spark: SparkSession, points: DataFrame,
         return pdf.loc[ok, ["point_id", "admin_id"]]
 
     refined = boundary.groupBy("admin_id", "__salt").applyInPandas(
-        refine_fn, "point_id string, admin_id string")
+        refine_fn, f"point_id {pid_type}, admin_id string")
     return accepted.unionByName(refined)
 
 
