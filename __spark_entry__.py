@@ -266,6 +266,20 @@ def q_j6_pip_boxes(spark, sf_dir):
                                  point_id_col="point_id")
 
 
+def q_j6_pip_bulk(spark, sf_dir):
+    """J6 (bulk variant): the many-polygon PIP path — covering cells
+    computed distributed, shuffled candidate join, salted grouped refine
+    (spatial/pip.py point_in_polygon_join_bulk). Same points and boxes as
+    j6_pip_boxes, same box-containment SQL oracle."""
+    from cartwright_spark.spatial.pip import point_in_polygon_join_bulk
+    pts = _coords(spark, sf_dir).select(
+        F.concat_ws("_", "l_orderkey", "l_linenumber").alias("point_id"),
+        "lat", "lon")
+    polys = spark.createDataFrame(_pip_boxes_pdf())
+    return point_in_polygon_join_bulk(spark, pts, polys, level=7,
+                                      point_id_col="point_id")
+
+
 def q_cartwright_categorize(spark, sf_dir):
     """E1/E2: full column classification (sample→validator bank→cascade→
     header fuzzy). Not SQL-expressible (driver records rows-only)."""
@@ -730,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stopword_hits": q_lang_stopword_hits,
         "knn_grid": q_knn_grid,
         "j6_pip_boxes": q_j6_pip_boxes,
+        "j6_pip_bulk": q_j6_pip_bulk,
         "cartwright_categorize": q_cartwright_categorize,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
@@ -884,6 +899,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "j6_pip_boxes": f"""
+            WITH boxes(admin_id, la0, la1, lo0, lo1) AS (VALUES
+              {', '.join(
+                f"('box{r}', {r*25-60.005!r}, {r*25-40.005!r}, "
+                f"{r*50-150.005!r}, {r*50-110.005!r})" for r in range(5))}
+            ),
+            pts AS (
+              SELECT CAST(l_orderkey AS VARCHAR) || '_' ||
+                     CAST(l_linenumber AS VARCHAR) AS point_id, lat, lon
+              FROM ({_COORDS_SQL})
+            )
+            SELECT point_id, admin_id
+            FROM pts JOIN boxes
+              ON lat > la0 AND lat < la1 AND lon > lo0 AND lon < lo1
+        """,
+        "j6_pip_bulk": f"""
             WITH boxes(admin_id, la0, la1, lo0, lo1) AS (VALUES
               {', '.join(
                 f"('box{r}', {r*25-60.005!r}, {r*25-40.005!r}, "
