@@ -88,6 +88,51 @@ def extract_features(media: DataFrame, fake_decode: bool = True,
     return media.select(*cols).mapInPandas(fn, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("raster", T.BinaryType(), False),
+])
+
+
+def resize_images(media: DataFrame, width: int = 4, height: int = 4,
+                  fake_decode: bool = True) -> DataFrame:
+    """Image resize as a mapInPandas batch transform: decode (stub codec,
+    same boundary as extract_features) → area-average downsample (real
+    numpy kernel — exact for integer scale factors) → raw raster bytes
+    out. The Spark-side plumbing (schema, batching, binary columns) is
+    production-shaped; swap `decode_image` for a real codec to go live."""
+
+    def _resize(raster: np.ndarray, w: int, h: int) -> np.ndarray:
+        H, W, C = raster.shape
+        ys = (np.arange(h + 1) * H // h)
+        xs = (np.arange(w + 1) * W // w)
+        out = np.empty((h, w, C), dtype=np.uint8)
+        for i in range(h):
+            for j in range(w):
+                block = raster[ys[i]:ys[i + 1], xs[j]:xs[j + 1]]
+                out[i, j] = block.mean(axis=(0, 1)).astype(np.uint8)
+        return out
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            rasters = [_resize(decode_image(p, fake=fake_decode),
+                               width, height) for p in payloads]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy(),
+                "kind": pdf["kind"].to_numpy(),
+                "width": np.full(len(payloads), width, dtype=np.int32),
+                "height": np.full(len(payloads), height, dtype=np.int32),
+                "raster": [r.tobytes() for r in rasters],
+            }, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media.where(F.col("kind") == "image") \
+        .select("media_id", "kind", "payload").mapInPandas(fn, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video → frame-sampling plan (media_id, frame_ts_ms) — pure exprs; the
     decode of each frame is the stubbed codec step."""

@@ -94,3 +94,33 @@ def test_frame_sample_plan(spark):
     # only the `video` third of items; 4000-4600ms → 4-5 frames each
     assert all(4 <= r["count"] <= 5 for r in rows)
     assert len(rows) == 10
+
+
+def test_resize_images_plumbing(spark):
+    """Resize: deterministic stub decode → exact area-average downsample →
+    raw raster bytes; verified against a direct numpy computation."""
+    import hashlib
+
+    import numpy as np
+
+    from cartwright_spark.operators.multimodal import (
+        decode_image,
+        resize_images,
+        synthetic_media,
+    )
+    media = synthetic_media(spark, 30)
+    rows = {r["media_id"]: r for r in
+            resize_images(media, width=4, height=4).collect()}
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()
+           if r["kind"] == "image"}
+    assert set(rows) == set(src) and len(rows) == 10
+    for mid, payload in src.items():
+        raster = decode_image(payload, fake=True)
+        want = np.empty((4, 4, 3), dtype=np.uint8)
+        for i in range(4):
+            for j in range(4):
+                want[i, j] = raster[2*i:2*i+2, 2*j:2*j+2].mean(
+                    axis=(0, 1)).astype(np.uint8)
+        got = np.frombuffer(rows[mid]["raster"], dtype=np.uint8).reshape(4, 4, 3)
+        assert (got == want).all()
+        assert rows[mid]["width"] == 4 and rows[mid]["height"] == 4
