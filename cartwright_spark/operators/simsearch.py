@@ -157,9 +157,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     Candidates scanned ≈ nprobe/n_centroids of the corpus. Deterministic:
     seeded sample + seeded init, fixed iteration count."""
-    # -- train on a deterministic sample (rand(seed) order ≈ uniform draw)
+    # -- train on a deterministic sample: hash-of-content order is a
+    # uniform draw that does NOT depend on partition layout (F.rand(seed)
+    # seeds per partition, so createDataFrame slicing — i.e. the session's
+    # core count — would leak into the centroids and break golden oracles)
     sample = (corpus.select(F.col(vec_col).alias("v"))
-              .orderBy(F.rand(seed)).limit(train_sample).collect())
+              .orderBy(F.hash(F.col(vec_col), F.lit(seed)).asc(),
+                       F.col(vec_col).asc())
+              .limit(train_sample).collect())
     X = np.array([r["v"] for r in sample], dtype=np.float64)
     X /= np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
