@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import time
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -43,7 +45,8 @@ def _stage(catalog: Catalog, table: str, stage_key: str, parent,
 
 
 def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
-                 s2_level: int = 10, zoom: int = 8, force: bool = False) -> dict:
+                 s2_level: int = 10, h3_res: int = 6, zoom: int = 8,
+                 force: bool = False) -> dict:
     cat = Catalog(workdir)
     summary: dict = {"stages": {}}
     t_start = time.perf_counter()
@@ -75,11 +78,24 @@ def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
         ext_snap, build_detect)
     summary["stages"]["detections"] = {"rows": det_snap["row_count"], "reused": reused}
 
-    # 4) encode S2 cell + web-mercator tile for spatial detections — the
-    # all-JVM staged encode keeps scan→encode→write one codegen stage
-    # (no Python workers in the whole pipeline)
+    # 4) encode S2 cell + H3 hex + web-mercator tile for spatial
+    # detections (north star: every detected coordinate carries BOTH cell
+    # systems — S2 feeds the PIP layer, H3 the k-ring kNN layer). S2 +
+    # tiles are the all-JVM staged encode (one codegen stage); H3 is the
+    # single Arrow stage in the pipeline, fed only narrow lat/lon doubles
+    # (measured flat across parallelism in BENCH finding #1)
     def build_cells():
+        from pyspark.sql.functions import pandas_udf
+
+        from cartwright_spark.spatial import h3 as h3mod
         from cartwright_spark.spatial.udfs import with_s2_cell
+
+        @pandas_udf("long")
+        def hex_cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
+            import numpy as np
+            return pd.Series(h3mod.latlng_to_cell(
+                lat.to_numpy(np.float64), lon.to_numpy(np.float64), h3_res))
+
         # project to the columns the tiling layer consumes BEFORE the
         # encode — the detections table carries wide entity strings that
         # would otherwise ride through the scan, encode, and snapshot
@@ -88,12 +104,15 @@ def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
             .select("url", "kind", "lat", "lon")
         return (
             with_s2_cell(det, "lat", "lon", s2_level, "s2_cell")
+            .withColumn("hex_cell", hex_cell(F.col("lat"), F.col("lon")))
             .withColumn("tile_x", tile_x_col(F.col("lon"), zoom))
             .withColumn("tile_y", tile_y_col(F.col("lat"), zoom))
             .withColumn("tile_id", tile_id_col(F.col("lat"), F.col("lon"), zoom))
         )
     cell_snap, reused = _stage(
-        cat, "cells", f"cells:v2:s2={s2_level}:z={zoom}:parent={det_snap['snapshot_id']}",
+        cat, "cells",
+        f"cells:v3:s2={s2_level}:h3={h3_res}:z={zoom}"
+        f":parent={det_snap['snapshot_id']}",
         det_snap, build_cells)
     summary["stages"]["cells"] = {"rows": cell_snap["row_count"], "reused": reused}
 
