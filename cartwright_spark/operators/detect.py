@@ -490,7 +490,12 @@ def detect_dates(pages: DataFrame, text_col: str = "text",
     ONE scan: every family regex produces a match array in one projection,
     two codegen explodes yield match rows, and a fam-dispatched candidate
     explode expands formats — same machinery as the fused entity scan, so
-    detect_all parity holds by construction."""
+    detect_all parity holds by construction.
+
+    Note: Spark's 'yy' parse maps 00-99 → 2000-2099 while strptime's %y
+    pivots at 69 — detection VALIDITY is identical (both always parse);
+    only the materialized `ts` differs for 2-digit years ≥ 69. The column
+    validators (P8) keep exact strptime century semantics."""
     hits = _date_candidate_rows(
         _date_match_rows(pages, text_col, exclude=exclude), exclude=exclude) \
         .select("url", "format", F.col("value").alias("raw"))

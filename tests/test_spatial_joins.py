@@ -393,3 +393,33 @@ def test_pip_bulk_holes_and_antimeridian(spark):
     assert got == want
     hits = {a for _, a in want}
     assert hits == {"donut", "fiji"}
+
+
+def test_pip_random_star_polygons(spark):
+    """Randomized non-convex (star-shaped) polygons at mixed latitudes vs
+    the brute-force oracle — seeds beyond the fixed fixtures."""
+    rng = np.random.default_rng(97)
+    polys = []
+    for i in range(12):
+        cla = float(rng.uniform(-70, 78))
+        clo = float(rng.uniform(-170, 170))
+        n_v = int(rng.integers(5, 12))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n_v))
+        rad = rng.uniform(1.5, 8.0, n_v)
+        la = np.clip(cla + rad * np.sin(ang), -89.5, 89.5)
+        lo = clo + rad * np.cos(ang)  # may cross the antimeridian
+        polys.append({"admin_id": f"star{i}",
+                      "ring_lat": la.tolist(), "ring_lon": lo.tolist()})
+    ppdf = pd.DataFrame(polys)
+    pts = pd.DataFrame({
+        "point_id": [f"s{i}" for i in range(5000)],
+        "lat": rng.uniform(-85, 85, 5000),
+        "lon": rng.uniform(-180, 180, 5000),
+    })
+    got = {(r["point_id"], r["admin_id"])
+           for r in point_in_polygon_join(
+               spark, spark.createDataFrame(pts), ppdf, level=8,
+               point_id_col="point_id").collect()}
+    want = brute_force_pip(pts, ppdf)
+    assert got == want
+    assert len(want) > 30  # global points vs 12 small stars: sparse hits
