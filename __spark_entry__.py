@@ -685,6 +685,20 @@ def q_p10_latlon_dedup(spark, sf_dir):
         F.radians("lat").alias("lat_rad"), F.radians("lon").alias("lon_rad"))
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard refine over candidate pairs (dedup.py
+    ngram_jaccard_pairs — the verify step after LSH). Full SQL oracle:
+    DuckDB recomputes the distinct-gram sets and |∩|/|∪| directly."""
+    from cartwright_spark.operators.dedup import ngram_jaccard_pairs
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = docs.where(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"))
+    out = ngram_jaccard_pairs(docs, cand, "text", "doc_id", n=3)
+    return out.select("id_a", "id_b",
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_corpus_curation(spark, sf_dir):
     """Composed training-data curation pipeline (plans/curation.py):
     exact dedup → quality scoring → language ID → filters. Full SQL
@@ -771,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_microbatch": q_incremental_microbatch,
         "stream_sessionize": q_stream_sessionize,
         "corpus_curation": q_corpus_curation,
+        "ngram_jaccard": q_ngram_jaccard,
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "j9_salted_rollup": q_j9_salted_rollup,
     }
@@ -1121,6 +1136,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY user_id
+        """,
+        # word-3-gram Jaccard re-derived: same unfiltered whitespace split,
+        # same [0, max(n-3,0)] gram starts (short docs yield one short
+        # gram), |∪| = |a|+|b|−|∩| over the distinct sets
+        "ngram_jaccard": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(0, greatest(len(ws) - 3, 0) + 1),
+                       i -> array_to_string(list_slice(ws, i + 1, i + 3),
+                                            ' '))) AS grams
+              FROM (SELECT doc_id,
+                           str_split_regex(lower(text), '\\s+') AS ws
+                    FROM documents)
+            ),
+            cand AS (
+              SELECT doc_id AS id_a, doc_id + 1 AS id_b
+              FROM documents WHERE doc_id < 100
+            )
+            SELECT cand.id_a, cand.id_b,
+                   round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                         / greatest(len(a.grams) + len(b.grams)
+                                    - len(list_intersect(a.grams, b.grams)),
+                                    1), 6) AS jaccard
+            FROM cand
+            JOIN g a ON cand.id_a = a.doc_id
+            JOIN g b ON cand.id_b = b.doc_id
         """,
         # full re-derivation of the curation composition: md5 min-id
         # keeper join, identical integer counts, the same left-associated
