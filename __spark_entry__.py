@@ -191,10 +191,13 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_text_token_count(spark, sf_dir):
-    """Token counting (operators/textstats.py)."""
+    """Token counting (operators/textstats.py): whitespace tokens AND the
+    BPE-ish regex tokens (word runs | digit runs | single symbols)."""
+    from cartwright_spark.operators.textstats import tokens_col
     docs = _t(spark, sf_dir, "documents")
     n_ws = F.size(F.filter(F.split(F.col("text"), "\\s+"), lambda t: t != ""))
-    return docs.select("doc_id", n_ws.alias("n_ws_tokens"))
+    return docs.select("doc_id", n_ws.alias("n_ws_tokens"),
+                       F.size(tokens_col(F.col("text"))).alias("n_bpe_tokens"))
 
 
 def q_text_quality_counts(spark, sf_dir):
@@ -894,7 +897,11 @@ def oracle_sql() -> dict[str, str]:
         "text_token_count": """
             SELECT doc_id,
                    len(list_filter(str_split_regex(text, '\\s+'), x -> x <> ''))
-                     AS n_ws_tokens
+                     AS n_ws_tokens,
+                   -- explicit class = Java's \s (incl. \x0B) for parity
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^ \\t\\n\\x0B\\f\\rA-Za-z0-9]'))
+                     AS n_bpe_tokens
             FROM documents
         """,
         "text_quality_counts": """
