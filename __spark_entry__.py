@@ -283,6 +283,21 @@ def q_j6_pip_bulk(spark, sf_dir):
                                       point_id_col="point_id")
 
 
+def q_j8_tile_assign(spark, sf_dir):
+    """J8 (vector side): raster↔vector tile assignment — polygons → bbox
+    tile cover (driver, dim-scale) → broadcast equi-join on web-mercator
+    tile id (spatial/tiles.py). Full SQL oracle re-deriving the slippy
+    tile formula (floor/ln/tan/clamps identical; grid coordinates sit far
+    from mercator tile boundaries, so libm-vs-JVM ulp noise cannot flip a
+    floor)."""
+    from cartwright_spark.spatial.tiles import assign_points_to_polygons_by_tile
+    pts = _coords(spark, sf_dir).select(
+        F.concat_ws("_", "l_orderkey", "l_linenumber").alias("point_id"),
+        "lat", "lon")
+    return assign_points_to_polygons_by_tile(
+        spark, pts, _pip_boxes_pdf(), zoom=6, point_id_col="point_id")
+
+
 def q_cartwright_categorize(spark, sf_dir):
     """E1/E2: full column classification (sample→validator bank→cascade→
     header fuzzy). Not SQL-expressible (driver records rows-only)."""
@@ -752,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_year_range": q_p7_year_range,
         "p9_iso3_membership": q_p9_iso3_membership,
         "j8_tile_grid": q_j8_tile_grid,
+        "j8_tile_assign": q_j8_tile_assign,
         "w1_temporal_deltas": q_w1_temporal_deltas,
         "a5_threshold_cascade": q_a5_threshold_cascade,
         "a7_uniformity": q_a7_uniformity,
@@ -849,6 +865,40 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_COORDS_SQL})
             GROUP BY 1, 2
         """,
+        "j8_tile_assign": (lambda boxes_vals, coords_sql: (
+            lambda TX, TY: f"""
+            WITH boxes(admin_id, la0, la1, lo0, lo1) AS (VALUES
+              {boxes_vals}
+            ),
+            bt AS (
+              SELECT admin_id,
+                     {TX('lo0')} AS x0, {TX('lo1')} AS x1,
+                     {TY('la1')} AS y0, {TY('la0')} AS y1
+              FROM boxes
+            ),
+            pts AS (
+              SELECT CAST(l_orderkey AS VARCHAR) || '_' ||
+                     CAST(l_linenumber AS VARCHAR) AS point_id,
+                     {TX('lon')} AS tx, {TY('lat')} AS ty
+              FROM ({coords_sql})
+            )
+            SELECT point_id, admin_id,
+                   1729382256910270464 + tx * 536870912 + ty AS tile_id
+            FROM pts JOIN bt
+              ON tx BETWEEN x0 AND x1 AND ty BETWEEN y0 AND y1
+        """)(
+            lambda c: ("CAST(least(greatest(floor((" + c +
+                       " + 180.0) / 360.0 * 64), 0), 63) AS BIGINT)"),
+            lambda c: ("CAST(least(greatest(floor((1.0 - ln(tan(radians("
+                       "least(greatest(" + c + ", -85.05112878), "
+                       "85.05112878))) + 1.0 / cos(radians(least(greatest("
+                       + c + ", -85.05112878), 85.05112878)))) / pi()) "
+                       "/ 2.0 * 64), 0), 63) AS BIGINT)"),
+        ))(
+            ", ".join(
+                f"('box{r}', {r*25-60.005!r}, {r*25-40.005!r}, "
+                f"{r*50-150.005!r}, {r*50-110.005!r})" for r in range(5)),
+            _COORDS_SQL),
         "w1_temporal_deltas": """
             SELECT user_id, event_id, delta_us FROM (
               SELECT user_id, event_id,

@@ -69,7 +69,7 @@ def main() -> None:
     for name in ("p4_latitude_valid", "p5_latlong_pair", "p6_unix_time",
                  "p7_year_range", "p8_date_format", "p9_iso3_membership",
                  "p10_latlon_dedup", "j4_continent_fuzzy", "j6_pip_boxes",
-                 "j8_tile_grid", "j9_salted_rollup", "w1_temporal_deltas",
+                 "j8_tile_grid", "j8_tile_assign", "j9_salted_rollup", "w1_temporal_deltas",
                  "a5_threshold_cascade", "a7_uniformity",
                  "temporal_resolution", "spatial_grid_resolution",
                  "cartwright_categorize", "fuzzy_country_join",
