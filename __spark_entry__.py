@@ -283,6 +283,28 @@ def q_j6_pip_bulk(spark, sf_dir):
                                       point_id_col="point_id")
 
 
+def q_extract_text(spark, sf_dir):
+    """The north-star per-row invariant: html → byte-identical extracted
+    text (operators/extract.py JVM chain). Input html synthesized in-query
+    from documents text (the driver tables carry no html column); the
+    oracle replays the exact rule chain in DuckDB — block-tag alternation
+    expanded per tag (RE2 has no backreferences), same entity replaces,
+    same whitespace collapse — and must reproduce text AND sha256."""
+    from cartwright_spark.operators.extract import extract_text_col
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>t</title><script>var x=1;</script></head>"
+              "<body><nav>home | about</nav><p>"),
+        F.col("text"),
+        F.lit(" &amp; more &lt;data&gt;</p><footer>&copy; corp</footer>"
+              "</body></html>"))
+    src = docs.select("doc_id", F.encode(html, "UTF-8").alias("html"))
+    out = src.withColumn("extracted_text", extract_text_col(F.col("html")))
+    return out.select(
+        "doc_id", "extracted_text",
+        F.sha2(F.col("extracted_text"), 256).alias("text_sha256"))
+
+
 def q_j8_tile_assign(spark, sf_dir):
     """J8 (vector side): raster↔vector tile assignment — polygons → bbox
     tile cover (driver, dim-scale) → broadcast equi-join on web-mercator
@@ -768,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p9_iso3_membership": q_p9_iso3_membership,
         "j8_tile_grid": q_j8_tile_grid,
         "j8_tile_assign": q_j8_tile_assign,
+        "extract_text": q_extract_text,
         "w1_temporal_deltas": q_w1_temporal_deltas,
         "a5_threshold_cascade": q_a5_threshold_cascade,
         "a7_uniformity": q_a7_uniformity,
@@ -864,6 +887,40 @@ def oracle_sql() -> dict[str, str]:
                    count(CASE WHEN lat > 0 THEN 1 END) AS n_north
             FROM ({_COORDS_SQL})
             GROUP BY 1, 2
+        """,
+        "extract_text": """
+            WITH src AS (
+              SELECT doc_id,
+                     '<html><head><title>t</title><script>var x=1;</script>'
+                     || '</head><body><nav>home | about</nav><p>' || text
+                     || ' &amp; more &lt;data&gt;</p><footer>&copy; corp'
+                     || '</footer></body></html>' AS html
+              FROM documents
+            ),
+            stripped AS (
+              SELECT doc_id,
+                     regexp_replace(html,
+                       '(?is)<script\\b.*?</script>|<style\\b.*?</style>'
+                       || '|<title\\b.*?</title>|<nav\\b.*?</nav>'
+                       || '|<header\\b.*?</header>|<footer\\b.*?</footer>'
+                       || '|<aside\\b.*?</aside>|<[^>]*>',
+                       ' ', 'g') AS s
+              FROM src
+            ),
+            unescaped AS (
+              SELECT doc_id,
+                     replace(replace(replace(replace(replace(replace(
+                       s, '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                       '&quot;', '"'), '&copy;', '(c)'), '&#39;', '''')
+                       AS s
+              FROM stripped
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(s, '\\s+', ' ', 'g'))
+                     AS extracted_text,
+                   sha256(trim(regexp_replace(s, '\\s+', ' ', 'g')))
+                     AS text_sha256
+            FROM unescaped
         """,
         "j8_tile_assign": (lambda boxes_vals, coords_sql: (
             lambda TX, TY: f"""

@@ -81,7 +81,7 @@ def main() -> None:
                  "lang_stopword_hits", "lang_detect",
                  "knn_grid", "knn_cells", "knn_hex", "o2_topk",
                  "multimodal_features", "multimodal_frame_plan",
-                 "stream_sessionize", "ivf_ann_topk", "corpus_curation", "j6_pip_bulk", "ngram_jaccard"):
+                 "stream_sessionize", "ivf_ann_topk", "corpus_curation", "j6_pip_bulk", "ngram_jaccard", "extract_text"):
         timed(name, lambda n=name: qmap[n](spark, sf_dir)
               .write.format("noop").mode("overwrite").save())
 
