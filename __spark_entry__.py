@@ -519,6 +519,17 @@ def q_embedding_cosine_pairs(spark, sf_dir):
     return cosine_threshold_pairs(emb, 0.35)
 
 
+def q_embedding_cosine_blocked(spark, sf_dir):
+    """The DISTRIBUTED exact all-pairs path (block-pair grouped join, no
+    driver collect — the round-1 scale-killer's replacement), forced via
+    broadcast_max_rows=0 and checked against the same exact-cosine SQL
+    oracle as the broadcast variant."""
+    from cartwright_spark.operators.simsearch import cosine_threshold_pairs
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_threshold_pairs(emb, 0.35, broadcast_max_rows=0,
+                                  block_rows=1024)
+
+
 def q_embedding_near_dup_lsh(spark, sf_dir):
     """Embedding near-dup, LSH-blocked scale path (dedup.py
     embedding_near_dups) over the planted-near-dup vector fixture:
@@ -815,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "lang_detect": q_lang_detect,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "embedding_cosine_blocked": q_embedding_cosine_blocked,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -1430,6 +1442,16 @@ def oracle_sql() -> dict[str, str]:
                   "cartwright_spark.operators.textstats",
                   fromlist=["x"])._LANG_MARKERS.items())]),
         "embedding_cosine_pairs": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) *
+                   sqrt(list_dot_product(b.v, b.v))) >= 0.35
+        """,
+        "embedding_cosine_blocked": """
             WITH e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
             )

@@ -74,7 +74,7 @@ def main() -> None:
                  "temporal_resolution", "spatial_grid_resolution",
                  "cartwright_categorize", "fuzzy_country_join",
                  "dedup_exact", "dedup_groups",
-                 "simhash_pairs", "embedding_cosine_pairs",
+                 "simhash_pairs", "embedding_cosine_pairs", "embedding_cosine_blocked",
                  "embedding_near_dup_lsh", "lsh_ann_topk",
                  "s2_histogram", "h3_histogram",
                  "text_token_count", "text_quality_counts",
