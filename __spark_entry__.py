@@ -745,7 +745,10 @@ def q_ngram_jaccard(spark, sf_dir):
     cand = docs.where(F.col("doc_id") < 100).select(
         F.col("doc_id").alias("id_a"),
         (F.col("doc_id") + 1).alias("id_b"))
-    out = ngram_jaccard_pairs(docs, cand, "text", "doc_id", n=3)
+    # prune the gram build to participating docs — the join can't infer
+    # it (no dynamic pruning through a derived candidate set)
+    out = ngram_jaccard_pairs(docs.where(F.col("doc_id") <= 100), cand,
+                              "text", "doc_id", n=3)
     return out.select("id_a", "id_b",
                       F.round("jaccard", 6).alias("jaccard"))
 
