@@ -1020,7 +1020,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(list_filter(str_split_regex(text, '\\s+'), x -> x <> ''))
                      AS n_ws_tokens,
-                   -- explicit class = Java's \s (incl. \x0B) for parity
+                   -- explicit class = Java's \\s (incl. \\x0B) for parity
                    len(regexp_extract_all(text,
                        '[A-Za-z]+|[0-9]+|[^ \\t\\n\\x0B\\f\\rA-Za-z0-9]'))
                      AS n_bpe_tokens

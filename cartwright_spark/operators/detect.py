@@ -125,8 +125,14 @@ def _date_families(exclude: tuple[str, ...] = DEFAULT_EXCLUDE_FORMATS
 
 
 def _strftime_to_spark(fmt: str) -> str:
+    # %d maps to variable-width 'd' for textual-month families: their
+    # regexes admit \d{1,2} days (strptime %d accepts unpadded), and
+    # Spark's fixed-width 'dd' would reject '5 January 2021'. Numeric
+    # families are regex-locked to exactly 2 day digits, so 'dd' there
+    # keeps the parse strict. 'd' still parses padded '05'.
+    day = "d" if ("%B" in fmt or "%b" in fmt) else "dd"
     return (fmt.replace("%Y", "yyyy").replace("%y", "yy")
-            .replace("%m", "MM").replace("%d", "dd")
+            .replace("%m", "MM").replace("%d", day)
             .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
             .replace("%B", "MMMM").replace("%b", "MMM"))
 
@@ -484,7 +490,8 @@ def detect_countries(pages: DataFrame, spark: SparkSession,
 def detect_dates(pages: DataFrame, text_col: str = "text",
                  exclude: tuple[str, ...] = DEFAULT_EXCLUDE_FORMATS
                  ) -> DataFrame:
-    """url → (format, raw, ts) across the 43 detectable taxonomy formats;
+    """url → (format, raw, ts) across the len(DETECTABLE_DATE_FORMATS)
+    (currently 47, 46 in the default scan) detectable taxonomy formats;
     validity decided by format-dispatched try_to_timestamp.
 
     ONE scan: every family regex produces a match array in one projection,

@@ -154,7 +154,12 @@ def run_available_now(stream_df: DataFrame, name: str,
     sink and return the materialized result table."""
     q = (stream_df.writeStream.format("memory").queryName(name)
          .outputMode(output_mode).trigger(availableNow=True).start())
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # timed out: the query is still running and the memory table is
+        # partial — stop it and fail loudly rather than return half a drain
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain '{name}' did not finish in {timeout_sec}s")
     spark = stream_df.sparkSession
     return spark.table(name)
 

@@ -78,6 +78,35 @@ def test_detect_date_format_coverage(spark):
     assert not missing, missing
 
 
+def test_detect_date_unpadded_days(spark):
+    """strftime zero-pads %d, so the coverage test above can't catch a
+    fixed-width 'dd' parse pattern silently dropping single-digit days
+    (ADVICE r2 high). Probe every \\d{1,2}-day family with an unpadded
+    day and assert detection survives try_to_timestamp."""
+    from cartwright_spark.operators.detect import detect_dates
+
+    probes = [
+        ("5 January 2021", "%d %B %Y"),
+        ("5 January 21", "%d %B %y"),
+        ("7 Mar 2021", "%d %b %Y"),
+        ("January 5, 2021", "%B %d, %Y"),
+        ("Thu, 4 Mar 2021", "%a, %d %b %Y"),
+        ("Thursday, March 4, 2021", "%A, %B %d, %Y"),
+        ("Thursday, March 4, 2021, 12:34:56", "%A, %B %d, %Y, %H:%M:%S"),
+        # padded days must keep parsing under the variable-width pattern
+        ("05 January 2021", "%d %B %Y"),
+        ("March 05, 2021", "%B %d, %Y"),
+    ]
+    rows = [(i, f"filed on {raw} by the bureau")
+            for i, (raw, _) in enumerate(probes)]
+    pages = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "text"]))
+    got = {(r["url"], r["format"], r["raw"])
+           for r in detect_dates(pages, exclude=()).collect()}
+    missing = [(i, raw, fmt) for i, (raw, fmt) in enumerate(probes)
+               if (i, fmt, raw) not in got]
+    assert not missing, missing
+
+
 def test_detect_all_parity_with_standalone_detectors(spark, pages):
     """detect_all's coord/iso3/date rows equal the union of the standalone
     detectors on the same corpus (ADVICE r1: the fused single-scan claim
