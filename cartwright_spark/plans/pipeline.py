@@ -26,8 +26,20 @@ from cartwright_spark.sources.iceberg_lite import Catalog
 from cartwright_spark.spatial.udfs import s2_cell
 
 
+#: partition-column granularity for the time axis. Real Common-Crawl
+#: snapshots span weeks-to-months, so date(warc_ts) ("day") gives the
+#: bounded daily layout the north rule wants; the synthetic corpus
+#: spreads warc_ts ~90 days per 100k pages, so "month" reproduces a
+#: comparable directory scale at bench sizes. One knob, same machinery.
+TIME_PARTITION = {
+    "day": lambda: F.to_date("warc_ts").cast("string").alias("warc_part"),
+    "month": lambda: F.date_format("warc_ts", "yyyy-MM").alias("warc_part"),
+    "year": lambda: F.year("warc_ts").alias("warc_part"),
+}
+
+
 def _stage(catalog: Catalog, table: str, stage_key: str, parent,
-           build, metrics_extra=None, force=False):
+           build, metrics_extra=None, force=False, partition_by=None):
     """Run one checkpointed stage: reuse the committed snapshot if present."""
     snap = None if force else catalog.find_snapshot(table, stage_key)
     if snap is not None:
@@ -35,7 +47,8 @@ def _stage(catalog: Catalog, table: str, stage_key: str, parent,
     t0 = time.perf_counter()
     df = build()
     snap = catalog.write_table(df, table, stage=table, stage_key=stage_key,
-                               parent=parent, metrics=metrics_extra or {})
+                               parent=parent, metrics=metrics_extra or {},
+                               partition_by=partition_by)
     # wall time is only known after the commit; amend the manifest so the
     # persisted lineage carries real per-stage latency (north rule)
     snap = catalog.amend_metrics(
@@ -46,26 +59,33 @@ def _stage(catalog: Catalog, table: str, stage_key: str, parent,
 
 def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
                  s2_level: int = 10, h3_res: int = 6, zoom: int = 8,
-                 force: bool = False) -> dict:
+                 force: bool = False, time_partition: str = "month") -> dict:
     cat = Catalog(workdir)
     summary: dict = {"stages": {}}
     t_start = time.perf_counter()
+    warc_part = TIME_PARTITION[time_partition]
 
-    # 1) pages corpus (Iceberg-style source table)
+    # 1) pages corpus (Iceberg-style source table), hive-partitioned on
+    # the warc timestamp so every later time-bounded scan partition-prunes
     pages_snap, reused = _stage(
-        cat, "pages", f"pages:n={n_pages}:v1", None,
-        lambda: generate_pages(spark, n_pages))
+        cat, "pages", f"pages:n={n_pages}:tp={time_partition}:v2", None,
+        lambda: generate_pages(spark, n_pages).withColumn(
+            "warc_part", warc_part()),
+        partition_by=["warc_part"])
     summary["stages"]["pages"] = {"rows": pages_snap["row_count"], "reused": reused}
 
     # 2) extract text (byte-identical per url) — projection pruned to the
-    # columns the stage needs so the parquet scan skips `text`
+    # columns the stage needs so the parquet scan skips `text`; keeps the
+    # pages table's time partitioning (partition col rides the select)
     def build_extract():
         pages = cat.load_table(spark, "pages", pages_snap["snapshot_id"])
-        return extract_pages(pages.select("url", "warc_ts", "html", "lang")) \
+        return extract_pages(
+            pages.select("url", "warc_ts", "html", "lang", "warc_part")) \
             .drop("html")
     ext_snap, reused = _stage(
-        cat, "extracted", f"extract:v1:parent={pages_snap['snapshot_id']}",
-        pages_snap, build_extract)
+        cat, "extracted",
+        f"extract:v2:tp={time_partition}:parent={pages_snap['snapshot_id']}",
+        pages_snap, build_extract, partition_by=["warc_part"])
     summary["stages"]["extracted"] = {"rows": ext_snap["row_count"], "reused": reused}
 
     # 3) detect entities in extracted text (JVM regex + broadcast joins)
@@ -102,18 +122,23 @@ def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
         det = cat.load_table(spark, "detections", det_snap["snapshot_id"]) \
             .where(F.col("lat").isNotNull()) \
             .select("url", "kind", "lat", "lon")
+        from cartwright_spark.spatial.udfs import s2_parent_col
         return (
             with_s2_cell(det, "lat", "lon", s2_level, "s2_cell")
             .withColumn("hex_cell", hex_cell(F.col("lat"), F.col("lon")))
             .withColumn("tile_x", tile_x_col(F.col("lon"), zoom))
             .withColumn("tile_y", tile_y_col(F.col("lat"), zoom))
             .withColumn("tile_id", tile_id_col(F.col("lat"), F.col("lon"), zoom))
+            # coarse spatial partition prefix (level-4 parent, pure bit
+            # math on the already-encoded cell): a bbox-bounded read of
+            # the cells table prunes to the touched level-4 directories
+            .withColumn("s2_l4", s2_parent_col(F.col("s2_cell"), 4))
         )
     cell_snap, reused = _stage(
         cat, "cells",
-        f"cells:v3:s2={s2_level}:h3={h3_res}:z={zoom}"
+        f"cells:v4:s2={s2_level}:h3={h3_res}:z={zoom}"
         f":parent={det_snap['snapshot_id']}",
-        det_snap, build_cells)
+        det_snap, build_cells, partition_by=["s2_l4"])
     summary["stages"]["cells"] = {"rows": cell_snap["row_count"], "reused": reused}
 
     # 5) tile histogram — two-stage salted aggregation: the 3 hot urban

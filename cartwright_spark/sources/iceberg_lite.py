@@ -7,8 +7,18 @@ chaining, and resume-from-checkpoint. The API is kept Catalog-shaped so a
 real Iceberg catalog can be dropped in.
 
 Layout:
-    <root>/<table>/data/snap-<n>/part-*.parquet
+    <root>/<table>/data/snap-<n>/part-*.parquet                (unpartitioned)
+    <root>/<table>/data/snap-<n>/<col>=<v>/part-*.parquet      (partitioned)
     <root>/<table>/_snapshots/<n>.json        (written last = commit point)
+
+Partitioned tables (``partition_by=[...]``) use hive-style directory
+layout, so a plain ``load_table(...).where(col == v)`` scan gets Catalyst
+partition pruning (PartitionFilters in the physical plan) for free, and
+the manifest records per-file partition values plus per-file column
+min/max from the parquet footers — ``select_files`` / ``load_table(...,
+partition_filter=...)`` skip files at the manifest level without touching
+data, which is what makes a resumed query over a 100 TB table read only
+its time/space slice.
 
 A stage is "done" iff a committed snapshot exists whose ``stage_key``
 (stage name + parameter fingerprint + parent snapshot id) matches — that
@@ -22,6 +32,61 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _json_safe(v):
+    """Footer statistics → JSON-storable scalar (dates/ts/bytes → str)."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return v.hex()
+    return str(v)
+
+
+def _partition_values(rel_path: str) -> dict:
+    """Hive-style ``k=v`` path segments → {k: v} (values stay strings,
+    exactly as written; '__HIVE_DEFAULT_PARTITION__' → None)."""
+    from urllib.parse import unquote
+    out = {}
+    for seg in rel_path.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            v = unquote(v)
+            out[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+    return out
+
+
+def _file_meta(fp: str, data_dir: str) -> dict:
+    """Footer-derived lineage for one parquet file: row count, hive
+    partition values, and per-column min/max across row groups."""
+    import pyarrow.parquet as pq
+    meta = pq.read_metadata(fp)
+    stats: dict = {}
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            cname = col.path_in_schema
+            if "." in cname:      # nested leaves: skip, min/max not scalar
+                continue
+            mn, mx = _json_safe(st.min), _json_safe(st.max)
+            if cname in stats:
+                prev = stats[cname]
+                try:
+                    mn = min(prev["min"], mn)
+                    mx = max(prev["max"], mx)
+                except TypeError:
+                    continue
+            stats[cname] = {"min": mn, "max": mx}
+    return {"rows": meta.num_rows,
+            "partition": _partition_values(os.path.relpath(fp, data_dir)),
+            "stats": stats}
 
 
 class Catalog:
@@ -65,32 +130,49 @@ class Catalog:
     def write_table(self, df: DataFrame, name: str, stage: str,
                     stage_key: str | None = None,
                     parent: dict | None = None,
-                    metrics: dict | None = None) -> dict:
+                    metrics: dict | None = None,
+                    partition_by: list[str] | None = None,
+                    cluster_before_write: bool = True) -> dict:
+        """Commit a snapshot; with ``partition_by`` the data lands in
+        hive-style partition directories (Catalyst partition pruning) and
+        the manifest carries per-file partition values + column min/max
+        (manifest-level file skipping).
+
+        ``cluster_before_write`` repartitions by the partition columns
+        first so each partition directory gets one file instead of one
+        per upstream task — the small-files guard. At 100 TB you'd widen
+        that to ``repartition(n, *cols, rand)`` so a hot partition (one
+        crawl day) still fans across executors; at bench scale the plain
+        key repartition is the right layout."""
         snaps = self.snapshots(name)
         snap_id = (snaps[-1]["snapshot_id"] + 1) if snaps else 0
         data_dir = os.path.join(self._tdir(name), "data", f"snap-{snap_id}")
         t0 = time.perf_counter()
-        df.write.mode("overwrite").parquet(data_dir)
+        writer = df
+        if partition_by and cluster_before_write:
+            writer = df.repartition(*[df[c] for c in partition_by])
+        w = writer.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_dir)
         wall = time.perf_counter() - t0
 
-        # per-file (= per-write-partition) row-count lineage from footers
-        import pyarrow.parquet as pq
+        # per-file lineage from footers: row count + partition values
+        # (parsed from the hive path) + per-column min/max statistics
         files = []
         total = 0
-        for fn in sorted(os.listdir(data_dir)):
-            if not fn.endswith(".parquet"):
-                continue
-            fp = os.path.join(data_dir, fn)
-            meta = pq.read_metadata(fp)
-            files.append({"path": os.path.relpath(fp, self.root),
-                          "rows": meta.num_rows,
-                          "bytes": os.path.getsize(fp)})
-            total += meta.num_rows
+        for fp in sorted(self._parquet_files(data_dir)):
+            meta = _file_meta(fp, data_dir)
+            entry = {"path": os.path.relpath(fp, self.root), **meta,
+                     "bytes": os.path.getsize(fp)}
+            files.append(entry)
+            total += entry["rows"]
 
         manifest = {
             "snapshot_id": snap_id,
             "table": name,
             "stage": stage,
+            "partition_by": list(partition_by or []),
             "stage_key": stage_key or stage,
             "parent_snapshot": None if parent is None else parent["snapshot_id"],
             "parent_table": None if parent is None else parent["table"],
@@ -125,16 +207,61 @@ class Catalog:
         os.replace(tmp, final)
         return manifest
 
-    def load_table(self, spark: SparkSession, name: str,
-                   snapshot_id: int | None = None) -> DataFrame:
+    def _parquet_files(self, data_dir: str) -> list[str]:
+        out = []
+        for d, _, fns in os.walk(data_dir):
+            out.extend(os.path.join(d, fn) for fn in fns
+                       if fn.endswith(".parquet"))
+        return out
+
+    def _snap(self, name: str, snapshot_id: int | None) -> dict:
         if snapshot_id is None:
             snap = self.latest_snapshot(name)
         else:
-            snap = next(s for s in self.snapshots(name)
-                        if s["snapshot_id"] == snapshot_id)
+            snap = next((s for s in self.snapshots(name)
+                         if s["snapshot_id"] == snapshot_id), None)
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot for table {name}")
-        return spark.read.parquet(os.path.join(self.root, snap["data_dir"]))
+        return snap
+
+    def select_files(self, name: str, snapshot_id: int | None = None,
+                     partition_filter=None, stats_filter=None) -> list[dict]:
+        """Manifest-level file pruning — no data or footer reads.
+
+        ``partition_filter``: callable({col: str_value}) -> bool over the
+        file's hive partition values. ``stats_filter``: callable({col:
+        {"min","max"}}) -> bool over footer min/max (return True to KEEP;
+        a conservative filter must keep files whose stats it can't
+        decide). This is the resume path's skip list: a date-bounded
+        re-run touches only matching files of a committed snapshot."""
+        snap = self._snap(name, snapshot_id)
+        files = snap["files"]
+        if partition_filter is not None:
+            files = [f for f in files
+                     if partition_filter(f.get("partition", {}))]
+        if stats_filter is not None:
+            files = [f for f in files if stats_filter(f.get("stats", {}))]
+        return files
+
+    def load_table(self, spark: SparkSession, name: str,
+                   snapshot_id: int | None = None,
+                   partition_filter=None) -> DataFrame:
+        """Read a committed snapshot. Hive partition discovery is automatic
+        (partition columns come back typed; ``.where`` on them prunes in
+        Catalyst). With ``partition_filter`` the file list itself is cut
+        down from the manifest first — basePath keeps the partition
+        columns in the schema."""
+        snap = self._snap(name, snapshot_id)
+        data_dir = os.path.join(self.root, snap["data_dir"])
+        if partition_filter is None:
+            return spark.read.parquet(data_dir)
+        files = self.select_files(name, snap["snapshot_id"],
+                                  partition_filter=partition_filter)
+        if not files:
+            # empty selection: preserve schema via a 0-row read of the dir
+            return spark.read.parquet(data_dir).limit(0)
+        return spark.read.option("basePath", data_dir).parquet(
+            *[os.path.join(self.root, f["path"]) for f in files])
 
     def lineage(self, name: str) -> list[dict]:
         """Manifest chain newest→oldest following parent pointers."""
