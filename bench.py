@@ -130,12 +130,15 @@ def main() -> None:
     # extract → detect → encode → salted tile rollup, incl. snapshot writes.
     workdir = "/tmp/cartwright_bench_pipeline"
     shutil.rmtree(workdir, ignore_errors=True)
-    from cartwright_spark.plans.pipeline import run_pipeline
+    from cartwright_spark.plans.pipeline import TIME_PARTITION, run_pipeline
     from cartwright_spark.sources.corpus import generate_pages
     from cartwright_spark.sources.iceberg_lite import Catalog
     Catalog(workdir).write_table(
-        generate_pages(spark, n_pages), "pages", stage="pages",
-        stage_key=f"pages:n={n_pages}:v1")
+        generate_pages(spark, n_pages).withColumn(
+            "warc_part", TIME_PARTITION["year"]()),
+        "pages", stage="pages",
+        stage_key=f"pages:n={n_pages}:tp=year:v2",
+        partition_by=["warc_part"], files_per_partition=4)
     # tiny throwaway pipeline first: stage-level codegen compiles once so
     # the timed run measures throughput, not JIT warm-up
     warm_wd = workdir + "_warm"

@@ -124,6 +124,26 @@ def _date_families(exclude: tuple[str, ...] = DEFAULT_EXCLUDE_FORMATS
     return out
 
 
+#: plan-expression memo. The big dispatch expressions here (12-family
+#: match array, candidate when-chain, 47-format try_to_timestamp chain,
+#: the first-word IN list) are built column-by-column over py4j — ~9k
+#: gateway round-trips ≈ 1.4 s of pure driver latency PER detect_all
+#: call (measured, cProfile). The trees depend only on static config, so
+#: they're built once per JVM gateway and reused; keyed on the gateway
+#: object so a restarted SparkContext never sees stale Java refs.
+_EXPR_MEMO: dict = {}
+
+
+def _cached_expr(key: tuple, build):
+    from pyspark import SparkContext
+    sc = SparkContext._active_spark_context
+    gw = id(sc._gateway) if sc is not None else None
+    k = (gw,) + key
+    if k not in _EXPR_MEMO:
+        _EXPR_MEMO[k] = build()
+    return _EXPR_MEMO[k]
+
+
 def _strftime_to_spark(fmt: str) -> str:
     # %d maps to variable-width 'd' for textual-month families: their
     # regexes admit \d{1,2} days (strptime %d accepts unpadded), and
@@ -202,20 +222,25 @@ def _date_match_rows(pages: DataFrame, text_col: str,
 
     extra_fams: [(fam_id, regex, group_idx)] appended families (coord/iso3
     ride the same scan in detect_all)."""
-    fams = _date_families(exclude)
-    structs = [
-        F.struct(F.lit(i).alias("fam"),
-                 F.regexp_extract_all(F.col(text_col), F.lit(rex), 1)
-                 .alias("ms"))
-        for i, (rex, _sp, _c) in enumerate(fams)
-    ] + [
-        F.struct(F.lit(fid).alias("fam"),
-                 F.regexp_extract_all(F.col(text_col), F.lit(rex), grp)
-                 .alias("ms"))
-        for fid, rex, grp in (extra_fams or [])
-    ]
+    def build():
+        fams = _date_families(exclude)
+        structs = [
+            F.struct(F.lit(i).alias("fam"),
+                     F.regexp_extract_all(F.col(text_col), F.lit(rex), 1)
+                     .alias("ms"))
+            for i, (rex, _sp, _c) in enumerate(fams)
+        ] + [
+            F.struct(F.lit(fid).alias("fam"),
+                     F.regexp_extract_all(F.col(text_col), F.lit(rex), grp)
+                     .alias("ms"))
+            for fid, rex, grp in (extra_fams or [])
+        ]
+        return F.array(*structs)
+    fam_arr = _cached_expr(
+        ("match_structs", text_col, exclude,
+         tuple(extra_fams) if extra_fams else None), build)
     return (pages
-            .select("url", F.explode(F.array(*structs)).alias("fm"))
+            .select("url", F.explode(fam_arr).alias("fm"))
             .select("url", F.col("fm.fam").alias("fam"),
                     F.explode("fm.ms").alias("m")))
 
@@ -228,16 +253,20 @@ def _date_candidate_rows(rows: DataFrame,
     array (all plain codegen exprs — value extraction and separator-derived
     format strings), one explode, null (inapplicable) candidates dropped."""
     fams = _date_families(exclude)
-    arr = None
-    for i, (_rex, sep_pos, cands) in enumerate(fams):
-        m = F.col("m")
-        a = F.array(*[
-            F.struct(F.lit("date").alias("kind"),
-                     _candidate_value(m, ck).alias("value"),
-                     _fmt_col(m, tpl, sep_pos).alias("format"))
-            for tpl, ck in cands])
-        arr = F.when(F.col("fam") == i, a) if arr is None \
-            else arr.when(F.col("fam") == i, a)
+
+    def build():
+        arr = None
+        for i, (_rex, sep_pos, cands) in enumerate(fams):
+            m = F.col("m")
+            a = F.array(*[
+                F.struct(F.lit("date").alias("kind"),
+                         _candidate_value(m, ck).alias("value"),
+                         _fmt_col(m, tpl, sep_pos).alias("format"))
+                for tpl, ck in cands])
+            arr = F.when(F.col("fam") == i, a) if arr is None \
+                else arr.when(F.col("fam") == i, a)
+        return arr
+    arr = _cached_expr(("candidate_arr", exclude), build)
     return (rows.where(F.col("fam") < len(fams))
             .select("url", F.explode(arr).alias("h"))
             .select("url", F.col("h.kind").alias("kind"),
@@ -250,15 +279,44 @@ def _date_ts_expr(value_col, format_col):
     """format-dispatched try_to_timestamp; weekday prefixes and 12-hour
     markers stripped first (strptime parses-and-ignores both when y-m-d
     and %H are present)."""
-    parse_src = F.regexp_replace(
-        F.regexp_replace(value_col, r"^[A-Za-z]+, ", ""),
-        r" [AP]M$", "")
-    ts = None
-    for fmt, pat in _SPARK_FMT.items():
-        cand = F.try_to_timestamp(parse_src, F.lit(pat))
-        ts = F.when(format_col == fmt, cand) if ts is None \
-            else ts.when(format_col == fmt, cand)
-    return ts
+    key = ("ts_expr", str(value_col), str(format_col))
+
+    def build():
+        parse_src = F.regexp_replace(
+            F.regexp_replace(value_col, r"^[A-Za-z]+, ", ""),
+            r" [AP]M$", "")
+        ts = None
+        for fmt, pat in _SPARK_FMT.items():
+            cand = F.try_to_timestamp(parse_src, F.lit(pat))
+            ts = F.when(format_col == fmt, cand) if ts is None \
+                else ts.when(format_col == fmt, cand)
+        return ts
+    return _cached_expr(key, build)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
+def _city_country_dim():
+    """cities + country names as ONE gram-scan dim with a kind tag
+    (country rows carry null coordinates). lru-cached so the frame has a
+    stable identity for the broadcast-DataFrame memo."""
+    import pandas as pd
+    cities = gz.cities_pdf().copy()
+    cities["name_norm"] = cities["city"].str.lower()
+    cities = cities.rename(columns={"city": "name"})
+    cities["kind"] = "city"
+    countries = gz.countries_pdf()[["country_name"]].copy()
+    countries["name_norm"] = countries["country_name"].str.lower()
+    countries = countries.rename(columns={"country_name": "name"})
+    countries["kind"] = "country_name"
+    countries["lat"] = float("nan")
+    countries["lon"] = float("nan")
+    return pd.concat(
+        [cities[["name", "name_norm", "kind", "lat", "lon"]],
+         countries[["name", "name_norm", "kind", "lat", "lon"]]],
+        ignore_index=True)
 
 
 def detect_all(pages: DataFrame, spark: SparkSession,
@@ -280,23 +338,8 @@ def detect_all(pages: DataFrame, spark: SparkSession,
     nuls = F.lit(None).cast("string")
 
     combined = _detect_entities_single_scan(pages, spark, text_col)
-    # cities + country names share ONE gram scan: a single union dim with a
-    # kind tag (country rows carry null coordinates)
-    cities = gz.cities_pdf().copy()
-    cities["name_norm"] = cities["city"].str.lower()
-    cities = cities.rename(columns={"city": "name"})
-    cities["kind"] = "city"
-    countries = gz.countries_pdf()[["country_name"]].copy()
-    countries["name_norm"] = countries["country_name"].str.lower()
-    countries = countries.rename(columns={"country_name": "name"})
-    countries["kind"] = "country_name"
-    countries["lat"] = float("nan")
-    countries["lon"] = float("nan")
-    import pandas as pd
-    dim = pd.concat([cities[["name", "name_norm", "kind", "lat", "lon"]],
-                     countries[["name", "name_norm", "kind", "lat", "lon"]]],
-                    ignore_index=True)
-    mentions = _gazetteer_gram_mentions(pages, spark, dim, text_col).select(
+    mentions = _gazetteer_gram_mentions(
+        pages, spark, _city_country_dim(), text_col).select(
         "url", F.col("kind"), F.col("name").alias("value"),
         F.col("kind").alias("subcategory"), nuls.alias("format"),
         F.when(~F.isnan("lat"), F.col("lat")).alias("lat"),
@@ -324,24 +367,28 @@ def _detect_entities_single_scan(pages: DataFrame, spark: SparkSession,
     rows = _date_match_rows(pages, text_col, extra_fams=[
         (FAM_COORD, _COORD_RE, 0), (FAM_ISO3, _ISO3_RE, 1)])
 
-    fams = _date_families()
-    m = F.col("m")
-    arr = None
-    for i, (_rex, sep_pos, cands) in enumerate(fams):
-        a = F.array(*[
-            F.struct(F.lit("date").alias("kind"),
-                     _candidate_value(m, ck).alias("value"),
-                     _fmt_col(m, tpl, sep_pos).alias("format"))
-            for tpl, ck in cands])
-        arr = F.when(F.col("fam") == i, a) if arr is None \
-            else arr.when(F.col("fam") == i, a)
-    nulf = F.lit(None).cast("string")
-    arr = arr.when(F.col("fam") == FAM_COORD,
-                   F.array(F.struct(F.lit("coord").alias("kind"),
-                                    m.alias("value"), nulf.alias("format"))))
-    arr = arr.when(F.col("fam") == FAM_ISO3,
-                   F.array(F.struct(F.lit("iso3").alias("kind"),
-                                    m.alias("value"), nulf.alias("format"))))
+    def build_arr():
+        fams = _date_families()
+        m = F.col("m")
+        arr = None
+        for i, (_rex, sep_pos, cands) in enumerate(fams):
+            a = F.array(*[
+                F.struct(F.lit("date").alias("kind"),
+                         _candidate_value(m, ck).alias("value"),
+                         _fmt_col(m, tpl, sep_pos).alias("format"))
+                for tpl, ck in cands])
+            arr = F.when(F.col("fam") == i, a) if arr is None \
+                else arr.when(F.col("fam") == i, a)
+        nulf = F.lit(None).cast("string")
+        arr = arr.when(F.col("fam") == FAM_COORD,
+                       F.array(F.struct(F.lit("coord").alias("kind"),
+                                        m.alias("value"),
+                                        nulf.alias("format"))))
+        return arr.when(F.col("fam") == FAM_ISO3,
+                        F.array(F.struct(F.lit("iso3").alias("kind"),
+                                         m.alias("value"),
+                                         nulf.alias("format"))))
+    arr = _cached_expr(("entity_candidate_arr",), build_arr)
     hits = (rows.select("url", F.explode(arr).alias("h"))
             .select("url", F.col("h.kind").alias("kind"),
                     F.col("h.value").alias("value"),
@@ -355,8 +402,10 @@ def _detect_entities_single_scan(pages: DataFrame, spark: SparkSession,
     lon = F.split("value", ",\\s*").getItem(1).cast("double")
     ts = _date_ts_expr(F.col("value"), F.col("format"))
 
-    iso3 = F.broadcast(
-        spark.createDataFrame(gz.countries_pdf()[["iso3"]]))
+    iso3 = _cached_expr(
+        ("iso3_dim",),
+        lambda: F.broadcast(spark.createDataFrame(
+            gz.countries_pdf()[["iso3"]])))
     validated = (
         hits
         .withColumn("lat", F.when(F.col("kind") == "coord", lat))
@@ -428,7 +477,12 @@ def _gazetteer_gram_mentions(pages: DataFrame, spark: SparkSession,
     positions — is whole-stage codegen with NO shuffle: 1.6 s, and at
     cluster scale it keeps the detection map-side.
     """
-    dim = F.broadcast(spark.createDataFrame(names_pdf))
+    # dim cache key: object identity of the pandas frame (callers build
+    # their dims once via lru_cache'd gazetteer loaders or pass a stable
+    # module-level frame; a fresh frame each call just misses the memo)
+    dim = _cached_expr(
+        ("gram_dim", id(names_pdf), len(names_pdf)),
+        lambda: F.broadcast(spark.createDataFrame(names_pdf)))
     # any gram matching a multi-word name must start with that name's
     # first word — prefilter word positions on that set so gram
     # construction only runs at plausible start positions. Small sets ride
@@ -443,7 +497,13 @@ def _gazetteer_gram_mentions(pages: DataFrame, spark: SparkSession,
             .select("url", "ws", F.posexplode("ws").alias("pos", "w"))
             .where(F.substring("w", 1, 1).between("A", "Z")))
     if len(first_words) <= 1000:
-        rows = rows.where(F.lower("w").isin(first_words))
+        # one parsed SQL string, not Column.isin: isin issues a py4j
+        # round-trip per literal (~0.4 s at 300 first words, measured)
+        in_list = ", ".join("'" + w.replace("'", "''") + "'"
+                            for w in first_words)
+        rows = rows.where(_cached_expr(
+            ("first_words", in_list),
+            lambda: F.expr(f"lower(w) IN ({in_list})")))
     else:
         fw = F.broadcast(spark.createDataFrame(
             pd.DataFrame({"__fw": first_words})))

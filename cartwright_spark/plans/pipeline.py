@@ -28,9 +28,13 @@ from cartwright_spark.spatial.udfs import s2_cell
 
 #: partition-column granularity for the time axis. Real Common-Crawl
 #: snapshots span weeks-to-months, so date(warc_ts) ("day") gives the
-#: bounded daily layout the north rule wants; the synthetic corpus
-#: spreads warc_ts ~90 days per 100k pages, so "month" reproduces a
-#: comparable directory scale at bench sizes. One knob, same machinery.
+#: bounded daily layout the north rule wants — at 100 TB each daily
+#: directory is tens of GB and the per-directory write cost amortizes to
+#: nothing. The synthetic corpus spreads warc_ts over ~25 YEARS at bench
+#: sizes, so "day"/"month" would mean thousands of KB-sized directories
+#: (measured: month = 302 dirs = 5.8 s of write overhead at 100k pages);
+#: "year" reproduces the production dirs-per-byte ratio. Same machinery,
+#: one knob — pruning is proven at "day" in test_plan_quality.
 TIME_PARTITION = {
     "day": lambda: F.to_date("warc_ts").cast("string").alias("warc_part"),
     "month": lambda: F.date_format("warc_ts", "yyyy-MM").alias("warc_part"),
@@ -39,7 +43,8 @@ TIME_PARTITION = {
 
 
 def _stage(catalog: Catalog, table: str, stage_key: str, parent,
-           build, metrics_extra=None, force=False, partition_by=None):
+           build, metrics_extra=None, force=False, partition_by=None,
+           files_per_partition=1):
     """Run one checkpointed stage: reuse the committed snapshot if present."""
     snap = None if force else catalog.find_snapshot(table, stage_key)
     if snap is not None:
@@ -48,7 +53,8 @@ def _stage(catalog: Catalog, table: str, stage_key: str, parent,
     df = build()
     snap = catalog.write_table(df, table, stage=table, stage_key=stage_key,
                                parent=parent, metrics=metrics_extra or {},
-                               partition_by=partition_by)
+                               partition_by=partition_by,
+                               files_per_partition=files_per_partition)
     # wall time is only known after the commit; amend the manifest so the
     # persisted lineage carries real per-stage latency (north rule)
     snap = catalog.amend_metrics(
@@ -59,7 +65,8 @@ def _stage(catalog: Catalog, table: str, stage_key: str, parent,
 
 def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
                  s2_level: int = 10, h3_res: int = 6, zoom: int = 8,
-                 force: bool = False, time_partition: str = "month") -> dict:
+                 force: bool = False, time_partition: str = "year",
+                 s2_part_level: int = 2) -> dict:
     cat = Catalog(workdir)
     summary: dict = {"stages": {}}
     t_start = time.perf_counter()
@@ -71,7 +78,7 @@ def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
         cat, "pages", f"pages:n={n_pages}:tp={time_partition}:v2", None,
         lambda: generate_pages(spark, n_pages).withColumn(
             "warc_part", warc_part()),
-        partition_by=["warc_part"])
+        partition_by=["warc_part"], files_per_partition=4)
     summary["stages"]["pages"] = {"rows": pages_snap["row_count"], "reused": reused}
 
     # 2) extract text (byte-identical per url) — projection pruned to the
@@ -85,7 +92,8 @@ def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
     ext_snap, reused = _stage(
         cat, "extracted",
         f"extract:v2:tp={time_partition}:parent={pages_snap['snapshot_id']}",
-        pages_snap, build_extract, partition_by=["warc_part"])
+        pages_snap, build_extract, partition_by=["warc_part"],
+        files_per_partition=4)
     summary["stages"]["extracted"] = {"rows": ext_snap["row_count"], "reused": reused}
 
     # 3) detect entities in extracted text (JVM regex + broadcast joins)
@@ -100,21 +108,30 @@ def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
 
     # 4) encode S2 cell + H3 hex + web-mercator tile for spatial
     # detections (north star: every detected coordinate carries BOTH cell
-    # systems — S2 feeds the PIP layer, H3 the k-ring kNN layer). S2 +
-    # tiles are the all-JVM staged encode (one codegen stage); H3 is the
-    # single Arrow stage in the pipeline, fed only narrow lat/lon doubles
-    # (measured flat across parallelism in BENCH finding #1)
+    # systems — S2 feeds the PIP layer, H3 the k-ring kNN layer). Both
+    # cell encodes share ONE Arrow stage fed only narrow lat/lon doubles;
+    # mercator tiles stay JVM codegen.
     def build_cells():
         from pyspark.sql.functions import pandas_udf
 
         from cartwright_spark.spatial import h3 as h3mod
-        from cartwright_spark.spatial.udfs import with_s2_cell
+        from cartwright_spark.spatial import s2 as s2mod
 
-        @pandas_udf("long")
-        def hex_cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        # ONE Arrow stage computes BOTH cell systems from the same
+        # lat/lon batch (bit-parity with the JVM form is locked by
+        # tests). Measured at 100k pages / 220k coords: the staged JVM
+        # S2 expression is 1.06 s (the Hilbert-walk expression tree is
+        # wide even staged), the fused numpy UDF 0.62 s including H3 —
+        # the r2 'single Arrow stage' rule kept the slower encode.
+        @pandas_udf("struct<s2_cell: long, hex_cell: long>")
+        def both_cells(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
             import numpy as np
-            return pd.Series(h3mod.latlng_to_cell(
-                lat.to_numpy(np.float64), lon.to_numpy(np.float64), h3_res))
+            la = lat.to_numpy(np.float64)
+            lo = lon.to_numpy(np.float64)
+            return pd.DataFrame({
+                "s2_cell": s2mod.latlng_to_cell(la, lo, s2_level)
+                .astype(np.int64),
+                "hex_cell": h3mod.latlng_to_cell(la, lo, h3_res)})
 
         # project to the columns the tiling layer consumes BEFORE the
         # encode — the detections table carries wide entity strings that
@@ -124,43 +141,50 @@ def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
             .select("url", "kind", "lat", "lon")
         from cartwright_spark.spatial.udfs import s2_parent_col
         return (
-            with_s2_cell(det, "lat", "lon", s2_level, "s2_cell")
-            .withColumn("hex_cell", hex_cell(F.col("lat"), F.col("lon")))
+            det.withColumn("__c", both_cells(F.col("lat"), F.col("lon")))
+            .withColumn("s2_cell", F.col("__c.s2_cell"))
+            .withColumn("hex_cell", F.col("__c.hex_cell"))
+            .drop("__c")
             .withColumn("tile_x", tile_x_col(F.col("lon"), zoom))
             .withColumn("tile_y", tile_y_col(F.col("lat"), zoom))
             .withColumn("tile_id", tile_id_col(F.col("lat"), F.col("lon"), zoom))
-            # coarse spatial partition prefix (level-4 parent, pure bit
+            # coarse spatial partition prefix (parent cell, pure bit
             # math on the already-encoded cell): a bbox-bounded read of
-            # the cells table prunes to the touched level-4 directories
-            .withColumn("s2_l4", s2_parent_col(F.col("s2_cell"), 4))
+            # the cells table prunes to the touched coarse directories.
+            # Level 2 (≤96 cells globally) at bench scale; at 100 TB
+            # raise to level 4 (≤1536 dirs, each still tens of GB) —
+            # measured here, level 4 over a globally-spread bench corpus
+            # is 1394 tiny dirs and 5.9 s of pure file overhead.
+            .withColumn("s2_part",
+                        s2_parent_col(F.col("s2_cell"), s2_part_level))
         )
     cell_snap, reused = _stage(
         cat, "cells",
-        f"cells:v4:s2={s2_level}:h3={h3_res}:z={zoom}"
+        f"cells:v5:s2={s2_level}:h3={h3_res}:z={zoom}:sp={s2_part_level}"
         f":parent={det_snap['snapshot_id']}",
-        det_snap, build_cells, partition_by=["s2_l4"])
+        det_snap, build_cells, partition_by=["s2_part"])
     summary["stages"]["cells"] = {"rows": cell_snap["row_count"], "reused": reused}
 
-    # 5) tile histogram — two-stage salted aggregation: the 3 hot urban
-    # boxes concentrate ~20% of rows on 3 tile keys (J9; AQE alone only
-    # splits *join* skew, not groupBy hot keys)
+    # 5) tile histogram. These five aggs are all ALGEBRAIC (count/min/
+    # max), so Spark's map-side partial aggregation already absorbs the
+    # hot-tile skew: every map task emits at most |distinct tiles| rows,
+    # and a hot urban tile reaches its reducer as ≤ n_tasks partials, not
+    # n_rows rows. The r2 salted_aggregate here was paying a full count
+    # pre-pass (measured 1.59 s vs 0.82 s plain at 100k pages) to solve a
+    # problem hashAggregate's partial step already solves. Salting (J9)
+    # remains the tool for HOLISTIC aggs (collect_list, exact quantiles)
+    # and skewed JOIN keys, where no map-side combine exists.
     def build_tiles():
-        from cartwright_spark.spatial.skew import salted_aggregate
         cells = cat.load_table(spark, "cells", cell_snap["snapshot_id"])
-        agg = salted_aggregate(
-            cells, "tile_id",
-            [("n_points", F.count("*"), "sum"),
-             ("lat_min", F.min("lat"), "min"),
-             ("lat_max", F.max("lat"), "max"),
-             ("lon_min", F.min("lon"), "min"),
-             ("lon_max", F.max("lon"), "max")],
-            hot_threshold=max(10_000, n_pages // 50),
-            salt_from="url")
+        agg = cells.groupBy("tile_id").agg(
+            F.count("*").alias("n_points"),
+            F.min("lat").alias("lat_min"), F.max("lat").alias("lat_max"),
+            F.min("lon").alias("lon_min"), F.max("lon").alias("lon_max"))
         # tile_id encodes (zoom, x, y) — recover x/y with bit math
         return (agg.withColumn("tile_x", F.expr("(tile_id >> 29) & 536870911"))
                 .withColumn("tile_y", F.expr("tile_id & 536870911")))
     tile_snap, reused = _stage(
-        cat, "tile_counts", f"tiles:v2:z={zoom}:parent={cell_snap['snapshot_id']}",
+        cat, "tile_counts", f"tiles:v3:z={zoom}:parent={cell_snap['snapshot_id']}",
         cell_snap, build_tiles)
     summary["stages"]["tile_counts"] = {"rows": tile_snap["row_count"], "reused": reused}
 

@@ -132,25 +132,34 @@ class Catalog:
                     parent: dict | None = None,
                     metrics: dict | None = None,
                     partition_by: list[str] | None = None,
-                    cluster_before_write: bool = True) -> dict:
+                    cluster_before_write: bool = True,
+                    files_per_partition: int = 1) -> dict:
         """Commit a snapshot; with ``partition_by`` the data lands in
         hive-style partition directories (Catalyst partition pruning) and
         the manifest carries per-file partition values + column min/max
         (manifest-level file skipping).
 
         ``cluster_before_write`` repartitions by the partition columns
-        first so each partition directory gets one file instead of one
-        per upstream task — the small-files guard. At 100 TB you'd widen
-        that to ``repartition(n, *cols, rand)`` so a hot partition (one
-        crawl day) still fans across executors; at bench scale the plain
-        key repartition is the right layout."""
+        first so each partition directory gets ``files_per_partition``
+        files instead of one per upstream task — the small-files guard.
+        ``files_per_partition > 1`` adds a deterministic sub-key
+        (upstream partition id mod k) to the clustering so a partition
+        directory's rows fan across k writer tasks: bigger scan
+        parallelism for downstream stages, and the same lever that keeps
+        one hot crawl-day from serializing on a single executor at
+        100 TB."""
         snaps = self.snapshots(name)
         snap_id = (snaps[-1]["snapshot_id"] + 1) if snaps else 0
         data_dir = os.path.join(self._tdir(name), "data", f"snap-{snap_id}")
         t0 = time.perf_counter()
         writer = df
         if partition_by and cluster_before_write:
-            writer = df.repartition(*[df[c] for c in partition_by])
+            keys = [df[c] for c in partition_by]
+            if files_per_partition > 1:
+                from pyspark.sql import functions as F
+                keys.append(F.pmod(F.spark_partition_id(),
+                                   F.lit(files_per_partition)))
+            writer = df.repartition(*keys)
         w = writer.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
