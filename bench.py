@@ -63,8 +63,7 @@ def main() -> None:
     # r01's list plus every query that went green in r02 — same names each
     # round so per-query regressions stay visible (VERDICT r1 item 9).
     # doc_fingerprint is benched separately below (its contract query now
-    # runs a fixed golden fixture); incremental_microbatch writes snapshot
-    # dirs per call and is covered by the pipeline timing instead.
+    # runs a fixed golden fixture).
     qmap = entry_mod.queries()
     for name in ("p4_latitude_valid", "p5_latlong_pair", "p6_unix_time",
                  "p7_year_range", "p8_date_format", "p9_iso3_membership",
@@ -81,7 +80,13 @@ def main() -> None:
                  "lang_stopword_hits", "lang_detect",
                  "knn_grid", "knn_cells", "knn_hex", "o2_topk",
                  "multimodal_features", "multimodal_frame_plan",
-                 "stream_sessionize", "ivf_ann_topk", "corpus_curation", "j6_pip_bulk", "ngram_jaccard", "extract_text"):
+                 "stream_sessionize", "ivf_ann_topk", "corpus_curation",
+                 "j6_pip_bulk", "ngram_jaccard", "extract_text",
+                 # r2 VERDICT item 6: every contract query appears in the
+                 # timed list (incremental_microbatch cleans and rebuilds
+                 # its own snapshot dirs per call, so it times the full
+                 # two-batch incremental run)
+                 "incremental_microbatch"):
         timed(name, lambda n=name: qmap[n](spark, sf_dir)
               .write.format("noop").mode("overwrite").save())
 

@@ -42,18 +42,126 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
-def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode image bytes → HxWx3 uint8. REAL CODEC NOT AVAILABLE HERE.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-    With fake=True, returns a deterministic 8x8x3 raster derived from the
-    payload digest — stable plumbing test double."""
-    if not fake:
+
+def _png_unfilter(raw: np.ndarray, height: int, stride: int,
+                  bpp: int) -> np.ndarray:
+    """Undo PNG per-scanline filters (types 0-4) → H x stride bytes."""
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = int(raw[pos]); pos += 1
+        line = raw[pos:pos + stride].astype(np.int32)
+        pos += stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:              # Up
+            cur = (line + prev) % 256
+        elif ftype in (1, 3, 4):      # Sub / Average / Paeth need left-scan
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """From-scratch PNG decode (stdlib zlib + numpy): 8-bit grayscale /
+    gray+alpha / RGB / RGBA, non-interlaced → HxWx3 uint8 (alpha dropped,
+    gray broadcast). Enough PNG to run the multimodal path end-to-end on
+    real bytes in this codec-less sandbox; not a general codec (no 16-bit,
+    palette, or Adam7)."""
+    import struct
+    import zlib
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    width = height = None
+    bit_depth = color_type = interlace = None
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # incl. CRC
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or interlace != 0:
         raise NotImplementedError(
-            "no image codec in this environment; pass fake=True for the "
-            "deterministic test decoder or plug a codec in here")
-    d = hashlib.sha256(payload).digest()
-    arr = np.frombuffer((d * 6)[:8 * 8 * 3], dtype=np.uint8)
-    return arr.reshape(8, 8, 3).copy()
+            f"PNG bit_depth={bit_depth} interlace={interlace} unsupported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise NotImplementedError(f"PNG color_type={color_type} unsupported")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = width * channels
+    px = _png_unfilter(raw, height, stride, channels) \
+        .reshape(height, width, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()
+
+
+def encode_png(raster: np.ndarray) -> bytes:
+    """Minimal PNG encoder (filter 0, 8-bit RGB) — fixture generator for
+    the decoder's round-trip tests."""
+    import struct
+    import zlib
+    h, w, c = raster.shape
+    assert c == 3 and raster.dtype == np.uint8
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xffffffff))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    scanlines = b"".join(b"\x00" + raster[y].tobytes() for y in range(h))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scanlines))
+            + chunk(b"IEND", b""))
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode image bytes → HxWx3 uint8.
+
+    Real PNG payloads decode via the from-scratch stdlib-zlib decoder
+    above. Every other format still raises — no JPEG/WebP codec ships in
+    this container; this function is the drop-in point for one. With
+    fake=True, returns a deterministic 8x8x3 raster derived from the
+    payload digest — stable plumbing test double."""
+    if fake:
+        d = hashlib.sha256(payload).digest()
+        arr = np.frombuffer((d * 6)[:8 * 8 * 3], dtype=np.uint8)
+        return arr.reshape(8, 8, 3).copy()
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    raise NotImplementedError(
+        "only PNG decodes in this environment (from-scratch decoder); "
+        "pass fake=True for the deterministic test decoder or plug a "
+        "codec in here")
 
 
 def extract_features(media: DataFrame, fake_decode: bool = True,

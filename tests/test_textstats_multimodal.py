@@ -124,3 +124,124 @@ def test_resize_images_plumbing(spark):
         got = np.frombuffer(rows[mid]["raster"], dtype=np.uint8).reshape(4, 4, 3)
         assert (got == want).all()
         assert rows[mid]["width"] == 4 and rows[mid]["height"] == 4
+
+
+# ---- from-scratch PNG codec (VERDICT r2 item 8) ---------------------------
+
+def test_png_roundtrip_exact():
+    """encode_png → decode_png is bit-exact for 8-bit RGB."""
+    import numpy as np
+
+    from cartwright_spark.operators.multimodal import decode_png, encode_png
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (5, 3), (16, 16), (33, 7)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = decode_png(encode_png(img))
+        assert out.shape == (h, w, 3)
+        assert (out == img).all()
+
+
+def test_png_all_filter_types_unfilter():
+    """The decoder inverts every PNG filter type (1=Sub, 2=Up, 3=Average,
+    4=Paeth) — filtered scanlines built by the test, decoded back."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cartwright_spark.operators.multimodal import _PNG_SIG, decode_png
+
+    rng = np.random.default_rng(11)
+    h, w, bpp = 6, 5, 3
+    img = rng.integers(0, 256, (h, w, bpp), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    lines = bytearray()
+    for y in range(h):
+        ftype = [1, 2, 3, 4, 0, 4][y]
+        cur = img[y].reshape(-1).astype(int)
+        prev = img[y - 1].reshape(-1).astype(int) if y else [0] * (w * bpp)
+        lines.append(ftype)
+        for x in range(w * bpp):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[ftype]
+            lines.append((int(cur[x]) - pred) % 256)
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xffffffff))
+    png = (_PNG_SIG
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(lines)))
+           + chunk(b"IEND", b""))
+    assert (decode_png(png) == img).all()
+
+
+def test_png_gray_and_alpha_channels():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cartwright_spark.operators.multimodal import _PNG_SIG, decode_png
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xffffffff))
+
+    def build(w, h, color_type, px_bytes):
+        return (_PNG_SIG
+                + chunk(b"IHDR",
+                        struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(px_bytes))
+                + chunk(b"IEND", b""))
+
+    # 2x2 grayscale
+    g = build(2, 2, 0, b"\x00\x0a\x14" + b"\x00\x1e\x28")
+    out = decode_png(g)
+    assert out.shape == (2, 2, 3) and (out[0, 0] == 10).all()
+    # 1x2 RGBA: alpha dropped
+    rgba = build(2, 1, 6, b"\x00" + bytes([1, 2, 3, 255, 4, 5, 6, 0]))
+    out = decode_png(rgba)
+    assert out.tolist() == [[[1, 2, 3], [4, 5, 6]]]
+
+
+def test_extract_features_real_png_end_to_end(spark):
+    """The multimodal feature path runs on REAL PNG bytes (no fake
+    decoder): features equal the histogram of the decoded raster."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from cartwright_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        extract_features,
+    )
+    rng = np.random.default_rng(3)
+    rows = []
+    rasters = {}
+    for i in range(24):
+        img = rng.integers(0, 256, (8 + i % 3, 6 + i % 4, 3), dtype=np.uint8)
+        rasters[i] = img
+        rows.append({"media_id": i, "kind": "image",
+                     "payload": encode_png(img),
+                     "meta": {"mime": "image/png", "width": img.shape[1],
+                              "height": img.shape[0], "duration_ms": None}})
+    media = spark.createDataFrame(pd.DataFrame(rows), MEDIA_SCHEMA)
+    got = {r["media_id"]: r
+           for r in extract_features(media, fake_decode=False).collect()}
+    assert len(got) == 24
+    for i, img in rasters.items():
+        hist, _ = np.histogram(img, bins=16, range=(0, 255))
+        want = (hist / hist.sum()).astype(np.float32)
+        assert np.allclose(got[i]["feature"], want)
+        assert got[i]["payload_sha256"] == hashlib.sha256(
+            bytes(encode_png(img))).hexdigest()
