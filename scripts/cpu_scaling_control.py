@@ -32,13 +32,19 @@ def run(cores: int, n: int = 2_000_000_000, repeats: int = 3) -> float:
     spark = get_spark("cpu_ctl", master=f"local[{cores}]",
                       extra_conf={"spark.driver.extraJavaOptions": gc})
     spark.sparkContext.setLogLevel("ERROR")
-    df = spark.range(0, n, 1, 64)
-    job = df.select(F.sum(F.sin(F.col("id").cast("double"))))
-    job.collect()  # warm codegen
+    def job(offset: int):
+        # FRESH DataFrame per run: re-collecting one DataFrame object
+        # reuses its materialized AQE shuffle stage, so repeat walls
+        # measure a cache hit (~60 ms), not the compute. The offset also
+        # defeats any plan-level result caching.
+        df = spark.range(offset, offset + n, 1, 64)
+        return df.select(F.sum(F.sin(F.col("id").cast("double"))))
+
+    job(999).collect()  # warm codegen
     best = None
-    for _ in range(repeats):
+    for i in range(repeats):
         t0 = time.perf_counter()
-        job.collect()
+        job(i).collect()
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     spark.stop()
