@@ -597,6 +597,45 @@ def q_multimodal_features(spark, sf_dir):
         .select("media_id", "kind", "payload_sha256", "n_bytes")
 
 
+def q_multimodal_png_decode(spark, sf_dir):
+    """Real-codec multimodal path: deterministic rasters → encode_png →
+    decode_png (the from-scratch stdlib-zlib PNG codec,
+    operators/multimodal.py) inside mapInPandas. Per-image pixel stats
+    are closed-form in media_id, so the DuckDB oracle re-derives them in
+    pure SQL — the distributed decode is value-checked end to end, not
+    just row-counted."""
+    import numpy as np
+    import pandas as pd
+
+    from cartwright_spark.operators.multimodal import decode_png, encode_png
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 200)
+    H, W = 16, 12
+
+    def fn(batches):
+        y = np.arange(H)[:, None, None]
+        x = np.arange(W)[None, :, None]
+        c = np.arange(3)[None, None, :]
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            sums, mins, maxs = [], [], []
+            for i in ids:
+                r = ((int(i) * 31 + y * 7 + x * 3 + c * 11) % 256) \
+                    .astype(np.uint8)
+                out = decode_png(encode_png(r))
+                sums.append(int(out.sum()))
+                mins.append(int(out.min()))
+                maxs.append(int(out.max()))
+            yield pd.DataFrame({
+                "media_id": ids,
+                "px_sum": np.array(sums, np.int64),
+                "px_min": np.array(mins, np.int64),
+                "px_max": np.array(maxs, np.int64)})
+
+    return docs.mapInPandas(
+        fn, "media_id long, px_sum long, px_min long, px_max long")
+
+
 def q_p8_date_format(spark, sf_dir):
     """P8: date-format predicate — validate `to_timestamp(v, fmt)` over
     event-derived strings in two formats (one valid, one not)."""
@@ -834,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
+        "multimodal_png_decode": q_multimodal_png_decode,
         "p8_date_format": q_p8_date_format,
         "j4_continent_fuzzy": q_j4_continent_fuzzy,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1470,6 +1510,18 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS payload_sha256,
                    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
             FROM documents
+        """,
+        "multimodal_png_decode": """
+            SELECT d.doc_id AS media_id,
+                   CAST(SUM((d.doc_id*31 + y.r*7 + x.r*3 + c.r*11) % 256)
+                        AS BIGINT) AS px_sum,
+                   CAST(MIN((d.doc_id*31 + y.r*7 + x.r*3 + c.r*11) % 256)
+                        AS BIGINT) AS px_min,
+                   CAST(MAX((d.doc_id*31 + y.r*7 + x.r*3 + c.r*11) % 256)
+                        AS BIGINT) AS px_max
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+                 range(16) y(r), range(12) x(r), range(3) c(r)
+            GROUP BY d.doc_id
         """,
         "p8_date_format": """
             WITH v AS (

@@ -86,7 +86,7 @@ def main() -> None:
                  # timed list (incremental_microbatch cleans and rebuilds
                  # its own snapshot dirs per call, so it times the full
                  # two-batch incremental run)
-                 "incremental_microbatch"):
+                 "incremental_microbatch", "multimodal_png_decode"):
         timed(name, lambda n=name: qmap[n](spark, sf_dir)
               .write.format("noop").mode("overwrite").save())
 
