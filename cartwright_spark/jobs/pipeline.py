@@ -27,6 +27,14 @@ def main() -> None:
     ap.add_argument("--s2-level", type=int, default=10)
     ap.add_argument("--zoom", type=int, default=8)
     ap.add_argument("--force", action="store_true")
+    ap.add_argument("--time-partition", default="year",
+                    choices=["day", "month", "year"],
+                    help="pages/extracted hive-partition granularity: "
+                         "'day' for production crawl spans, coarser for "
+                         "the decades-wide synthetic corpus")
+    ap.add_argument("--s2-part-level", type=int, default=2,
+                    help="cells partition prefix level (2 at bench "
+                         "scale, 4 at 100TB)")
     args = ap.parse_args()
 
     from cartwright_spark.plans.pipeline import run_pipeline
@@ -35,7 +43,9 @@ def main() -> None:
     spark = get_spark("cartwright_pipeline")
     summary = run_pipeline(spark, args.workdir, n_pages=args.rows,
                            s2_level=args.s2_level, zoom=args.zoom,
-                           force=args.force)
+                           force=args.force,
+                           time_partition=args.time_partition,
+                           s2_part_level=args.s2_part_level)
     print(json.dumps(summary))
 
 
