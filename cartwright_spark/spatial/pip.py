@@ -10,9 +10,10 @@ cross product ever forms, and the big side is never shuffled (broadcast).
 Polygon model: one outer ring per admin_id plus optional hole rings
 (`holes` column: list of (hole_lat_list, hole_lon_list) pairs); containment
 is even-odd across all rings. Rings that cross the antimeridian are handled
-by longitude unwrapping (western lons shifted +360, points tested at both
-lon and lon+360). Rings wider than 180° of longitude are out of scope
-(indistinguishable from a crossing ring without winding metadata).
+by edge-continuity longitude unwrapping (every edge takes the short way;
+points tested at both lon and lon+360) — rings wider than 180° of
+longitude (Russia-shaped) are fully supported since round 3; only rings
+that wind completely around a pole (caps) remain out of scope.
 Boundary points count as inside (>= on one bound — ties are measure-zero
 for our fixtures).
 """
@@ -47,14 +48,31 @@ def ray_cast_contains(ring_lat: np.ndarray, ring_lon: np.ndarray,
 
 
 def _unwrap_ring(ring_lat, ring_lon) -> tuple[np.ndarray, np.ndarray]:
-    """Make a ring's longitudes continuous: if the raw span exceeds 180° the
-    ring is taken to cross the antimeridian and western lons shift +360
-    (resulting range ⊂ [0, 360))."""
+    """Make a ring's longitudes continuous by EDGE CONTINUITY: walking the
+    ring, every edge takes the short way round (|Δlon| ≤ 180 — the
+    GeoJSON-style convention), accumulating ±360 as it crosses the
+    antimeridian. Unlike the round-2 total-span heuristic this also
+    handles rings WIDER than 180° of longitude (e.g. Russia), crossing or
+    not, as long as consecutive vertices are < 180° apart — true of any
+    real boundary polyline. The result is normalized so min(lon) ∈
+    [-180, 180); width < 360 still holds, so the test-at-lon-and-lon+360
+    trick in the containment kernels stays exact.
+
+    Rings that wind fully around a pole (unwrap doesn't close: the
+    implicit last→first edge would need another ±360) have cap topology
+    that lon-space ray casting cannot express — rejected explicitly."""
     la = np.asarray(ring_lat, float)
-    lo = np.asarray(ring_lon, float)
-    if lo.max() - lo.min() > 180.0:
-        lo = np.where(lo < 0, lo + 360.0, lo)
-    return la, lo
+    lo = np.asarray(ring_lon, float).copy()
+    d = np.diff(lo)
+    adj = np.cumsum(np.where(d > 180.0, -360.0,
+                             np.where(d < -180.0, 360.0, 0.0)))
+    lo[1:] += adj
+    if abs(lo[-1] - lo[0]) > 180.0:
+        raise NotImplementedError(
+            "ring winds around a pole (unwrapped closure > 180°); polar "
+            "caps need a cap-aware containment model, out of scope")
+    shift = np.floor((lo.min() + 180.0) / 360.0) * 360.0
+    return la, lo - shift
 
 
 def _rings_of(row) -> list[tuple[np.ndarray, np.ndarray]]:

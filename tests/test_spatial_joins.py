@@ -423,3 +423,74 @@ def test_pip_random_star_polygons(spark):
     want = brute_force_pip(pts, ppdf)
     assert got == want
     assert len(want) > 30  # global points vs 12 small stars: sparse hits
+
+
+def test_pip_wide_ring_over_180_lon(spark):
+    """Rings wider than 180° of longitude (round-3 edge-continuity
+    unwrap): a 220°-wide band crossing the antimeridian, membership
+    checked against hand-computed expectations and through both join
+    variants."""
+    from cartwright_spark.spatial.pip import (
+        multi_ring_contains,
+        point_in_polygon_join,
+        point_in_polygon_join_bulk,
+    )
+    # rectangle lon 60 -> 280 (== -80) the short way through 170, i.e.
+    # 220° wide, crossing the antimeridian; lat 10..40
+    ring_lat = [10.0, 10.0, 10.0, 40.0, 40.0, 40.0]
+    ring_lon = [60.0, 170.0, -80.0, -80.0, 170.0, 60.0]
+    probes = [  # (lat, lon, expected_inside)
+        (20.0, 65.0, True),
+        (20.0, 170.0, True),
+        (20.0, -175.0, True),     # == 185, inside the band
+        (20.0, -85.0, True),      # == 275, just inside the east edge
+        (20.0, -75.0, False),     # == 285, just outside
+        (20.0, 50.0, False),
+        (20.0, -30.0, False),     # == 330, in the 140°-wide gap
+        (45.0, 100.0, False),     # north of the band
+        (5.0, 100.0, False),
+    ]
+    import numpy as np
+
+    from cartwright_spark.spatial.pip import _rings_of
+    rings = _rings_of(pd.DataFrame(
+        [{"admin_id": "band", "ring_lat": ring_lat,
+          "ring_lon": ring_lon}]).iloc[0])
+    got = multi_ring_contains(
+        rings,
+        np.array([p[0] for p in probes]), np.array([p[1] for p in probes]))
+    assert got.tolist() == [p[2] for p in probes]
+
+    pts = pd.DataFrame({
+        "point_id": [f"p{i}" for i in range(len(probes))],
+        "lat": [p[0] for p in probes], "lon": [p[1] for p in probes]})
+    polys = pd.DataFrame([{"admin_id": "band", "ring_lat": ring_lat,
+                           "ring_lon": ring_lon}])
+    want = {(f"p{i}", "band") for i, p in enumerate(probes) if p[2]}
+    sdf = spark.createDataFrame(pts)
+    got_j = {(r["point_id"], r["admin_id"])
+             for r in point_in_polygon_join(
+                 spark, sdf, polys, level=6,
+                 point_id_col="point_id").collect()}
+    assert got_j == want
+    polys_df = spark.createDataFrame(
+        pd.DataFrame([{"admin_id": "band", "ring_lat": ring_lat,
+                       "ring_lon": ring_lon}]))
+    got_b = {(r["point_id"], r["admin_id"])
+             for r in point_in_polygon_join_bulk(
+                 spark, sdf, polys_df, level=6,
+                 point_id_col="point_id").collect()}
+    assert got_b == want
+
+
+def test_pip_polar_cap_rejected():
+    """A ring winding fully around a pole is rejected loudly (round-2
+    behavior silently mis-unwrapped it)."""
+    import numpy as np
+    import pytest as _pt
+
+    from cartwright_spark.spatial.pip import _unwrap_ring
+    lons = np.arange(-180.0, 180.0, 30.0)   # full circuit
+    lats = np.full(len(lons), 80.0)
+    with _pt.raises(NotImplementedError):
+        _unwrap_ring(lats, lons)
