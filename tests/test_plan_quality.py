@@ -241,3 +241,40 @@ def test_manifest_level_file_skipping(spark, tmp_path):
     sel2 = cat.select_files(
         "pages", stats_filter=lambda s: s["url"]["max"] >= "https://site50")
     assert len(sel2) <= len(snap["files"])
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts join
+    with NO Exchange on either side and no per-join Sort (sorted
+    buckets) — the pre-paid-shuffle layout for 100 TB repeated joins."""
+    from cartwright_spark.sources.bucketing import bucketed_join, write_bucketed
+
+    left = spark.range(0, 10000).selectExpr(
+        "id AS url_id", "id % 97 AS site")
+    right = spark.range(0, 3000).selectExpr(
+        "id AS url_id", "CAST(id % 7 AS DOUBLE) AS score")
+    write_bucketed(left, "bk_left", "url_id", 8,
+                   path=str(tmp_path / "bk_left"))
+    write_bucketed(right, "bk_right", "url_id", 8,
+                   path=str(tmp_path / "bk_right"))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # broadcast disabled: at bench scale Catalyst would broadcast the
+        # 3k-row side; the bucketing story is about the 100 TB case where
+        # neither side broadcasts and the shuffle is the cost
+        j = bucketed_join(spark, "bk_left", "bk_right", "url_id")
+        plan = _physical(j.filter("score >= 0"))
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan          # the whole point
+        assert j.count() == 3000
+        # contrast: the same join over plain parquet DOES shuffle
+        lp = spark.read.parquet(str(tmp_path / "bk_left"))
+        rp = spark.read.parquet(str(tmp_path / "bk_right"))
+        plain = _physical(
+            lp.join(rp.withColumnRenamed("score", "s2"), "url_id"))
+        assert "Exchange" in plain or "Broadcast" in plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
