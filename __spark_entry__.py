@@ -13,6 +13,7 @@ doubles and value hashes match.
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import lru_cache
 
 import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
 
@@ -244,9 +245,12 @@ def q_knn_grid(spark, sf_dir):
             .select("qid", "site_id", "rank"))
 
 
+@lru_cache(maxsize=1)
 def _pip_boxes_pdf():
     """5 axis-aligned boxes; bounds offset by .005 so no /100-grid point
-    lands exactly on a boundary (ray-cast vs BETWEEN edge semantics)."""
+    lands exactly on a boundary (ray-cast vs BETWEEN edge semantics).
+    lru-cached for a stable frame identity (the PIP covering memo keys
+    on it)."""
     import pandas as pd
     rows = []
     for r in range(5):

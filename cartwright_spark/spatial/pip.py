@@ -27,6 +27,10 @@ from pyspark.sql import functions as F
 
 from cartwright_spark.spatial import s2
 
+#: (id(polygons_pdf), len, level) → (rings dict, broadcast covering DF).
+#: Driver-plan memo only — see point_in_polygon_join step 1.
+_COVERING_MEMO: dict = {}
+
 
 def ray_cast_contains(ring_lat: np.ndarray, ring_lon: np.ndarray,
                       plat: np.ndarray, plon: np.ndarray) -> np.ndarray:
@@ -227,19 +231,34 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
     (e.g. derived via s2_parent_col from a finer encode) — skips the encode.
     """
     # 1) covering cells per polygon (driver-side, broadcast), with a
-    #    conservative interior flag per cell
-    cov_rows = []
-    rings: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
-    for r in polygons.itertuples(index=False):
-        rr = _rings_of(r)
-        cells = polygon_covering_cells(r.ring_lat, r.ring_lon, level)
-        interior = classify_interior_cells(cells, rr, level)
-        rings[r.admin_id] = rr
-        for c, flag in zip(cells, interior):
-            cov_rows.append((r.admin_id,
-                             int(np.uint64(c).astype(np.int64)), bool(flag)))
-    cov_df = F.broadcast(spark.createDataFrame(
-        pd.DataFrame(cov_rows, columns=["admin_id", "cell", "interior"])))
+    #    conservative interior flag per cell. Memoized per (polygon-frame
+    #    identity, level): the numpy covering build + the 24k-row
+    #    createDataFrame cost ~1 s of pure driver time per call, and the
+    #    polygon dim is a static gazetteer in every caller (repeat calls
+    #    with a fresh frame just miss the memo).
+    memo_key = (id(spark.sparkContext._gateway), id(polygons),
+                len(polygons), level)
+    hit = _COVERING_MEMO.get(memo_key)
+    if hit is not None:
+        # stored polygons ref pins the frame alive, so its id() can't be
+        # recycled onto a different frame; gateway id invalidates the
+        # broadcast DF after a SparkContext restart
+        rings, cov_df = hit[1], hit[2]
+    else:
+        cov_rows = []
+        rings = {}
+        for r in polygons.itertuples(index=False):
+            rr = _rings_of(r)
+            cells = polygon_covering_cells(r.ring_lat, r.ring_lon, level)
+            interior = classify_interior_cells(cells, rr, level)
+            rings[r.admin_id] = rr
+            for c, flag in zip(cells, interior):
+                cov_rows.append((r.admin_id,
+                                 int(np.uint64(c).astype(np.int64)),
+                                 bool(flag)))
+        cov_df = F.broadcast(spark.createDataFrame(
+            pd.DataFrame(cov_rows, columns=["admin_id", "cell", "interior"])))
+        _COVERING_MEMO[memo_key] = (polygons, rings, cov_df)
 
     # 2) bbox pre-filter BEFORE the encode: a point can only join a
     # covering cell if it lies within the polygon's padded bbox plus one

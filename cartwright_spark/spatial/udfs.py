@@ -41,35 +41,60 @@ def with_s2_cell(df, lat_col: str, lon_col: str, level: int,
     costs Python-worker pools (cold start, memory) and an Arrow boundary
     that splits codegen. Rule used in this engine: bulk re-encode jobs
     over millions of rows with warm workers use `s2_cell`; latency-
-    sensitive or fused paths (pipeline stages, PIP, rollups) use this."""
+    sensitive or fused paths (pipeline stages, PIP, rollups) use this.
+
+    The staged (name, Column) plan is memoized per (gateway, cols,
+    level): building the walk tree costs ~7k py4j round-trips ≈ 1 s of
+    driver latency (measured via cProfile on q_j6_pip_boxes); the
+    Columns reference column NAMES only, so one build serves every
+    DataFrame."""
+    stages, temps = _s2_stage_plan(lat_col, lon_col, level, out_col)
+    for name, c in stages:
+        df = df.withColumn(name, c)
+    return df.drop(*temps)
+
+
+_S2_STAGE_MEMO: dict = {}
+
+
+def _s2_stage_plan(lat_col: str, lon_col: str, level: int, out_col: str):
+    from pyspark import SparkContext
+    sc = SparkContext._active_spark_context
+    key = (id(sc._gateway) if sc is not None else None,
+           lat_col, lon_col, level, out_col)
+    hit = _S2_STAGE_MEMO.get(key)
+    if hit is not None:
+        return hit
     from pyspark.sql import functions as F
+
+    stages: list = []
 
     lat, lon = F.col(lat_col), F.col(lon_col)
     phi, theta = F.radians(lat), F.radians(lon)
     cosphi = F.cos(phi)
-    d = (df.withColumn("__s2x", F.cos(theta) * cosphi)
-         .withColumn("__s2y", F.sin(theta) * cosphi)
-         .withColumn("__s2z", F.sin(phi)))
+    stages.append(("__s2x", F.cos(theta) * cosphi))
+    stages.append(("__s2y", F.sin(theta) * cosphi))
+    stages.append(("__s2z", F.sin(phi)))
     x, y, z = F.col("__s2x"), F.col("__s2y"), F.col("__s2z")
     ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
-    d = d.withColumn(
+    stages.append((
         "__s2f0",
         F.when(ax >= ay, F.when(ax >= az, F.lit(0)).otherwise(F.lit(2)))
-        .otherwise(F.when(ay >= az, F.lit(1)).otherwise(F.lit(2))))
+        .otherwise(F.when(ay >= az, F.lit(1)).otherwise(F.lit(2)))))
     f0 = F.col("__s2f0")
     major = F.when(f0 == 0, x).when(f0 == 1, y).otherwise(z)
-    d = d.withColumn("__s2f", F.when(major < 0, f0 + 3).otherwise(f0))
+    stages.append(("__s2f", F.when(major < 0, f0 + 3).otherwise(f0)))
     face = F.col("__s2f")
-    d = d.withColumn(
+    stages.append((
         "__s2u",
         F.when(face == 0, y / x).when(face == 1, -x / y)
         .when(face == 2, -x / z).when(face == 3, z / x)
-        .when(face == 4, z / y).otherwise(-y / z))
-    d = d.withColumn(
+        .when(face == 4, z / y).otherwise(-y / z)))
+    stages.append((
         "__s2v",
         F.when(face == 0, z / x).when(face == 1, z / y)
         .when(face == 2, -y / z).when(face == 3, y / x)
-        .when(face == 4, -x / y).otherwise(-x / z))
+        .when(face == 4, -x / y).otherwise(-x / z)))
 
     def st(w):
         return F.when(w >= 0, 0.5 * F.sqrt(1 + 3 * w)) \
@@ -80,8 +105,8 @@ def with_s2_cell(df, lat_col: str, lon_col: str, level: int,
         return F.greatest(F.lit(0).cast("long"),
                           F.least(F.lit((1 << 30) - 1).cast("long"), raw))
 
-    d = d.withColumn("__s2i", ij(st(F.col("__s2u")))) \
-         .withColumn("__s2j", ij(st(F.col("__s2v"))))
+    stages.append(("__s2i", ij(st(F.col("__s2u")))))
+    stages.append(("__s2j", ij(st(F.col("__s2v")))))
     i, j = F.col("__s2i"), F.col("__s2j")
 
     # element_at on an array<int> literal is O(1); in this STAGED form the
@@ -90,7 +115,7 @@ def with_s2_cell(df, lat_col: str, lon_col: str, level: int,
     # substr-on-string encoding tried first was O(position) byte scanning
     # per probe (UTF8String counts codepoints) — 5× slower at 600k rows.
     lut = F.lit([int(t) for t in _s2._lookup_pos.tolist()])
-    d = d.withColumn("__s2bits8", face.cast("long").bitwiseAND(F.lit(1)))
+    stages.append(("__s2bits8", face.cast("long").bitwiseAND(F.lit(1))))
     temps = ["__s2x", "__s2y", "__s2z", "__s2f0", "__s2f", "__s2u", "__s2v",
              "__s2i", "__s2j", "__s2bits8"]
     # the parent mask keeps only position bits ≥ 2*(30-level); the Hilbert
@@ -106,9 +131,9 @@ def with_s2_cell(df, lat_col: str, lon_col: str, level: int,
                            .bitwiseAND(F.lit(15)), 6)
              + F.shiftleft(F.shiftrightunsigned(j, 4 * k)
                            .bitwiseAND(F.lit(15)), 2))
-        d = d.withColumn(
+        stages.append((
             f"__s2t{k}",
-            F.element_at(lut, (b + 1).cast("int")).cast("long"))
+            F.element_at(lut, (b + 1).cast("int")).cast("long")))
         temps.append(f"__s2t{k}")
         prev_bits = F.col(f"__s2t{k}").bitwiseAND(F.lit(3))
     n = F.lit(0).cast("long")
@@ -118,9 +143,10 @@ def with_s2_cell(df, lat_col: str, lon_col: str, level: int,
     leaf = F.shiftleft(face.cast("long"), 61) \
         .bitwiseOR(F.shiftleft(n, 1)).bitwiseOR(F.lit(1))
     lsb = 1 << (2 * (30 - level))
-    return d.withColumn(
-        out_col, leaf.bitwiseAND(F.lit(-lsb)).bitwiseOR(F.lit(lsb))) \
-        .drop(*temps)
+    stages.append((out_col,
+                   leaf.bitwiseAND(F.lit(-lsb)).bitwiseOR(F.lit(lsb))))
+    _S2_STAGE_MEMO[key] = (stages, temps)
+    return stages, temps
 
 
 def s2_cell_expr(lat: Column, lon: Column, level: int) -> Column:
