@@ -12,8 +12,10 @@ Polygon model: one outer ring per admin_id plus optional hole rings
 is even-odd across all rings. Rings that cross the antimeridian are handled
 by edge-continuity longitude unwrapping (every edge takes the short way;
 points tested at both lon and lon+360) — rings wider than 180° of
-longitude (Russia-shaped) are fully supported since round 3; only rings
-that wind completely around a pole (caps) remain out of scope.
+longitude (Russia-shaped) and polar-cap rings that wind fully around a
+pole (Antarctica-shaped; closed over the pole with synthetic meridian
+edges) are both fully supported since round 3. Only double-winding
+rings are rejected.
 Boundary points count as inside (>= on one bound — ties are measure-zero
 for our fixtures).
 """
@@ -63,18 +65,30 @@ def _unwrap_ring(ring_lat, ring_lon) -> tuple[np.ndarray, np.ndarray]:
     trick in the containment kernels stays exact.
 
     Rings that wind fully around a pole (unwrap doesn't close: the
-    implicit last→first edge would need another ±360) have cap topology
-    that lon-space ray casting cannot express — rejected explicitly."""
+    implicit last→first edge needs another ±360) are CLOSED OVER THE
+    POLE: two synthetic meridian edges drop from the ring's endpoints to
+    the pole nearest its mean latitude, plus a zero-crossing cap edge
+    along the pole itself. The result is an ordinary simple ring in
+    unwrapped lon space, so every even-odd kernel downstream (numpy ray
+    casting, the JVM fold, interior-cell classification) handles
+    Antarctica-class polygons with no special cases. Convention: a cap
+    ring encloses the pole on its mean-latitude side (the standard
+    GeoJSON-ambiguity resolution; pass an explicit hole ring for the
+    exotic complement case). Double-winding rings are rejected."""
     la = np.asarray(ring_lat, float)
     lo = np.asarray(ring_lon, float).copy()
     d = np.diff(lo)
     adj = np.cumsum(np.where(d > 180.0, -360.0,
                              np.where(d < -180.0, 360.0, 0.0)))
     lo[1:] += adj
-    if abs(lo[-1] - lo[0]) > 180.0:
-        raise NotImplementedError(
-            "ring winds around a pole (unwrapped closure > 180°); polar "
-            "caps need a cap-aware containment model, out of scope")
+    closure = lo[-1] - lo[0]
+    if abs(closure) > 180.0:
+        if not (180.0 < abs(closure) < 540.0):
+            raise NotImplementedError(
+                "ring winds around a pole more than once; out of scope")
+        pole = -90.0 if la.mean() < 0 else 90.0
+        la = np.concatenate([la, [pole, pole]])
+        lo = np.concatenate([lo, [lo[-1], lo[0]]])
     shift = np.floor((lo.min() + 180.0) / 360.0) * 360.0
     return la, lo - shift
 

@@ -483,14 +483,82 @@ def test_pip_wide_ring_over_180_lon(spark):
     assert got_b == want
 
 
-def test_pip_polar_cap_rejected():
-    """A ring winding fully around a pole is rejected loudly (round-2
-    behavior silently mis-unwrapped it)."""
+def test_pip_polar_cap_closed_over_pole():
+    """A single-wind cap ring is closed over the pole (round-2 silently
+    mis-unwrapped it; mid-round-3 rejected it; now supported)."""
     import numpy as np
-    import pytest as _pt
 
     from cartwright_spark.spatial.pip import _unwrap_ring
     lons = np.arange(-180.0, 180.0, 30.0)   # full circuit
     lats = np.full(len(lons), 80.0)
+    la, lo = _unwrap_ring(lats, lons)
+    assert la[-1] == la[-2] == 90.0         # north cap closure vertices
+    assert len(la) == len(lons) + 2
+
+
+def test_pip_polar_cap_ring(spark):
+    """Antarctica-class cap rings (round 3): a ring winding fully around
+    the south pole is closed over the pole and handled by the ordinary
+    even-odd kernels — hand-computed memberships through the containment
+    kernel and all three refine paths."""
+    import numpy as np
+
+    from cartwright_spark.spatial.pip import (
+        _rings_of,
+        multi_ring_contains,
+        point_in_polygon_join,
+        point_in_polygon_join_bulk,
+    )
+    lons = list(np.arange(-180.0, 180.0, 30.0))
+    # wobbly Antarctic boundary: lat alternates -58 / -66 around the circle
+    lats = [-58.0 if i % 2 == 0 else -66.0 for i in range(len(lons))]
+    probes = [
+        (-80.0, 10.0, True), (-80.0, -170.0, True), (-89.9, 55.0, True),
+        (-70.0, 0.3, True),       # below both boundary bands
+        (-40.0, 10.0, False), (-20.0, -120.0, False), (40.0, 10.0, False),
+        (-59.0, 90.0, False),     # lon 90 boundary sits at -66; -59 is north
+    ]
+    rings = _rings_of(pd.DataFrame(
+        [{"admin_id": "cap", "ring_lat": lats, "ring_lon": lons}]).iloc[0])
+    got = multi_ring_contains(
+        rings, np.array([p[0] for p in probes]),
+        np.array([p[1] for p in probes]))
+    assert got.tolist() == [p[2] for p in probes]
+
+    pts = pd.DataFrame({
+        "point_id": [f"p{i}" for i in range(len(probes))],
+        "lat": [p[0] for p in probes], "lon": [p[1] for p in probes]})
+    polys = pd.DataFrame([{"admin_id": "cap", "ring_lat": lats,
+                           "ring_lon": lons}])
+    want = {(f"p{i}", "cap") for i, p in enumerate(probes) if p[2]}
+    sdf = spark.createDataFrame(pts)
+    for refine in ("vector", "expr"):
+        got_j = {(r["point_id"], r["admin_id"])
+                 for r in point_in_polygon_join(
+                     spark, sdf, polys, level=5, refine=refine,
+                     point_id_col="point_id").collect()}
+        assert got_j == want, refine
+    got_b = {(r["point_id"], r["admin_id"])
+             for r in point_in_polygon_join_bulk(
+                 spark, sdf, spark.createDataFrame(polys[
+                     ["admin_id", "ring_lat", "ring_lon"]]), level=5,
+                 point_id_col="point_id").collect()}
+    assert got_b == want
+
+
+def test_pip_north_cap_and_double_wind():
+    import numpy as np
+    import pytest as _pt
+
+    from cartwright_spark.spatial.pip import _unwrap_ring, multi_ring_contains
+    lons = np.arange(-180.0, 180.0, 45.0)
+    la, lo = _unwrap_ring(np.full(len(lons), 70.0), lons)
+    assert 90.0 in la          # closed over the NORTH pole
+    inside = multi_ring_contains([(la, lo)],
+                                 np.array([85.0, 50.0, -85.0]),
+                                 np.array([12.0, 12.0, 12.0]))
+    assert inside.tolist() == [True, False, False]
+    # double wind rejected
+    twice = np.concatenate([np.arange(-180.0, 180.0, 60.0)] * 2)
     with _pt.raises(NotImplementedError):
-        _unwrap_ring(lats, lons)
+        _unwrap_ring(np.full(len(twice), 80.0), twice)
