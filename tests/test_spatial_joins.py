@@ -562,3 +562,40 @@ def test_pip_north_cap_and_double_wind():
     twice = np.concatenate([np.arange(-180.0, 180.0, 60.0)] * 2)
     with _pt.raises(NotImplementedError):
         _unwrap_ring(np.full(len(twice), 80.0), twice)
+
+
+def test_unwrap_rotation_invariance_property():
+    """Property (hypothesis): containment is invariant under rotating the
+    ring AND the points by the same longitude offset — exercises every
+    unwrap branch (plain, antimeridian-crossing, wide) with random
+    star-convex rings."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cartwright_spark.spatial.pip import multi_ring_contains
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(5, 24), st.floats(-55, 55), st.floats(-180, 180),
+           st.floats(5, 80), st.integers(0, 359), st.integers(0, 10**6))
+    def prop(n_vert, c_lat, c_lon, spread, rot_deg, seed):
+        rng = np.random.default_rng(seed)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n_vert))
+        rad = rng.uniform(0.3, 1.0, n_vert)
+        ring_lat = np.clip(c_lat + spread * 0.4 * rad * np.sin(ang), -89, 89)
+        ring_lon = c_lon + spread * rad * np.cos(ang)
+        # consecutive-vertex lon steps must stay < 180 for the short-way
+        # convention; star-convex construction with spread ≤ 80 guarantees it
+        pl = rng.uniform(-89, 89, 200)
+        pn = rng.uniform(-180, 180, 200)
+
+        def wrap(x):
+            return ((np.asarray(x) + 180.0) % 360.0) - 180.0
+
+        from cartwright_spark.spatial.pip import _unwrap_ring
+        r0 = _unwrap_ring(ring_lat, wrap(ring_lon))
+        base = multi_ring_contains([r0], pl, pn)
+        r1 = _unwrap_ring(ring_lat, wrap(ring_lon + rot_deg))
+        rot = multi_ring_contains([r1], pl, wrap(pn + rot_deg))
+        assert (base == rot).all()
+
+    prop()
