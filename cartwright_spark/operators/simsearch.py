@@ -98,7 +98,17 @@ def cosine_threshold_pairs(emb: DataFrame, threshold: float,
                 r, c = np.nonzero(hit)
                 yield pd.DataFrame({"id_a": bid[r], "id_b": all_ids[c]})
 
-        return emb.select(id_col, vec_col).mapInPandas(fn, schema)
+        src = emb.select(id_col, vec_col)
+        # the matmul parallelism is the SOURCE partitioning — a
+        # single-file parquet table would run the whole n² kernel in one
+        # task (measured: 26 s vs 1.4 s at n=20k on local[32]). Fan the
+        # batch side out to the core budget; the shuffle moves only the
+        # (id, vec) columns once.
+        par = emb.sparkSession.sparkContext.defaultParallelism
+        want = min(par, max(1, n // 512))
+        if src.rdd.getNumPartitions() < want:
+            src = src.repartition(want)
+        return src.mapInPandas(fn, schema)
 
     n_blocks = int(np.ceil(n / block_rows))
     src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")) \
