@@ -65,6 +65,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     token hashes (uint64 wraparound), and the num_perm universal hashes
     (a*h+b mod Mersenne-61) run as one (num_perm × shingles) numpy matrix
     per doc. Arrow moves only (id, text) in and fixed-width arrays out."""
+    from cartwright_spark.functions.partitioning import fan_out
+    df = fan_out(df)  # single-file sources would run the kernel on 1 core
     a, b = _minhash_params(num_perm, seed)
     # odd multipliers give a bijective mix per position before summation
     pk = (np.uint64(0x9E3779B97F4A7C15) **
@@ -208,6 +210,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 64) -> DataFrame:
     """(id, simhash long) — token-level SimHash in one pandas UDF."""
     from pyspark.sql.functions import pandas_udf
+
+    from cartwright_spark.functions.partitioning import fan_out
+    df = fan_out(df)
 
     @pandas_udf("long")
     def sh(texts: pd.Series) -> pd.Series:
@@ -353,6 +358,8 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     None the planes are derived lazily inside the UDF from (seed, observed
     batch width) — same seeded matrix, no `.first()` driver action on the
     corpus (round-1 hygiene item)."""
+    from cartwright_spark.functions.partitioning import fan_out
+    emb = fan_out(emb)
     bucket = _hyperplane_bucket_udf(n_planes, seed, dim)
 
     # coalesce(-1) makes the join key provably non-null, so the join's

@@ -192,8 +192,9 @@ def extract_features(media: DataFrame, fake_decode: bool = True,
                             for p in payloads],
             }, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
+    from cartwright_spark.functions.partitioning import fan_out
     cols = ["media_id", "kind", "payload", "meta"]
-    return media.select(*cols).mapInPandas(fn, FEATURE_SCHEMA)
+    return fan_out(media.select(*cols)).mapInPandas(fn, FEATURE_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType([
@@ -237,8 +238,10 @@ def resize_images(media: DataFrame, width: int = 4, height: int = 4,
                 "raster": [r.tobytes() for r in rasters],
             }, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
-    return media.where(F.col("kind") == "image") \
-        .select("media_id", "kind", "payload").mapInPandas(fn, RESIZED_SCHEMA)
+    from cartwright_spark.functions.partitioning import fan_out
+    return fan_out(media.where(F.col("kind") == "image")
+                   .select("media_id", "kind", "payload")) \
+        .mapInPandas(fn, RESIZED_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

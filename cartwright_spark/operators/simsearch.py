@@ -31,8 +31,9 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """(qid, neighbor_id, rank, cosine) — exact top-k. The query side is
     broadcast; scoring is a single scan of the corpus (no shuffle besides
     the final per-query top-k)."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).cast("array<double>").alias("v"))
+    from cartwright_spark.functions.partitioning import fan_out
+    c = fan_out(corpus.select(F.col(id_col).alias("neighbor_id"),
+                              F.col(vec_col).cast("array<double>").alias("v")))
     q = queries.select(F.col(qid_col).alias("qid"),
                        F.col(qvec_col).cast("array<double>").alias("qv"))
     scored = c.crossJoin(F.broadcast(q)).select(
@@ -198,6 +199,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         return pd.Series(np.argmax(m @ centroids.T, axis=1).astype(np.int32))
 
+    from cartwright_spark.functions.partitioning import fan_out
+    corpus = fan_out(corpus)
+
     @pandas_udf("array<int>")
     def probes(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy()).astype(np.float64)
@@ -208,8 +212,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     # coalesce(-1): non-null join key ⇒ no pushed isnotnull filter
     # re-evaluating the Arrow assignment stage (see embedding_near_dups)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).cast("array<double>").alias("v"))
+    from cartwright_spark.functions.partitioning import fan_out
+    c = fan_out(corpus.select(F.col(id_col).alias("neighbor_id"),
+                              F.col(vec_col).cast("array<double>").alias("v")))
     c = c.withColumn("centroid", F.coalesce(nearest(F.col("v")), F.lit(-1)))
     q = queries.select(F.col(qid_col).alias("qid"),
                        F.col(qvec_col).cast("array<double>").alias("qv"))
@@ -241,8 +246,9 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     # coalesce(-1): non-null join key ⇒ no pushed isnotnull filter
     # re-evaluating the Arrow bucket stage (see embedding_near_dups)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).cast("array<double>").alias("v"))
+    from cartwright_spark.functions.partitioning import fan_out
+    c = fan_out(corpus.select(F.col(id_col).alias("neighbor_id"),
+                              F.col(vec_col).cast("array<double>").alias("v")))
     c = c.withColumn("bucket", F.coalesce(bucket(F.col("v")), F.lit(-1)))
     q = queries.select(F.col(qid_col).alias("qid"),
                        F.col(qvec_col).cast("array<double>").alias("qv"))

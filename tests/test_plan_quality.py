@@ -103,7 +103,11 @@ def test_minhash_signature_stage_is_single_pass(spark):
     from cartwright_spark.operators.dedup import minhash_signatures
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _physical(minhash_signatures(docs))
-    assert "Exchange" not in plan  # map-only Arrow stage
+    # no key-shuffle anywhere; the only allowed Exchange is the
+    # deliberate round-robin fan-out guarding against single-file
+    # sources serializing the kernel onto one core
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
     assert plan.count("ArrowEvalPython") == 1
 
 
