@@ -16,15 +16,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition ``df`` to the core budget iff it is under-partitioned.
+def fan_out(df: DataFrame, min_partitions: int | None = None,
+            min_bytes_per_task: int = 2 << 20) -> DataFrame:
+    """Repartition ``df`` to the core budget iff it is under-partitioned
+    AND big enough for the shuffle to pay off.
 
-    The round-robin shuffle moves each row once — always cheaper than
-    serializing an O(n·d) or O(n²) kernel onto one core. Callers that
-    know a better key (e.g. a later groupBy key) should repartition on
-    that instead; this is the generic guard."""
+    The size gate reads the source files' on-disk bytes (free — driver
+    metadata); below ~2 MB/partition the kernel is sub-second on one
+    core and the extra shuffle + Python-worker round-trip costs more
+    than it buys (measured: +0.4-0.5 s on the sf0.1 embedding ops).
+    Frames with no file lineage (in-memory test frames) engage the
+    fan-out — at scale unknown means big. Callers that know a better key
+    (e.g. a later groupBy key) should repartition on that instead; this
+    is the generic guard."""
     sc = df.sparkSession.sparkContext
     want = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= want:
+    # size probe FIRST: inputFiles() is cached file-listing metadata,
+    # while .rdd translation costs ~0.1-0.2 s of driver analysis — on a
+    # sub-second query the probe must not be the overhead it guards
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        import os
+        total = 0
+        for f in files:
+            p = f[7:] if f.startswith("file://") else f
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                total = None
+                break
+        if total is not None and total < min_bytes_per_task:
+            return df          # fits one task's budget: never worth it
+        if total is not None and len(files) >= want \
+                and total / len(files) >= min_bytes_per_task:
+            return df          # already enough well-sized splits
+    parts = df.rdd.getNumPartitions()
+    if parts >= want:
         return df
     return df.repartition(want)
