@@ -24,6 +24,29 @@ def haversine_m(lat1, lon1, lat2, lon2) -> np.ndarray:
     return 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(h, 0, 1)))
 
 
+def geodesic_destination(lat_deg, lon_deg, delta_rad, theta_rad):
+    """Exact spherical destination point(s): start at (lat, lon), travel
+    ``delta_rad`` radians of arc along initial bearing ``theta_rad``.
+
+    Broadcasts: pass lat/lon shaped (Q, 1) and delta/theta shaped (S,)
+    to get (Q, S) destination grids. Unlike planar lat/lon offsets
+    (dlat + dlon/cos(lat)), this stays exact at ANY arc distance — the
+    planar form leaves coverage gaps past ~1000 km that broke the kNN
+    cover-disc exactness audit on growth rounds.
+
+    Returns (lat_deg, lon_deg) with lon normalized to [-180, 180)."""
+    la1 = np.deg2rad(np.asarray(lat_deg, dtype=np.float64))
+    lo1 = np.deg2rad(np.asarray(lon_deg, dtype=np.float64))
+    sind, cosd = np.sin(delta_rad), np.cos(delta_rad)
+    sinl1, cosl1 = np.sin(la1), np.cos(la1)
+    sinl2 = np.clip(sinl1 * cosd + cosl1 * sind * np.cos(theta_rad), -1, 1)
+    la2 = np.arcsin(sinl2)
+    lo2 = lo1 + np.arctan2(np.sin(theta_rad) * sind * cosl1,
+                           cosd - sinl1 * sinl2)
+    return (np.rad2deg(la2),
+            ((np.rad2deg(lo2) + 180.0) % 360.0) - 180.0)
+
+
 def tile_xy_np(lat, lon, zoom: int):
     """Web-Mercator z/x/y (slippy-map convention), clamped at ±85.05113°."""
     lat = np.clip(np.asarray(lat, dtype=np.float64), -85.05112878, 85.05112878)

@@ -129,19 +129,27 @@ def _date_families(exclude: tuple[str, ...] = DEFAULT_EXCLUDE_FORMATS
 #: the first-word IN list) are built column-by-column over py4j — ~9k
 #: gateway round-trips ≈ 1.4 s of pure driver latency PER detect_all
 #: call (measured, cProfile). The trees depend only on static config, so
-#: they're built once per JVM gateway and reused; keyed on the gateway
-#: object so a restarted SparkContext never sees stale Java refs.
+#: they're built once per SparkContext and reused; keyed on
+#: applicationId + JavaSparkContext identity — NOT the gateway, because
+#: PySpark reuses one JavaGateway across stop()/start() in a process and
+#: gateway identity would let cached trees (and broadcast dims bound to
+#: a stopped session) survive a context restart.
 _EXPR_MEMO: dict = {}
 
 
-def _cached_expr(key: tuple, build):
+def _cached_expr(key: tuple, build, pin=None):
+    """Memoized expression/dim builder. ``pin`` keeps a strong reference
+    to any id()-keyed object in the cache key alive for the entry's
+    lifetime, so a recycled id can never falsely hit (same pattern as
+    pip.py's _COVERING_MEMO)."""
     from pyspark import SparkContext
     sc = SparkContext._active_spark_context
-    gw = id(sc._gateway) if sc is not None else None
-    k = (gw,) + key
-    if k not in _EXPR_MEMO:
-        _EXPR_MEMO[k] = build()
-    return _EXPR_MEMO[k]
+    ctx = (sc.applicationId, id(sc._jsc)) if sc is not None else None
+    k = (ctx,) + key
+    hit = _EXPR_MEMO.get(k)
+    if hit is None:
+        hit = _EXPR_MEMO[k] = (build(), pin)
+    return hit[0]
 
 
 def _strftime_to_spark(fmt: str) -> str:
@@ -403,9 +411,10 @@ def _detect_entities_single_scan(pages: DataFrame, spark: SparkSession,
     ts = _date_ts_expr(F.col("value"), F.col("format"))
 
     iso3 = _cached_expr(
-        ("iso3_dim",),
+        ("iso3_dim", id(spark)),
         lambda: F.broadcast(spark.createDataFrame(
-            gz.countries_pdf()[["iso3"]])))
+            gz.countries_pdf()[["iso3"]])),
+        pin=spark)
     validated = (
         hits
         .withColumn("lat", F.when(F.col("kind") == "coord", lat))
@@ -479,10 +488,15 @@ def _gazetteer_gram_mentions(pages: DataFrame, spark: SparkSession,
     """
     # dim cache key: object identity of the pandas frame (callers build
     # their dims once via lru_cache'd gazetteer loaders or pass a stable
-    # module-level frame; a fresh frame each call just misses the memo)
+    # module-level frame; a fresh frame each call just misses the memo).
+    # The frame is PINNED in the memo value so its id() can never be
+    # recycled by a later, different frame and falsely hit. The session
+    # id is in the key because the broadcast dim DataFrame is bound to
+    # the session that built it.
     dim = _cached_expr(
-        ("gram_dim", id(names_pdf), len(names_pdf)),
-        lambda: F.broadcast(spark.createDataFrame(names_pdf)))
+        ("gram_dim", id(names_pdf), len(names_pdf), id(spark)),
+        lambda: F.broadcast(spark.createDataFrame(names_pdf)),
+        pin=(names_pdf, spark))
     # any gram matching a multi-word name must start with that name's
     # first word — prefilter word positions on that set so gram
     # construction only runs at plausible start positions. Small sets ride
@@ -498,9 +512,13 @@ def _gazetteer_gram_mentions(pages: DataFrame, spark: SparkSession,
             .where(F.substring("w", 1, 1).between("A", "Z")))
     if len(first_words) <= 1000:
         # one parsed SQL string, not Column.isin: isin issues a py4j
-        # round-trip per literal (~0.4 s at 300 first words, measured)
-        in_list = ", ".join("'" + w.replace("'", "''") + "'"
-                            for w in first_words)
+        # round-trip per literal (~0.4 s at 300 first words, measured).
+        # Backslashes are escaped too — with Spark's default non-ANSI
+        # string literals a backslash in a gazetteer name would otherwise
+        # be read as an escape and change (or break) the predicate.
+        in_list = ", ".join(
+            "'" + w.replace("\\", "\\\\").replace("'", "''") + "'"
+            for w in first_words)
         rows = rows.where(_cached_expr(
             ("first_words", in_list),
             lambda: F.expr(f"lower(w) IN ({in_list})")))

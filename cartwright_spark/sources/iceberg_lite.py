@@ -65,15 +65,23 @@ def _file_meta(fp: str, data_dir: str) -> dict:
     import pyarrow.parquet as pq
     meta = pq.read_metadata(fp)
     stats: dict = {}
+    undecidable: set = set()
     for rg in range(meta.num_row_groups):
         g = meta.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
             st = col.statistics
-            if st is None or not st.has_min_max:
-                continue
             cname = col.path_in_schema
             if "." in cname:      # nested leaves: skip, min/max not scalar
+                continue
+            if st is None or not st.has_min_max:
+                # one stats-less row group makes the whole file's range
+                # unknowable — a range from the other groups alone would
+                # let stats_filter skip rows living in this group
+                stats.pop(cname, None)
+                undecidable.add(cname)
+                continue
+            if cname in undecidable:
                 continue
             mn, mx = _json_safe(st.min), _json_safe(st.max)
             if cname in stats:
@@ -82,6 +90,14 @@ def _file_meta(fp: str, data_dir: str) -> dict:
                     mn = min(prev["min"], mn)
                     mx = max(prev["max"], mx)
                 except TypeError:
+                    # mixed decoded types across row groups (e.g. one
+                    # group's bytes stat decodes as utf-8, another falls
+                    # back to hex): keeping the earlier partial range
+                    # would let stats_filter wrongly skip a file whose
+                    # later groups match. Absent stats are treated as
+                    # undecidable/kept, so drop the column entirely.
+                    del stats[cname]
+                    undecidable.add(cname)
                     continue
             stats[cname] = {"min": mn, "max": mx}
     return {"rows": meta.num_rows,

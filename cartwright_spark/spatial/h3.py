@@ -269,20 +269,24 @@ def k_ring(cid, k: int):
 
 def k_ring_geo(cid, k: int):
     """Geometric k-ring: cells of circle samples at radii ≤ k·edge around
-    the cell center — crosses face boundaries correctly (superset style)."""
+    the cell center — crosses face boundaries correctly (superset style).
+
+    Samples are placed with the exact spherical destination formula
+    (``geodesy.geodesic_destination``); the earlier planar lat/lon
+    offsets drift past ~1000 km, which matters now that the kNN fallback
+    grows ring_k geometrically."""
+    from cartwright_spark.functions.geodesy import geodesic_destination
     cid = np.asarray(cid, dtype=np.int64)
     res = int(cell_resolution(cid)[0])
     clat, clon = cell_to_latlng(cid)
     edge_rad = edge_length_radians(res)
     cells = [cid]
-    coslat = np.cos(np.deg2rad(clat))
-    coslat = np.where(np.abs(coslat) < 1e-6, 1e-6, coslat)
     for ring in range(1, k + 1):
-        r = ring * edge_rad * np.sqrt(3)  # hex center spacing
+        r = min(ring * edge_rad * np.sqrt(3), np.pi)  # hex center spacing
         nsamp = max(6, 6 * ring * 2)
         for t in np.linspace(0, 2 * np.pi, nsamp, endpoint=False):
-            sl = np.clip(clat + np.rad2deg(r * np.cos(t)), -89.999, 89.999)
-            so = ((clon + np.rad2deg(r * np.sin(t) / coslat) + 180) % 360) - 180
+            sl, so = geodesic_destination(clat, clon, r, t)
+            sl = np.clip(sl, -89.999, 89.999)
             cells.append(latlng_to_cell(sl, so, res))
     stacked = np.stack(cells, axis=1)
     return [np.unique(row) for row in stacked]

@@ -382,12 +382,36 @@ def point_in_polygon_join(spark: SparkSession, points: DataFrame,
         refine_fn, "point_id string, admin_id string")
 
 
+def _refine_salt_map(pts: DataFrame, cov: DataFrame, target_rows: int,
+                     max_salt: int, sample_fraction: float) -> DataFrame:
+    """(admin_id, __fanout) for admins whose ESTIMATED candidate count
+    exceeds ``target_rows`` — fanout ≈ est/target capped at ``max_salt``.
+    The estimate joins a point SAMPLE against the (pinned) covering, so
+    the pre-pass costs ~``sample_fraction`` of the real candidate join.
+    Admins absent from the result keep fanout 1 at the caller (cold
+    admins pay zero polygon replication). Deterministic seed → resume-
+    safe. Same count-proportional shape as skew.hot_cell_map."""
+    est = (pts.sample(sample_fraction, seed=42)
+           .join(cov, "cell", "inner")
+           .groupBy("admin_id")
+           .agg((F.count("*") / sample_fraction).alias("__est")))
+    return (est.where(F.col("__est") > target_rows)
+            .select("admin_id",
+                    F.least(F.ceil(F.col("__est") / target_rows),
+                            F.lit(max_salt)).cast("int")
+                    .alias("__fanout")))
+
+
 def point_in_polygon_join_bulk(spark: SparkSession, points: DataFrame,
                                polygons: DataFrame, level: int = 8,
                                lat_col: str = "lat", lon_col: str = "lon",
                                point_id_col: str = "url",
                                cell_col: str | None = None,
-                               refine_salt: int = 16) -> DataFrame:
+                               refine_salt: int | str = 16,
+                               target_refine_rows: int = 250_000,
+                               max_refine_salt: int = 256,
+                               salt_sample_fraction: float = 0.05
+                               ) -> DataFrame:
     """PIP join for LARGE polygon sets (the driver-side covering loop in
     `point_in_polygon_join` is right for broadcast-scale dims; at ~50k+
     admin polygons it serializes minutes of numpy on the driver and the
@@ -412,8 +436,16 @@ def point_in_polygon_join_bulk(spark: SparkSession, points: DataFrame,
       3. interior-cell candidates are accepted outright; boundary
          candidates refine in applyInPandas grouped by
          (admin_id, salt) — the salt bounds any one country's group size,
-         and rings ride a broadcast dict (polygon dims are GB-scale at
-         worst; the FACT side never moves to the driver)."""
+         and rings reach the refine via a salt-replicated cogroup (the
+         FACT side never moves to the driver).
+
+    ``refine_salt``: an int applies that static salt per admin;
+    ``"auto"`` (the 100 TB path) sizes the salt PER ADMIN from a sampled
+    per-admin candidate count — one giant polygon with dense candidates
+    (Russia against a city-heavy crawl) gets ``ceil(est_candidates /
+    target_refine_rows)`` reducers (≤ ``max_refine_salt``) while cold
+    admins keep salt 1 and pay zero replication, the same
+    count-proportional shape as skew.hot_cell_map."""
     has_holes = ("hole_lat" in polygons.columns
                  and "hole_lon" in polygons.columns)
     cols = ["admin_id", "ring_lat", "ring_lon"] + \
@@ -444,6 +476,12 @@ def point_in_polygon_join_bulk(spark: SparkSession, points: DataFrame,
     cov = rows.mapInPandas(
         cov_fn, "admin_id string, cell long, interior boolean")
 
+    adaptive = refine_salt == "auto"
+    if adaptive:
+        # the sampled count pre-pass below re-reads the covering — pin it
+        # so the (expensive) per-polygon covering kernels run once
+        cov = cov.localCheckpoint(eager=True)
+
     pts = points.select(
         F.col(point_id_col).alias("point_id"),
         F.col(lat_col).alias("lat"), F.col(lon_col).alias("lon"),
@@ -459,8 +497,6 @@ def point_in_polygon_join_bulk(spark: SparkSession, points: DataFrame,
     # would evaluate the point scan + encode + candidate join once per
     # branch — measured 2× the whole query (same finding as the
     # driver-side variant).
-    salted = cand.withColumn(
-        "__salt", F.pmod(F.hash("point_id"), F.lit(refine_salt)))
     # output schema follows the caller's id type (a hardcoded string id
     # crashed on bigint point ids)
     pid_type = dict(pts.dtypes)["point_id"]
@@ -468,12 +504,30 @@ def point_in_polygon_join_bulk(spark: SparkSession, points: DataFrame,
     # rings reach the refine through a COGROUP, never the driver (VERDICT
     # r2: the old full-dim `rows.collect()` broadcast was a driver-OOM
     # edge at the GB-scale polygon dims this function exists for). The
-    # polygon table is replicated across the salt domain — refine_salt ×
-    # n_polygons ring rows through the shuffle, executor-to-executor —
-    # so each (admin_id, __salt) candidate group meets exactly one ring
-    # row of its polygon on the reducer.
-    poly_salted = rows.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(refine_salt - 1))))
+    # polygon table is replicated across the salt domain — per-admin
+    # fanout × ring rows through the shuffle, executor-to-executor — so
+    # each (admin_id, __salt) candidate group meets exactly one ring row
+    # of its polygon on the reducer.
+    if adaptive:
+        fanout_map = _refine_salt_map(pts, cov, target_refine_rows,
+                                      max_refine_salt,
+                                      salt_sample_fraction)
+        fan = F.coalesce(F.col("__fanout"), F.lit(1))
+        salted = (cand.join(F.broadcast(fanout_map), "admin_id", "left")
+                  .withColumn("__salt",
+                              F.pmod(F.hash("point_id"), fan).cast("int"))
+                  .drop("__fanout"))
+        poly_salted = (rows.join(F.broadcast(fanout_map), "admin_id",
+                                 "left")
+                       .withColumn("__salt", F.explode(
+                           F.sequence(F.lit(0), fan - 1)))
+                       .drop("__fanout"))
+    else:
+        salted = cand.withColumn(
+            "__salt", F.pmod(F.hash("point_id"), F.lit(refine_salt)))
+        poly_salted = rows.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0),
+                                           F.lit(refine_salt - 1))))
 
     def refine_fn(cand_pdf: pd.DataFrame,
                   poly_pdf: pd.DataFrame) -> pd.DataFrame:

@@ -282,3 +282,50 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_file_meta_drops_column_on_unmergeable_rowgroup_stats(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r3: when row-group min/max can't be merged (mixed decoded
+    types), the column must vanish from the file's stats entirely —
+    absent stats are undecidable/KEPT by stats_filter, while a partial
+    range could wrongly skip a file whose later row groups match."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cartwright_spark.sources import iceberg_lite as il
+
+    fp = str(tmp_path / "two_groups.parquet")
+    t = pa.table({"v": list(range(100)), "w": list(range(100))})
+    pq.write_table(t, fp, row_group_size=50)   # 2 row groups
+
+    real = il._json_safe
+    state = {"n": 0}
+
+    def flaky(v):
+        # decode drift: first row group's stats come back as str, later
+        # ones as int — min()/max() across them raises TypeError
+        state["n"] += 1
+        return str(real(v)) if state["n"] <= 2 else real(v)
+
+    monkeypatch.setattr(il, "_json_safe", flaky)
+    meta = il._file_meta(fp, str(tmp_path))
+    assert meta["rows"] == 100
+    assert "v" not in meta["stats"]          # poisoned → dropped outright
+    assert meta["stats"]["w"] == {"min": 0, "max": 99}
+
+
+def test_file_meta_statsless_rowgroup_poisons_column(tmp_path):
+    """A row group with NO stats for a column makes the file's range
+    unknowable — earlier groups' partial range must not survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cartwright_spark.sources import iceberg_lite as il
+
+    fp = str(tmp_path / "nostats.parquet")
+    t = pa.table({"v": list(range(100))})
+    pq.write_table(t, fp, row_group_size=50, write_statistics=False)
+    meta = il._file_meta(fp, str(tmp_path))
+    assert meta["rows"] == 100
+    assert meta["stats"] == {}

@@ -599,3 +599,118 @@ def test_unwrap_rotation_invariance_property():
         assert (base == rot).all()
 
     prop()
+
+
+def test_knn_fallback_grows_cover_instead_of_cartesian(spark):
+    """Round-3 VERDICT item: when most queries start unresolved (sparse
+    sites, undersized cover), the fallback must resolve them by growing
+    the disc geometrically — NOT by cross-joining the unresolved set
+    against the full site table. With enough growth rounds the final
+    plan contains no cartesian at all, and the answers stay exact."""
+    rng = np.random.default_rng(71)
+    sites = pd.DataFrame({
+        "site_id": np.arange(30, dtype=np.int64),
+        "lat": rng.uniform(-60, 70, 30),
+        "lon": rng.uniform(-180, 180, 30),
+    })
+    queries = pd.DataFrame({
+        "qid": np.arange(40, dtype=np.int64),
+        "lat": rng.uniform(-55, 65, 40),
+        "lon": rng.uniform(-170, 170, 40),
+    })
+    # 500 km cover vs ~30 global sites: >50% of queries start unresolved
+    got = knn_join(spark.createDataFrame(queries),
+                   spark.createDataFrame(sites), k=5, level=6,
+                   r_cover_m=500_000.0, fallback_rounds=7)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    got_set = {(r["qid"], r["site_id"], r["rank"]) for r in got.collect()}
+    assert got_set == brute_force_knn(queries, sites, k=5)
+
+
+def test_knn_fallback_pair_budget_guard_fails_loudly(spark):
+    """Past the growth schedule, a residue crossJoin bigger than
+    max_fallback_pairs must raise instead of silently planning a
+    scale-killing cartesian."""
+    import pytest
+    rng = np.random.default_rng(5)
+    sites = pd.DataFrame({
+        "site_id": np.arange(200, dtype=np.int64),
+        "lat": rng.uniform(-60, 70, 200),
+        "lon": rng.uniform(-180, 180, 200),
+    })
+    queries = pd.DataFrame({
+        "qid": np.arange(30, dtype=np.int64),
+        "lat": rng.uniform(-55, 65, 30),
+        "lon": rng.uniform(-170, 170, 30),
+    })
+    with pytest.raises(ValueError, match="max_fallback_pairs"):
+        knn_join(spark.createDataFrame(queries),
+                 spark.createDataFrame(sites), k=50, level=8,
+                 r_cover_m=50_000.0, fallback_rounds=1,
+                 max_fallback_pairs=100).collect()
+
+
+def test_pip_bulk_adaptive_refine_salt(spark):
+    """refine_salt="auto" (round-3 VERDICT item 7): one giant polygon
+    with dense candidates gets a count-proportional salt while cold
+    admins keep salt 1 — and the join stays exact."""
+    from cartwright_spark.spatial.pip import (_refine_salt_map,
+                                              point_in_polygon_join_bulk)
+    from cartwright_spark.spatial.udfs import with_s2_cell
+    rng = np.random.default_rng(17)
+    ppdf = pd.DataFrame([
+        {"admin_id": "giant", "ring_lat": _box(20, -40, 60, 60)[0],
+         "ring_lon": _box(20, -40, 60, 60)[1]},
+        {"admin_id": "cold", "ring_lat": _box(-50, 100, -45, 110)[0],
+         "ring_lon": _box(-50, 100, -45, 110)[1]},
+    ])
+    # 30k points, ~99% inside the giant box, ~300 in the cold one
+    pts = pd.DataFrame({
+        "point_id": [f"p{i}" for i in range(30_000)],
+        "lat": np.where(np.arange(30_000) % 100 < 99,
+                        rng.uniform(21, 59, 30_000),
+                        rng.uniform(-49.5, -45.5, 30_000)),
+        "lon": np.where(np.arange(30_000) % 100 < 99,
+                        rng.uniform(-39, 59, 30_000),
+                        rng.uniform(101, 109, 30_000)),
+    })
+    sdf = spark.createDataFrame(pts)
+    polys_df = spark.createDataFrame(ppdf)
+
+    got = {(r["point_id"], r["admin_id"])
+           for r in point_in_polygon_join_bulk(
+               spark, sdf, polys_df, level=7, point_id_col="point_id",
+               refine_salt="auto", target_refine_rows=2_000,
+               salt_sample_fraction=0.2).collect()}
+    assert got == brute_force_pip(pts, ppdf)
+
+    # the salt map itself: hot admin fans out proportionally to its
+    # candidate volume; the cold admin is absent (fanout 1, zero
+    # replication)
+    enc = with_s2_cell(
+        sdf.select(F.col("point_id"), "lat", "lon"), "lat", "lon", 7,
+        "cell")
+    cov = polys_df  # rebuild the covering the same way the join does
+    from cartwright_spark.spatial.pip import (classify_interior_cells,
+                                              polygon_covering_cells,
+                                              _unwrap_ring)
+    rows = []
+    for r in ppdf.itertuples(index=False):
+        cells = polygon_covering_cells(r.ring_lat, r.ring_lon, 7)
+        interior = classify_interior_cells(
+            cells, [_unwrap_ring(r.ring_lat, r.ring_lon)], 7)
+        for c, it in zip(np.asarray(cells, np.uint64).astype(np.int64),
+                         interior):
+            rows.append({"admin_id": r.admin_id, "cell": int(c),
+                         "interior": bool(it)})
+    cov_df = spark.createDataFrame(pd.DataFrame(rows))
+    m = {r["admin_id"]: r["__fanout"]
+         for r in _refine_salt_map(enc, cov_df, target_rows=2_000,
+                                   max_salt=64,
+                                   sample_fraction=0.2).collect()}
+    assert "cold" not in m
+    assert m.get("giant", 0) >= 8       # ~29.7k candidates / 2k target
+    # per-(admin, salt) group sizes actually bound the refine task input
+    n_giant = 29_700
+    assert n_giant / m["giant"] < 2_000 * 4
