@@ -360,6 +360,21 @@ def q_minhash_lsh(spark, sf_dir):
         .select("id_a", "id_b")
 
 
+def q_minhash_dedup_assign(spark, sf_dir):
+    """Megacluster-safe near-dup ASSIGNMENT (operators/dedup.py
+    minhash_dedup_assign): (id, keeper_id) with LINEAR output — band
+    buckets propose min-id keepers, each doc Jaccard-validates its own
+    proposals, pointer-jumping canonicalizes chains. Same fixture corpus
+    and engine-defined signatures as minhash_lsh → golden oracle."""
+    from cartwright_spark.operators.dedup import (minhash_dedup_assign,
+                                                  minhash_signatures)
+    from cartwright_spark.sources.fixtures import near_dup_corpus_pdf
+    docs = spark.createDataFrame(near_dup_corpus_pdf()).coalesce(4)
+    sigs = minhash_signatures(docs, "text", "doc_id", num_perm=64)
+    return minhash_dedup_assign(sigs, bands=16, jaccard_threshold=0.7) \
+        .select("id", "keeper_id")
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs over the near-dup fixture corpus (golden
     oracle: xxhash64 bit votes are engine-defined)."""
@@ -860,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_pip_bulk": q_j6_pip_bulk,
         "cartwright_categorize": q_cartwright_categorize,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_dedup_assign": q_minhash_dedup_assign,
         "simhash_pairs": q_simhash_pairs,
         "s2_histogram": q_s2_histogram,
         "h3_histogram": q_h3_histogram,
@@ -1250,6 +1266,8 @@ def oracle_sql() -> dict[str, str]:
         # S2/H3 cell ids, LSH buckets) aren't SQL-recomputable, so the
         # exact output over an SF-independent input is the oracle
         "minhash_lsh": _golden_sql("minhash_lsh", ["id_a", "id_b"]),
+        "minhash_dedup_assign": _golden_sql("minhash_dedup_assign",
+                                            ["id", "keeper_id"]),
         "simhash_pairs": _golden_sql("simhash_pairs",
                                      ["id_a", "id_b", "hamming"]),
         "s2_histogram": _golden_sql("s2_histogram", ["s2_cell", "n_points"]),

@@ -86,7 +86,8 @@ def main() -> None:
                  # timed list (incremental_microbatch cleans and rebuilds
                  # its own snapshot dirs per call, so it times the full
                  # two-batch incremental run)
-                 "incremental_microbatch", "multimodal_png_decode"):
+                 "incremental_microbatch", "multimodal_png_decode",
+                 "minhash_dedup_assign"):
         timed(name, lambda n=name: qmap[n](spark, sf_dir)
               .write.format("noop").mode("overwrite").save())
 

@@ -202,6 +202,68 @@ def minhash_lsh_pairs(signatures: DataFrame, bands: int = 16,
             .select("id_a", "id_b", "jaccard_est"))
 
 
+def minhash_dedup_assign(signatures: DataFrame, bands: int = 16,
+                         jaccard_threshold: float = 0.7,
+                         rounds: int = 1) -> DataFrame:
+    """(id, keeper_id) near-dup cluster assignment with LINEAR output —
+    the megacluster-safe alternative to `minhash_lsh_pairs`.
+
+    Pair enumeration is Θ(cluster²): one 10k-doc near-dup cluster (a
+    boilerplate page at crawl scale) yields ~5·10⁷ true pairs and
+    ~8·10⁸ banded candidate rows — correct but catastrophic as a 100 TB
+    default. Dedup doesn't need the pairs: each band bucket proposes
+    keeper = min(id in bucket), every doc validates its proposed keepers
+    by estimated Jaccard against ITS OWN signature (≤ `bands` candidate
+    rows per doc — linear), and takes the min passing one. A
+    near-identical megacluster converges immediately because every
+    member shares a bucket with the cluster's global min id.
+
+    `rounds` pointer-jumping iterations (keeper := keeper[keeper])
+    canonicalize chains (A←B←C) afterwards; transitive closure over
+    validated links is the documented cluster semantic, matching
+    union-find-based dedup pipelines. Docs with no validated keeper (or
+    keeper = self) are their cluster's representative.
+
+    Every stage is an equi-shuffle on (band, band_hash) or id — no
+    self-join of bucket members ever happens."""
+    rows_per_band = F.floor(F.size("signature") / bands).cast("int")
+    banded = (
+        signatures
+        .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
+        .withColumn(
+            "band_hash",
+            F.hash(F.slice("signature", F.col("band") * rows_per_band + 1,
+                           rows_per_band)))
+        .select("id", "band", "band_hash"))
+    bucket_min = banded.groupBy("band", "band_hash").agg(
+        F.min("id").alias("cand"))
+    cand = (banded.join(bucket_min, ["band", "band_hash"])
+            .where(F.col("cand") < F.col("id"))
+            .select("id", "cand").dropDuplicates(["id", "cand"]))
+    sigs = signatures.select("id", "signature")
+    jac = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v,
+    ) / F.size("sig_a")
+    valid = (cand
+             .join(sigs.select(F.col("id").alias("id"),
+                               F.col("signature").alias("sig_a")), "id")
+             .join(sigs.select(F.col("id").alias("cand"),
+                               F.col("signature").alias("sig_b")), "cand")
+             .where(jac >= jaccard_threshold)
+             .select("id", "cand"))
+    assign = (sigs.select("id")
+              .join(valid.groupBy("id").agg(F.min("cand").alias("__k")),
+                    "id", "left")
+              .select("id", F.coalesce("__k", "id").alias("keeper_id")))
+    for _ in range(max(0, rounds)):
+        hop = assign.select(F.col("id").alias("keeper_id"),
+                            F.col("keeper_id").alias("__k2"))
+        assign = (assign.join(hop, "keeper_id")
+                  .select("id", F.col("__k2").alias("keeper_id")))
+    return assign
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -252,3 +252,56 @@ def test_contract_near_dup_recall_and_precision(contract_emb):
                                         dim=32).collect()}
     assert lsh <= exact                      # exact-cosine refine ⇒ no FPs
     assert len(lsh) / len(exact) >= 0.9      # bucket blocking recall
+
+
+def test_minhash_dedup_assign_megacluster_linear(spark):
+    """The assignment path: a near-dup megacluster resolves to one keeper
+    with LINEAR output (n rows, never Θ(cluster²) pairs), uniques keep
+    themselves, and cluster partitions agree with the connected
+    components of the pairs operator's graph."""
+    from cartwright_spark.operators.dedup import (minhash_dedup_assign,
+                                                  minhash_lsh_pairs,
+                                                  minhash_signatures)
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seventeen engineers review a distributed query plan "
+            "for correctness and sustained shuffle throughput")
+    rows = []
+    for i in range(150):          # megacluster: one appended token each
+        rows.append({"doc_id": i, "text": base + f" zq{i}"})
+    for i in range(150, 250):     # uniques: unrelated texts
+        rows.append({"doc_id": i,
+                     "text": " ".join(f"tok{i}_{j}" for j in range(40))})
+    docs = spark.createDataFrame(pd.DataFrame(rows)).repartition(8)
+    sigs = minhash_signatures(docs, "text", "doc_id", num_perm=64) \
+        .localCheckpoint(eager=True)
+
+    assign = minhash_dedup_assign(sigs, bands=16, jaccard_threshold=0.7)
+    apdf = assign.toPandas().set_index("id")["keeper_id"].sort_index()
+    assert len(apdf) == 250                       # linear: one row per doc
+    # every cluster member maps to the cluster min (0); every unique to
+    # itself
+    assert (apdf.loc[0:149] == 0).all()
+    assert (apdf.loc[150:249] == np.arange(150, 250)).all()
+
+    # partition equivalence vs the pairs graph's connected components
+    pairs = minhash_lsh_pairs(sigs, bands=16, jaccard_threshold=0.7) \
+        .select("id_a", "id_b").toPandas()
+    parent = {i: i for i in range(250)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs.itertuples(index=False):
+        parent[find(a)] = find(b)
+    cc = {i: find(i) for i in range(250)}
+    got_parts = {}
+    for i, kp in apdf.items():
+        got_parts.setdefault(kp, set()).add(i)
+    want_parts = {}
+    for i, r in cc.items():
+        want_parts.setdefault(r, set()).add(i)
+    assert set(map(frozenset, got_parts.values())) == \
+        set(map(frozenset, want_parts.values()))
