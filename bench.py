@@ -18,6 +18,36 @@ import sys
 import time
 
 
+# The contract queries timed every round — r01's list plus every query that
+# went green since, same names each round so per-query regressions stay
+# visible (VERDICT r1 item 9). Module-level so scripts/skew_bench.py runs the
+# identical list under skewed inputs.
+CONTRACT_BENCH_QUERIES = (
+    "p4_latitude_valid", "p5_latlong_pair", "p6_unix_time",
+    "p7_year_range", "p8_date_format", "p9_iso3_membership",
+    "p10_latlon_dedup", "j4_continent_fuzzy", "j6_pip_boxes",
+    "j8_tile_grid", "j8_tile_assign", "j9_salted_rollup",
+    "w1_temporal_deltas", "a5_threshold_cascade", "a7_uniformity",
+    "temporal_resolution", "spatial_grid_resolution",
+    "cartwright_categorize", "fuzzy_country_join",
+    "dedup_exact", "dedup_groups",
+    "simhash_pairs", "embedding_cosine_pairs", "embedding_cosine_blocked",
+    "embedding_near_dup_lsh", "lsh_ann_topk",
+    "s2_histogram", "h3_histogram",
+    "text_token_count", "text_quality_counts",
+    "lang_stopword_hits", "lang_detect",
+    "knn_grid", "knn_cells", "knn_hex", "o2_topk",
+    "multimodal_features", "multimodal_frame_plan",
+    "stream_sessionize", "ivf_ann_topk", "corpus_curation",
+    "j6_pip_bulk", "ngram_jaccard", "extract_text",
+    # r2 VERDICT item 6: every contract query appears in the timed list
+    # (incremental_microbatch cleans and rebuilds its own snapshot dirs per
+    # call, so it times the full two-batch incremental run)
+    "incremental_microbatch", "multimodal_png_decode",
+    "minhash_dedup_assign",
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -60,34 +90,10 @@ def main() -> None:
         .agg(F.sum("q")).collect()
 
     # --- contract queries over the testdata tables -------------------------
-    # r01's list plus every query that went green in r02 — same names each
-    # round so per-query regressions stay visible (VERDICT r1 item 9).
     # doc_fingerprint is benched separately below (its contract query now
     # runs a fixed golden fixture).
     qmap = entry_mod.queries()
-    for name in ("p4_latitude_valid", "p5_latlong_pair", "p6_unix_time",
-                 "p7_year_range", "p8_date_format", "p9_iso3_membership",
-                 "p10_latlon_dedup", "j4_continent_fuzzy", "j6_pip_boxes",
-                 "j8_tile_grid", "j8_tile_assign", "j9_salted_rollup", "w1_temporal_deltas",
-                 "a5_threshold_cascade", "a7_uniformity",
-                 "temporal_resolution", "spatial_grid_resolution",
-                 "cartwright_categorize", "fuzzy_country_join",
-                 "dedup_exact", "dedup_groups",
-                 "simhash_pairs", "embedding_cosine_pairs", "embedding_cosine_blocked",
-                 "embedding_near_dup_lsh", "lsh_ann_topk",
-                 "s2_histogram", "h3_histogram",
-                 "text_token_count", "text_quality_counts",
-                 "lang_stopword_hits", "lang_detect",
-                 "knn_grid", "knn_cells", "knn_hex", "o2_topk",
-                 "multimodal_features", "multimodal_frame_plan",
-                 "stream_sessionize", "ivf_ann_topk", "corpus_curation",
-                 "j6_pip_bulk", "ngram_jaccard", "extract_text",
-                 # r2 VERDICT item 6: every contract query appears in the
-                 # timed list (incremental_microbatch cleans and rebuilds
-                 # its own snapshot dirs per call, so it times the full
-                 # two-batch incremental run)
-                 "incremental_microbatch", "multimodal_png_decode",
-                 "minhash_dedup_assign"):
+    for name in CONTRACT_BENCH_QUERIES:
         timed(name, lambda n=name: qmap[n](spark, sf_dir)
               .write.format("noop").mode("overwrite").save())
 

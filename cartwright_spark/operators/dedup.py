@@ -164,13 +164,25 @@ def minhash_signatures_sql(df: DataFrame, text_col: str = "text",
 
 
 def minhash_lsh_pairs(signatures: DataFrame, bands: int = 16,
-                      jaccard_threshold: float = 0.7) -> DataFrame:
+                      jaccard_threshold: float = 0.7,
+                      max_bucket: int | None = None) -> DataFrame:
     """Candidate pairs via banding (explode → equi-join on band bucket),
     verified by estimated Jaccard = matching-minhash fraction.
 
     Returns (id_a, id_b, jaccard_est) with id_a < id_b. The band join is an
     equi shuffle join on (band_idx, band_hash); hot buckets (boilerplate)
-    are handled by AQE skew splitting."""
+    are handled by AQE skew splitting.
+
+    AQE splits a hot bucket's *tasks* but cannot shrink its *output*:
+    pair enumeration is inherently Θ(bucket²) rows, and the skew bench's
+    10k-doc near-dup megacluster yields ~8·10⁸ candidates (~13,000× the
+    uniform corpus) — measured as a watchdog timeout in
+    scripts/skew_bench.py. `max_bucket` is the standard crawl-dedup
+    mitigation: buckets larger than the cap are EXCLUDED from pair
+    enumeration (their pairs are redundant boilerplate for dedup; the
+    linear-output path for such clusters is `minhash_dedup_assign`).
+    None preserves exact enumeration semantics (the contract/golden
+    default)."""
     num_perm = None  # derived per row; bands must divide num_perm
     rows_per_band = F.floor(F.size("signature") / bands).cast("int")
     banded = (
@@ -182,6 +194,13 @@ def minhash_lsh_pairs(signatures: DataFrame, bands: int = 16,
                            rows_per_band)))
         .select("id", "signature", "band", "band_hash")
     )
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "band_hash") \
+            .agg(F.count("*").alias("__bsz"))
+        banded = (banded
+                  .join(sizes.where(F.col("__bsz") <= max_bucket),
+                        ["band", "band_hash"])
+                  .drop("__bsz"))
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (

@@ -22,6 +22,12 @@ def get_spark(
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    # multi-JVM masters (spark://, yarn): ship the package to executors'
+    # python workers — every pandas UDF closure imports cartwright_spark
+    # by name, so the zip must be on the executor PYTHONPATH (the
+    # spark-submit --py-files path; this env serves launchers that build
+    # the session themselves, e.g. bench.py under a standalone master)
+    py_files = os.environ.get("SPARK_GRAFT_PYFILES")
     if shuffle_partitions is None:
         shuffle_partitions = max(8, cpus)
 
@@ -46,6 +52,8 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
+    if py_files:
+        builder = builder.config("spark.submit.pyFiles", py_files)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -85,12 +85,20 @@ def _corpus_boxes():
 
 
 def run_once(cores: int, n_pages: int, variant: str = "full",
-             repeats: int = 3) -> dict:
+             repeats: int = 3, master: str | None = None,
+             executor_cores: int = 8) -> dict:
     """variant='full': extract → detect → encode → PIP ‖ rollup from raw
     html. variant='engine': same from the pre-extracted text corpus —
     isolates the engine stages' scaling from the extraction stage's
     single-socket memory-bandwidth wall (which a multi-executor cluster
-    does not share: each executor brings its own memory system)."""
+    does not share: each executor brings its own memory system).
+
+    master=None runs local[cores]. A spark:// master runs the SAME job on
+    a real standalone cluster with `cores / executor_cores` multi-JVM
+    executors (spark.cores.max fences the core budget), which exercises
+    executor-boundary serialization, broadcast transport and the shuffle
+    paths local[N] short-circuits — the honest N→4N-executor form of the
+    north rule's scaling criterion."""
     from pyspark.sql import functions as F
 
     from cartwright_spark.functions.geodesy import tile_id_col
@@ -110,9 +118,24 @@ def run_once(cores: int, n_pages: int, variant: str = "full",
     # keep ParallelGC (session default would be overwritten by this key)
     gc_opts = (f"-XX:+UseParallelGC -XX:ParallelGCThreads={cores} "
                f"-XX:ConcGCThreads={max(1, cores // 4)}")
-    spark = get_spark("scaling_run", master=f"local[{cores}]",
-                      shuffle_partitions=2 * cores,
-                      extra_conf={"spark.driver.extraJavaOptions": gc_opts})
+    if master and master.startswith("spark://"):
+        # per-executor GC parallelism = per-executor cores, not the total
+        exec_gc = (f"-XX:+UseParallelGC -XX:ParallelGCThreads={executor_cores} "
+                   f"-XX:ConcGCThreads={max(1, executor_cores // 4)}")
+        spark = get_spark(
+            "scaling_run_standalone", master=master,
+            shuffle_partitions=2 * cores,
+            extra_conf={
+                "spark.cores.max": str(cores),
+                "spark.executor.cores": str(executor_cores),
+                "spark.executor.memory":
+                    os.environ.get("SPARK_EXEC_MEM", "18g"),
+                "spark.executor.extraJavaOptions": exec_gc,
+            })
+    else:
+        spark = get_spark("scaling_run", master=f"local[{cores}]",
+                          shuffle_partitions=2 * cores,
+                          extra_conf={"spark.driver.extraJavaOptions": gc_opts})
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(src)
 
