@@ -655,6 +655,53 @@ def q_multimodal_png_decode(spark, sf_dir):
         fn, "media_id long, px_sum long, px_min long, px_max long")
 
 
+def q_multimodal_jpeg_decode(spark, sf_dir):
+    """Real-codec multimodal path #2: deterministic rasters →
+    encode_jpeg → decode_jpeg (the from-scratch baseline-JPEG codec,
+    operators/jpeg.py: Huffman entropy decode, dequant, vectorized
+    IDCT, 4:2:0 upsampling, restart markers) inside mapInPandas. JPEG
+    is lossy in general, but a grayscale image of 8x8-constant EVEN
+    blocks round-trips EXACTLY at quality 50 (see jpeg.py docstring),
+    so per-image pixel stats are closed-form in media_id and the DuckDB
+    oracle re-derives them in pure SQL — the distributed decode is
+    value-checked end to end. restart_interval=1 makes the 32px-wide
+    4:2:0 image span 2 MCUs with an RST0 marker between them, so the
+    restart path is inside the contract too."""
+    import numpy as np
+    import pandas as pd
+
+    from cartwright_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 200)
+    H, W = 16, 32
+
+    def fn(batches):
+        by = np.arange(H)[:, None] // 8
+        bx = np.arange(W)[None, :] // 8
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            sums, mins, maxs = [], [], []
+            for i in ids:
+                v = (((int(i) * 37 + by * 17 + bx * 29) % 128) * 2) \
+                    .astype(np.uint8)
+                rgb = np.repeat(v[:, :, None], 3, axis=2)
+                out = decode_jpeg(encode_jpeg(rgb, quality=50,
+                                              subsampling="420",
+                                              restart_interval=1))
+                assert out.shape == (H, W, 3)
+                sums.append(int(out.sum()))
+                mins.append(int(out.min()))
+                maxs.append(int(out.max()))
+            yield pd.DataFrame({
+                "media_id": ids,
+                "px_sum": np.array(sums, np.int64),
+                "px_min": np.array(mins, np.int64),
+                "px_max": np.array(maxs, np.int64)})
+
+    return docs.mapInPandas(
+        fn, "media_id long, px_sum long, px_min long, px_max long")
+
+
 def q_p8_date_format(spark, sf_dir):
     """P8: date-format predicate — validate `to_timestamp(v, fmt)` over
     event-derived strings in two formats (one valid, one not)."""
@@ -894,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
         "multimodal_png_decode": q_multimodal_png_decode,
+        "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "p8_date_format": q_p8_date_format,
         "j4_continent_fuzzy": q_j4_continent_fuzzy,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1543,6 +1591,24 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS px_max
             FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
                  range(16) y(r), range(12) x(r), range(3) c(r)
+            GROUP BY d.doc_id
+        """,
+        # JPEG round-trip is exact for 8x8-constant even-valued grayscale
+        # blocks at Q50 (jpeg.py docstring), so the decoded pixels equal
+        # the closed-form block values; x3 for the three equal channels
+        "multimodal_jpeg_decode": """
+            SELECT d.doc_id AS media_id,
+                   CAST(SUM(3 * (((d.doc_id*37 + (y.r // 8)*17
+                                   + (x.r // 8)*29) % 128) * 2))
+                        AS BIGINT) AS px_sum,
+                   CAST(MIN(((d.doc_id*37 + (y.r // 8)*17
+                              + (x.r // 8)*29) % 128) * 2)
+                        AS BIGINT) AS px_min,
+                   CAST(MAX(((d.doc_id*37 + (y.r // 8)*17
+                              + (x.r // 8)*29) % 128) * 2)
+                        AS BIGINT) AS px_max
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+                 range(16) y(r), range(32) x(r)
             GROUP BY d.doc_id
         """,
         "p8_date_format": """

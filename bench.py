@@ -44,7 +44,7 @@ CONTRACT_BENCH_QUERIES = (
     # (incremental_microbatch cleans and rebuilds its own snapshot dirs per
     # call, so it times the full two-batch incremental run)
     "incremental_microbatch", "multimodal_png_decode",
-    "minhash_dedup_assign",
+    "multimodal_jpeg_decode", "minhash_dedup_assign",
 )
 
 

@@ -148,20 +148,24 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode image bytes → HxWx3 uint8.
 
     Real PNG payloads decode via the from-scratch stdlib-zlib decoder
-    above. Every other format still raises — no JPEG/WebP codec ships in
-    this container; this function is the drop-in point for one. With
-    fake=True, returns a deterministic 8x8x3 raster derived from the
-    payload digest — stable plumbing test double."""
+    above; baseline JPEG via operators/jpeg.py (from-scratch Huffman +
+    IDCT). Other formats (WebP, progressive JPEG, video) still raise —
+    this function is the drop-in point for a codec lib. With fake=True,
+    returns a deterministic 8x8x3 raster derived from the payload
+    digest — stable plumbing test double."""
     if fake:
         d = hashlib.sha256(payload).digest()
         arr = np.frombuffer((d * 6)[:8 * 8 * 3], dtype=np.uint8)
         return arr.reshape(8, 8, 3).copy()
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xFF\xD8":
+        from cartwright_spark.operators.jpeg import decode_jpeg
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PNG decodes in this environment (from-scratch decoder); "
-        "pass fake=True for the deterministic test decoder or plug a "
-        "codec in here")
+        "only PNG and baseline JPEG decode in this environment "
+        "(from-scratch decoders); pass fake=True for the deterministic "
+        "test decoder or plug a codec in here")
 
 
 def extract_features(media: DataFrame, fake_decode: bool = True,
