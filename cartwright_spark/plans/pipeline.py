@@ -44,13 +44,26 @@ TIME_PARTITION = {
 
 def _stage(catalog: Catalog, table: str, stage_key: str, parent,
            build, metrics_extra=None, force=False, partition_by=None,
-           files_per_partition=1):
-    """Run one checkpointed stage: reuse the committed snapshot if present."""
+           files_per_partition=1, inject_fail=None, fail_after_parts=8):
+    """Run one checkpointed stage: reuse the committed snapshot if present.
+
+    inject_fail=<table>: failure-injection knob for crash-resume proofs —
+    tasks beyond `fail_after_parts` partitions raise mid-write (JVM
+    assert_true, no python), so earlier tasks complete, the stage's
+    snapshot manifest is never committed, and the job dies exactly the
+    way a lost executor/driver kills a 100 TB run partway through a
+    stage. A restart without the knob must reuse every upstream
+    committed snapshot and re-run only this stage
+    (tests/test_pipeline.py + scripts/failure_resume_bench.py)."""
     snap = None if force else catalog.find_snapshot(table, stage_key)
     if snap is not None:
         return snap, True
     t0 = time.perf_counter()
     df = build()
+    if inject_fail == table:
+        df = df.where(F.assert_true(
+            F.spark_partition_id() < F.lit(fail_after_parts),
+            F.lit(f"injected mid-stage failure in '{table}'")).isNull())
     snap = catalog.write_table(df, table, stage=table, stage_key=stage_key,
                                parent=parent, metrics=metrics_extra or {},
                                partition_by=partition_by,
@@ -66,7 +79,8 @@ def _stage(catalog: Catalog, table: str, stage_key: str, parent,
 def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
                  s2_level: int = 10, h3_res: int = 6, zoom: int = 8,
                  force: bool = False, time_partition: str = "year",
-                 s2_part_level: int = 2) -> dict:
+                 s2_part_level: int = 2, inject_fail: str | None = None,
+                 fail_after_parts: int = 8) -> dict:
     cat = Catalog(workdir)
     summary: dict = {"stages": {}}
     t_start = time.perf_counter()
@@ -78,7 +92,8 @@ def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
         cat, "pages", f"pages:n={n_pages}:tp={time_partition}:v2", None,
         lambda: generate_pages(spark, n_pages).withColumn(
             "warc_part", warc_part()),
-        partition_by=["warc_part"], files_per_partition=4)
+        partition_by=["warc_part"], files_per_partition=4,
+        inject_fail=inject_fail, fail_after_parts=fail_after_parts)
     summary["stages"]["pages"] = {"rows": pages_snap["row_count"], "reused": reused}
 
     # 2) extract text (byte-identical per url) — projection pruned to the
@@ -93,7 +108,8 @@ def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
         cat, "extracted",
         f"extract:v2:tp={time_partition}:parent={pages_snap['snapshot_id']}",
         pages_snap, build_extract, partition_by=["warc_part"],
-        files_per_partition=4)
+        files_per_partition=4, inject_fail=inject_fail,
+        fail_after_parts=fail_after_parts)
     summary["stages"]["extracted"] = {"rows": ext_snap["row_count"], "reused": reused}
 
     # 3) detect entities in extracted text (JVM regex + broadcast joins)
@@ -103,7 +119,8 @@ def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
         return detect_all(ext, spark, text_col="extracted_text")
     det_snap, reused = _stage(
         cat, "detections", f"detect:v3:parent={ext_snap['snapshot_id']}",
-        ext_snap, build_detect)
+        ext_snap, build_detect, inject_fail=inject_fail,
+        fail_after_parts=fail_after_parts)
     summary["stages"]["detections"] = {"rows": det_snap["row_count"], "reused": reused}
 
     # 4) encode S2 cell + H3 hex + web-mercator tile for spatial
@@ -162,7 +179,8 @@ def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
         cat, "cells",
         f"cells:v5:s2={s2_level}:h3={h3_res}:z={zoom}:sp={s2_part_level}"
         f":parent={det_snap['snapshot_id']}",
-        det_snap, build_cells, partition_by=["s2_part"])
+        det_snap, build_cells, partition_by=["s2_part"],
+        inject_fail=inject_fail, fail_after_parts=fail_after_parts)
     summary["stages"]["cells"] = {"rows": cell_snap["row_count"], "reused": reused}
 
     # 5) tile histogram. These five aggs are all ALGEBRAIC (count/min/
@@ -185,7 +203,8 @@ def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
                 .withColumn("tile_y", F.expr("tile_id & 536870911")))
     tile_snap, reused = _stage(
         cat, "tile_counts", f"tiles:v3:z={zoom}:parent={cell_snap['snapshot_id']}",
-        cell_snap, build_tiles)
+        cell_snap, build_tiles, inject_fail=inject_fail,
+        fail_after_parts=fail_after_parts)
     summary["stages"]["tile_counts"] = {"rows": tile_snap["row_count"], "reused": reused}
 
     summary["wall_sec"] = time.perf_counter() - t_start

@@ -130,3 +130,42 @@ def test_resume_ignores_torn_commit(spark, tmp_path):
     assert not s2["stages"]["detections"]["reused"]
     assert s2["stages"]["detections"]["rows"] == s1["stages"]["detections"]["rows"]
     assert s2["stages"]["tile_counts"]["rows"] == s1["stages"]["tile_counts"]["rows"]
+
+
+def test_mid_stage_failure_injection_resume(spark, tmp_path):
+    """VERDICT r3 item 6: kill the pipeline MID-`cells`-STAGE via the
+    force-fail knob (tasks past partition 0 raise while partition 0's
+    task completes — a real partial write, not a post-hoc torn file),
+    then prove the restart reuses the pages/extracted/detections
+    snapshots, re-runs ONLY the torn stage, and produces the same tiles
+    as a never-crashed run."""
+    import py4j.protocol
+    import pytest as _pytest
+
+    wd = str(tmp_path / "crash")
+    with _pytest.raises(Exception) as ei:
+        run_pipeline(spark, wd, n_pages=400, inject_fail="cells",
+                     fail_after_parts=1)
+    assert "injected mid-stage failure" in str(ei.value) or \
+        isinstance(ei.value, py4j.protocol.Py4JJavaError)
+
+    cat = Catalog(wd)
+    # upstream snapshots committed before the crash; cells never committed
+    assert cat.snapshots("detections")
+    assert not cat.snapshots("cells")
+
+    s2 = run_pipeline(spark, wd, n_pages=400)
+    assert s2["stages"]["pages"]["reused"]
+    assert s2["stages"]["extracted"]["reused"]
+    assert s2["stages"]["detections"]["reused"]
+    assert not s2["stages"]["cells"]["reused"]
+
+    # equivalence with a never-crashed pipeline
+    wd_clean = str(tmp_path / "clean")
+    run_pipeline(spark, wd_clean, n_pages=400)
+    got = {(r["tile_id"], r["n_points"])
+           for r in Catalog(wd).load_table(spark, "tile_counts").collect()}
+    want = {(r["tile_id"], r["n_points"])
+            for r in Catalog(wd_clean).load_table(spark, "tile_counts")
+            .collect()}
+    assert got == want
