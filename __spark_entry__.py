@@ -224,6 +224,16 @@ def q_lang_stopword_hits(spark, sf_dir):
     return docs.select("doc_id", en.alias("en_hits"))
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher-style repetition filter (operators/textstats.py
+    repetition_scores): per-doc duplicate-word / top-2-gram-coverage /
+    duplicate-5-gram-chars signals plus the integer-exact keep flag.
+    All counts are integers so the DuckDB oracle hashes identically."""
+    from cartwright_spark.operators.textstats import repetition_scores
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_scores(docs, "text", "doc_id")
+
+
 def q_knn_grid(spark, sf_dir):
     """J7: kNN join — 10 query points × part-derived sites, top-5 by squared
     equirect distance (integer-exact), rank via window."""
@@ -917,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_text_token_count,
         "text_quality_counts": q_text_quality_counts,
         "lang_stopword_hits": q_lang_stopword_hits,
+        "gopher_repetition": q_gopher_repetition,
         "knn_grid": q_knn_grid,
         "j6_pip_boxes": q_j6_pip_boxes,
         "j6_pip_bulk": q_j6_pip_bulk,
@@ -1149,6 +1160,64 @@ def oracle_sql() -> dict[str, str]:
                                                x -> x <> '')),
                      ['the','and','of','to','is'])) AS en_hits
             FROM documents
+        """,
+        "gopher_repetition": r"""
+            WITH arrs AS (
+              SELECT doc_id, str_split_regex(lower(text), '\s+') AS arr
+              FROM documents
+            ), w0 AS (
+              SELECT doc_id, unnest(arr) AS w,
+                     generate_subscripts(arr, 1) AS ord0
+              FROM arrs
+            ), w AS (
+              SELECT doc_id, w,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY ord0)
+                       AS pos,
+                     count(*) OVER (PARTITION BY doc_id) AS n
+              FROM w0 WHERE w <> ''
+            ), leads AS (
+              SELECT doc_id, pos, n, w,
+                     lead(w,1) OVER win AS w1, lead(w,2) OVER win AS w2,
+                     lead(w,3) OVER win AS w3, lead(w,4) OVER win AS w4
+              FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            ), grams AS (
+              SELECT doc_id, 1 AS gn, w AS gram FROM leads
+              UNION ALL
+              SELECT doc_id, 2, w || ' ' || w1 FROM leads WHERE pos + 1 <= n
+              UNION ALL
+              SELECT doc_id, 5,
+                     w || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
+              FROM leads WHERE pos + 4 <= n
+            ), per_gram AS (
+              SELECT doc_id, gn, gram, count(*) AS c,
+                     count(*) * length(gram) AS chars
+              FROM grams GROUP BY 1, 2, 3
+            ), agg AS (
+              SELECT doc_id,
+                     sum(c) FILTER (gn = 1) AS n_words,
+                     sum(c - 1) FILTER (gn = 1) AS dup_words,
+                     max(chars) FILTER (gn = 2) AS top2_cov_chars,
+                     sum(chars) FILTER (gn = 2) AS tot2_chars,
+                     sum(chars) FILTER (gn = 5 AND c > 1) AS dup5_chars,
+                     sum(chars) FILTER (gn = 5) AS tot5_chars
+              FROM per_gram GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+                   CAST(COALESCE(dup_words, 0) AS BIGINT) AS dup_words,
+                   CAST(COALESCE(top2_cov_chars, 0) AS BIGINT)
+                     AS top2_cov_chars,
+                   CAST(COALESCE(tot2_chars, 0) AS BIGINT) AS tot2_chars,
+                   CAST(COALESCE(dup5_chars, 0) AS BIGINT) AS dup5_chars,
+                   CAST(COALESCE(tot5_chars, 0) AS BIGINT) AS tot5_chars,
+                   CAST(COALESCE(dup_words, 0) * 10
+                          <= COALESCE(n_words, 0) * 3
+                        AND COALESCE(top2_cov_chars, 0) * 5
+                          <= COALESCE(tot2_chars, 0)
+                        AND COALESCE(dup5_chars, 0) * 20
+                          <= COALESCE(tot5_chars, 0) * 3
+                        AS INT) AS keep_repetition
+            FROM documents d LEFT JOIN agg USING (doc_id)
         """,
         "j6_pip_boxes": f"""
             WITH boxes(admin_id, la0, la1, lo0, lo1) AS (VALUES

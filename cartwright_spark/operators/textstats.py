@@ -97,6 +97,73 @@ def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
             .drop("__w", *[f"__h_{lang}" for lang, _ in langs]))
 
 
+def repetition_scores(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1) — the
+    standard crawl-corpus filter for boilerplate/spam whose text is
+    mostly one phrase repeated. Per doc:
+
+      n_words / dup_words       word occurrences, and occurrences beyond
+                                each word's first (dup fraction numerator)
+      top2_cov_chars/tot2_chars char coverage of the heaviest word 2-gram
+                                (max over grams of count*len — the
+                                deterministic coverage form of Gopher's
+                                "most frequent 2-gram" char fraction)
+      dup5_chars / tot5_chars   chars inside 5-grams occurring >1 time
+      keep_repetition           1 iff dup_word ≤ 0.30, top-2-gram ≤ 0.20
+                                and dup-5-gram ≤ 0.15 (Gopher-ish
+                                thresholds), evaluated as exact integer
+                                cross-multiplications — no float ratios,
+                                so Spark and a SQL oracle hash-identical.
+
+    Plan shape: ONE explode pass (posexplode of the filtered word array),
+    one window projection building the 2- and 5-grams via lead(), a
+    stack() to (n, gram) rows, then a single groupBy(id, n, gram) shuffle
+    + per-doc conditional agg. All whole-stage codegen; at 100 TB the
+    only shuffle is keyed on (doc, gram) — high-cardinality, unskewed by
+    construction (a hot *document* is one group per distinct gram)."""
+    from pyspark.sql import Window as W
+
+    words = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"),
+                     lambda w: w != "")
+    rows = (df.withColumn("__ws", words)
+            .select(id_col, F.size("__ws").alias("__n"),
+                    F.posexplode("__ws").alias("pos", "w")))
+    wspec = W.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("w")] + [F.lead("w", i).over(wspec) for i in range(1, 5)]
+    g2 = F.when(F.col("pos") + 2 <= F.col("__n"),
+                F.concat_ws(" ", *leads[:2]))
+    g5 = F.when(F.col("pos") + 5 <= F.col("__n"),
+                F.concat_ws(" ", *leads))
+    stacked = (rows
+               .withColumn("__g2", g2).withColumn("__g5", g5)
+               .select(id_col, F.expr(
+                   "stack(3, 1, w, 2, __g2, 5, __g5) as (gn, gram)"))
+               .where(F.col("gram").isNotNull()))
+    per_gram = (stacked.groupBy(id_col, "gn", "gram")
+                .agg(F.count("*").alias("c"))
+                .withColumn("chars", F.col("c") * F.length("gram")))
+    agg = per_gram.groupBy(id_col).agg(
+        F.sum(F.when(F.col("gn") == 1, F.col("c"))).alias("n_words"),
+        F.sum(F.when(F.col("gn") == 1, F.col("c") - 1)).alias("dup_words"),
+        F.max(F.when(F.col("gn") == 2, F.col("chars"))).alias("top2_cov_chars"),
+        F.sum(F.when(F.col("gn") == 2, F.col("chars"))).alias("tot2_chars"),
+        F.sum(F.when((F.col("gn") == 5) & (F.col("c") > 1),
+                     F.col("chars"))).alias("dup5_chars"),
+        F.sum(F.when(F.col("gn") == 5, F.col("chars"))).alias("tot5_chars"),
+    )
+    # left join back: a doc with zero words emits no gram rows at all
+    out = (df.select(id_col).join(agg, id_col, "left")
+           .select(id_col,
+                   *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                     for c in ("n_words", "dup_words", "top2_cov_chars",
+                               "tot2_chars", "dup5_chars", "tot5_chars")]))
+    keep = ((F.col("dup_words") * 10 <= F.col("n_words") * 3)
+            & (F.col("top2_cov_chars") * 5 <= F.col("tot2_chars"))
+            & (F.col("dup5_chars") * 20 <= F.col("tot5_chars") * 3))
+    return out.withColumn("keep_repetition", keep.cast("int"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 window: int = 8, id_col: str = "doc_id") -> DataFrame:
     """Rolling-hash document fingerprint → (id, fp_min_gram, fp_doc):

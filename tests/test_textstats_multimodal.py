@@ -245,3 +245,54 @@ def test_extract_features_real_png_end_to_end(spark):
         assert np.allclose(got[i]["feature"], want)
         assert got[i]["payload_sha256"] == hashlib.sha256(
             bytes(encode_png(img))).hexdigest()
+
+
+def test_repetition_scores_exact(spark):
+    """Hand-computed Gopher repetition signals on two tiny docs.
+
+    doc 1 'a b a b a b': 6 word occurrences of 2 distinct words
+      -> dup_words = 4; 2-grams: 'a b' x3 + 'b a' x2 (len 3 each)
+      -> top2_cov = 9, tot2 = 15; 5-grams: 2 distinct singles (len 9)
+      -> dup5 = 0, tot5 = 18; dup_word rule fails (40 > 18) -> keep 0.
+    doc 2 'one two three four five six': all distinct
+      -> dup_words = 0, tot2 = 7+9+10+9+8 = 43, top2_cov = 10 ('three
+      four'), tot5 = 23+23 = 46, dup5 = 0; the top-2-gram rule fails
+      (50 > 43 - expected for very short docs) -> keep 0.
+    doc 3: empty text -> all zeros, keep 1 (vacuous).
+    """
+    from cartwright_spark.operators.textstats import repetition_scores
+
+    df = spark.createDataFrame(pd.DataFrame(
+        [(1, "a b a b a b"), (2, "one two three four five six"), (3, "")],
+        columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r.asDict()
+           for r in repetition_scores(df).collect()}
+    assert got[1] == {"doc_id": 1, "n_words": 6, "dup_words": 4,
+                      "top2_cov_chars": 9, "tot2_chars": 15,
+                      "dup5_chars": 0, "tot5_chars": 18,
+                      "keep_repetition": 0}
+    assert got[2] == {"doc_id": 2, "n_words": 6, "dup_words": 0,
+                      "top2_cov_chars": 10, "tot2_chars": 43,
+                      "dup5_chars": 0, "tot5_chars": 46,
+                      "keep_repetition": 0}
+    assert got[3] == {"doc_id": 3, "n_words": 0, "dup_words": 0,
+                      "top2_cov_chars": 0, "tot2_chars": 0,
+                      "dup5_chars": 0, "tot5_chars": 0,
+                      "keep_repetition": 1}
+
+
+def test_repetition_keep_on_clean_long_doc(spark):
+    """A long low-repetition doc passes all three Gopher rules; the same
+    doc with one phrase repeated 30x fails the top-2-gram and dup-5-gram
+    rules."""
+    from cartwright_spark.operators.textstats import repetition_scores
+
+    clean = " ".join(f"w{i:03d} v{i:03d}" for i in range(60))
+    spam = clean + " buy cheap pills now" * 30
+    df = spark.createDataFrame(pd.DataFrame(
+        [(1, clean), (2, spam)], columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r.asDict() for r in repetition_scores(df).collect()}
+    assert got[1]["keep_repetition"] == 1
+    assert got[1]["dup_words"] == 0 and got[1]["dup5_chars"] == 0
+    assert got[2]["keep_repetition"] == 0
+    assert got[2]["dup5_chars"] > 0
