@@ -234,6 +234,52 @@ def q_gopher_repetition(spark, sf_dir):
     return repetition_scores(docs, "text", "doc_id")
 
 
+def q_asof_events(spark, sf_dir):
+    """Backward as-of join (operators/temporal_join.py): each purchase
+    event picks up the latest signup event by the same user at-or-before
+    its timestamp. Union+window plan — ONE shuffle on user_id vs the
+    inequality-join nested loop. DuckDB oracle uses its native
+    ASOF LEFT JOIN."""
+    from cartwright_spark.operators.temporal_join import asof_join
+    ev = _t(spark, sf_dir, "events")
+    left = (ev.where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts"))
+    right = (ev.where(F.col("event_type") == "signup")
+             .select("user_id", "ts", "event_id", "value"))
+    out = asof_join(left, right, ["user_id"], "ts",
+                    right_payload=["event_id", "value"])
+    return out.select(
+        "event_id", "user_id",
+        F.col("r_event_id").alias("signup_event_id"),
+        F.col("r_value").alias("signup_value"),
+        # NTZ → TZ cast is exact under the session's UTC timezone
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("r_ts").cast("timestamp")))
+        .alias("wait_us"))
+
+
+def q_range_join_orders(spark, sf_dir):
+    """Binned range join (operators/temporal_join.py): lineitem ship
+    days joined into per-order promo windows [orderdate,
+    orderdate + o_orderkey%30 days] for 1-in-97 orders. Interval
+    bin explosion + equi-join + exact refine — each pair produced
+    exactly once; oracle is the naive inequality join."""
+    from cartwright_spark.operators.temporal_join import binned_range_join
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 97 == 0)
+    iv = orders.select(
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("lo_day"),
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         + F.col("o_orderkey") % 30).alias("hi_day"))
+    pts = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.datediff("l_shipdate", F.lit("1970-01-01")).alias("ship_day"))
+    out = binned_range_join(pts, iv, "ship_day", "lo_day", "hi_day",
+                            bin_size=16)
+    return out.select("o_orderkey", "l_orderkey", "l_linenumber",
+                      "ship_day", "lo_day", "hi_day")
+
+
 def q_knn_grid(spark, sf_dir):
     """J7: kNN join — 10 query points × part-derived sites, top-5 by squared
     equirect distance (integer-exact), rank via window."""
@@ -928,6 +974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_counts": q_text_quality_counts,
         "lang_stopword_hits": q_lang_stopword_hits,
         "gopher_repetition": q_gopher_repetition,
+        "asof_events": q_asof_events,
+        "range_join_orders": q_range_join_orders,
         "knn_grid": q_knn_grid,
         "j6_pip_boxes": q_j6_pip_boxes,
         "j6_pip_bulk": q_j6_pip_bulk,
@@ -1160,6 +1208,42 @@ def oracle_sql() -> dict[str, str]:
                                                x -> x <> '')),
                      ['the','and','of','to','is'])) AS en_hits
             FROM documents
+        """,
+        "asof_events": """
+            WITH l AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ), r0 AS (
+              SELECT user_id, ts, event_id, value,
+                     row_number() OVER (PARTITION BY user_id, ts
+                                        ORDER BY event_id DESC) AS rn
+              FROM events WHERE event_type = 'signup'
+            ), r AS (SELECT user_id, ts, event_id, value FROM r0 WHERE rn = 1)
+            SELECT l.event_id, l.user_id,
+                   r.event_id AS signup_event_id,
+                   r.value AS signup_value,
+                   CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS wait_us
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join_orders": """
+            WITH iv AS (
+              SELECT o_orderkey,
+                     date_diff('day', DATE '1970-01-01', o_orderdate)
+                       AS lo_day,
+                     date_diff('day', DATE '1970-01-01', o_orderdate)
+                       + o_orderkey % 30 AS hi_day
+              FROM orders WHERE o_orderkey % 97 = 0
+            ), pts AS (
+              SELECT l_orderkey, l_linenumber,
+                     date_diff('day', DATE '1970-01-01', l_shipdate)
+                       AS ship_day
+              FROM lineitem
+            )
+            SELECT o_orderkey, l_orderkey, l_linenumber,
+                   ship_day, lo_day, hi_day
+            FROM pts JOIN iv
+              ON ship_day >= lo_day AND ship_day <= hi_day
         """,
         "gopher_repetition": r"""
             WITH arrs AS (

@@ -45,7 +45,7 @@ CONTRACT_BENCH_QUERIES = (
     # call, so it times the full two-batch incremental run)
     "incremental_microbatch", "multimodal_png_decode",
     "multimodal_jpeg_decode", "minhash_dedup_assign",
-    "gopher_repetition",
+    "gopher_repetition", "asof_events", "range_join_orders",
 )
 
 

@@ -1,0 +1,155 @@
+"""As-of + binned range join: semantics and plan shape."""
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from cartwright_spark.operators.temporal_join import (
+    asof_join,
+    binned_range_join,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward_semantics(spark):
+    left = spark.createDataFrame(pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [7, 7, 7, 8],
+        "ts": [_ts("2024-01-01T10:00:00"), _ts("2024-01-01T12:00:00"),
+               _ts("2024-01-01T09:00:00"), _ts("2024-01-01T10:00:00")],
+    }))
+    right = spark.createDataFrame(pd.DataFrame({
+        "user_id": [7, 7, 9],
+        "ts": [_ts("2024-01-01T09:30:00"), _ts("2024-01-01T11:00:00"),
+               _ts("2024-01-01T08:00:00")],
+        "event_id": [101, 102, 103],
+        "value": [1.0, 2.0, 3.0],
+    }))
+    out = {r["event_id"]: r.asDict()
+           for r in asof_join(left, right, ["user_id"], "ts",
+                              ["event_id", "value"]).collect()}
+    assert out[1]["r_event_id"] == 101          # latest at-or-before 10:00
+    assert out[2]["r_event_id"] == 102          # 11:00 beats 09:30
+    assert out[3]["r_event_id"] is None         # nothing before 09:00
+    assert out[4]["r_event_id"] is None         # user 8 has no right rows
+    assert out[2]["r_value"] == 2.0
+
+
+def test_asof_inclusive_tie_and_dedup(spark):
+    """A right row exactly at the left time matches; duplicate right
+    (key, ts) rows deterministically collapse to the max first-payload."""
+    t = _ts("2024-06-01T00:00:00")
+    left = spark.createDataFrame(pd.DataFrame(
+        {"event_id": [1], "user_id": [5], "ts": [t]}))
+    right = spark.createDataFrame(pd.DataFrame({
+        "user_id": [5, 5], "ts": [t, t],
+        "event_id": [201, 202], "value": [1.0, 2.0]}))
+    row = asof_join(left, right, ["user_id"], "ts",
+                    ["event_id", "value"]).collect()[0]
+    assert row["r_event_id"] == 202 and row["r_value"] == 2.0
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame(pd.DataFrame({
+        "event_id": [1, 2], "user_id": [3, 3],
+        "ts": [_ts("2024-01-01T10:00:00"), _ts("2024-01-01T20:00:00")]}))
+    right = spark.createDataFrame(pd.DataFrame({
+        "user_id": [3], "ts": [_ts("2024-01-01T09:00:00")],
+        "event_id": [301], "value": [9.0]}))
+    out = {r["event_id"]: r.asDict()
+           for r in asof_join(left, right, ["user_id"], "ts",
+                              ["event_id", "value"],
+                              tolerance_us=2 * 3600 * 1_000_000).collect()}
+    assert out[1]["r_event_id"] == 301          # 1h old: inside tolerance
+    assert out[2]["r_event_id"] is None         # 11h old: nulled out
+    assert out[2]["r_ts"] is None
+
+
+def test_asof_plan_has_no_nested_loop(spark):
+    """The whole point: one shuffle on the key, no BroadcastNestedLoop /
+    CartesianProduct that the naive inequality join would produce."""
+    left = spark.range(100).select(
+        F.col("id").alias("event_id"), (F.col("id") % 10).alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"))
+    right = spark.range(50).select(
+        (F.col("id") % 10).alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 90).alias("ts"),
+        F.col("id").alias("event_id"), F.lit(1.0).alias("value"))
+    plan = asof_join(left, right, ["user_id"], "ts",
+                     ["event_id"])._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Window" in plan
+
+
+def test_binned_range_join_exactly_once(spark):
+    """Bounds inclusive on both ends; an interval spanning many bins still
+    yields each matching pair exactly once (point has one bin)."""
+    pts = spark.createDataFrame(pd.DataFrame(
+        {"pid": [1, 2, 3, 4], "x": [5, 16, 31, 100]}))
+    iv = spark.createDataFrame(pd.DataFrame(
+        {"iid": ["a", "b"], "lo": [5, 30], "hi": [31, 31]}))
+    rows = sorted((r["pid"], r["iid"]) for r in binned_range_join(
+        pts, iv, "x", "lo", "hi", bin_size=4).collect())
+    # a: [5,31] spans bins 1..7 and catches 5,16,31; b: [30,31] catches 31
+    assert rows == [(1, "a"), (2, "a"), (3, "a"), (3, "b")]
+
+
+def test_binned_range_join_matches_naive(spark):
+    """Randomized cross-check vs the naive inequality join."""
+    pts = spark.range(300).select(
+        F.col("id").alias("pid"), ((F.col("id") * 37) % 500).alias("x"))
+    iv = spark.range(40).select(
+        F.col("id").alias("iid"), ((F.col("id") * 61) % 450).alias("lo"),
+        (((F.col("id") * 61) % 450) + (F.col("id") % 55)).alias("hi"))
+    got = sorted((r["pid"], r["iid"]) for r in binned_range_join(
+        pts, iv, "x", "lo", "hi", bin_size=13).collect())
+    want = sorted((r["pid"], r["iid"]) for r in pts.join(
+        iv, (F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+        .collect())
+    assert got == want and len(got) > 50
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized cross-check vs pandas.merge_asof (backward, inclusive
+    - the exact published semantics this operator re-expresses as a
+    distributed union+window plan). Right (key, ts) pairs are unique so
+    both sides' tie rules are moot."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    base = dt.datetime(2024, 1, 1)
+    lrows = pd.DataFrame({
+        "event_id": np.arange(200),
+        "user_id": rng.integers(0, 8, 200),
+        "ts": [base + dt.timedelta(seconds=int(s))
+               for s in rng.integers(0, 10_000, 200)],
+    })
+    rrows = pd.DataFrame({
+        "user_id": rng.integers(0, 8, 120),
+        "ts": [base + dt.timedelta(seconds=int(s))
+               for s in rng.integers(0, 10_000, 120)],
+        "event_id": np.arange(1000, 1120),
+        "value": rng.random(120),
+    }).drop_duplicates(["user_id", "ts"])
+
+    got = (asof_join(spark.createDataFrame(lrows),
+                     spark.createDataFrame(rrows),
+                     ["user_id"], "ts", ["event_id"])
+           .select("event_id", "r_event_id").toPandas()
+           .set_index("event_id")["r_event_id"].to_dict())
+    want_df = pd.merge_asof(
+        lrows.sort_values("ts"), rrows.sort_values("ts"),
+        on="ts", by="user_id", suffixes=("", "_r"))
+    want = want_df.set_index("event_id")["event_id_r"].to_dict()
+    assert len(got) == 200
+    for eid, rid in want.items():
+        g = got[eid]  # toPandas renders the nullable long as NaN
+        if pd.isna(rid):
+            assert g is None or pd.isna(g), (eid, g, rid)
+        else:
+            assert g == rid, (eid, g, rid)
