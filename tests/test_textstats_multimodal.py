@@ -296,3 +296,23 @@ def test_repetition_keep_on_clean_long_doc(spark):
     assert got[1]["dup_words"] == 0 and got[1]["dup5_chars"] == 0
     assert got[2]["keep_repetition"] == 0
     assert got[2]["dup5_chars"] > 0
+
+
+def test_curation_repetition_gate(spark):
+    """plans/curation.py opt-in stage 5: a doc that clears dedup +
+    quality + language but is one phrase repeated falls to the Gopher
+    repetition gate; with the flag off the output is unchanged."""
+    from cartwright_spark.plans.curation import curate_documents
+
+    clean = ("the cat and the dog of the house go to market it is "
+             + " ".join(f"word{i:03d} extra{i:03d}" for i in range(40)))
+    spam = ("the cat and the dog of the house go to market it is "
+            + "buy cheap pills now " * 40)
+    df = spark.createDataFrame(pd.DataFrame(
+        [(1, clean), (2, spam)], columns=["doc_id", "text"]))
+
+    base = {r["doc_id"] for r in curate_documents(df).collect()}
+    assert base == {1, 2}        # spam survives the r2-era filters
+    gated = {r["doc_id"]
+             for r in curate_documents(df, repetition_filter=True).collect()}
+    assert gated == {1}          # ...and dies to the repetition gate
