@@ -280,6 +280,33 @@ def q_range_join_orders(spark, sf_dir):
                       "ship_day", "lo_day", "hi_day")
 
 
+#: stratified mixing rates for the sampling contract query — exact
+#: integer thresholds of 2^32 are derived on both sides from these
+SAMPLE_RATES = {"src0": 0.75, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-stratified sampling
+    (operators/sampling.py): per-source mixing rates applied via an md5
+    prefix vs integer threshold — stateless, retry-stable, nested
+    across rate increases. Pure codegen, zero shuffle."""
+    from cartwright_spark.operators.sampling import hash_stratified_sample
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_stratified_sample(docs, "source", SAMPLE_RATES, "doc_id",
+                                 salt="mix-v1", default_rate=0.05)
+    return out.select("doc_id", "source")
+
+
+def q_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing (operators/sampling.py):
+    global token-stream layout in doc_id order cut into 4096-token
+    packs, via a distributed two-pass prefix scan (the oracle is the
+    equivalent — but single-task — global window cumsum)."""
+    from cartwright_spark.operators.sampling import pack_sequences
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, "n_chars", 4096, "doc_id")
+
+
 def q_knn_grid(spark, sf_dir):
     """J7: kNN join — 10 query points × part-derived sites, top-5 by squared
     equirect distance (integer-exact), rank via window."""
@@ -974,6 +1001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_counts": q_text_quality_counts,
         "lang_stopword_hits": q_lang_stopword_hits,
         "gopher_repetition": q_gopher_repetition,
+        "stratified_sample": q_stratified_sample,
+        "sequence_packing": q_sequence_packing,
         "asof_events": q_asof_events,
         "range_join_orders": q_range_join_orders,
         "knn_grid": q_knn_grid,
@@ -1208,6 +1237,30 @@ def oracle_sql() -> dict[str, str]:
                                                x -> x <> '')),
                      ['the','and','of','to','is'])) AS en_hits
             FROM documents
+        """,
+        "stratified_sample": (lambda: f"""
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix-v1'),
+                                  1, 8))::BIGINT
+                  < CASE {' '.join(
+                      f"WHEN source = '{k}' THEN {int(r * (1 << 32))}"
+                      for k, r in sorted(SAMPLE_RATES.items()))}
+                    ELSE {int(0.05 * (1 << 32))} END
+        """)(),
+        "sequence_packing": """
+            SELECT doc_id,
+                   CAST(n_chars AS BIGINT) AS n_tokens,
+                   CAST(floor(cb / 4096) AS BIGINT) AS pack_id,
+                   CAST(cb % 4096 AS BIGINT) AS pack_offset,
+                   CAST(floor((cb + greatest(n_chars - 1, 0)) / 4096)
+                        AS BIGINT) AS end_pack
+            FROM (
+              SELECT doc_id, n_chars,
+                     COALESCE(sum(n_chars) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cb
+              FROM documents)
         """,
         "asof_events": """
             WITH l AS (

@@ -46,6 +46,7 @@ CONTRACT_BENCH_QUERIES = (
     "incremental_microbatch", "multimodal_png_decode",
     "multimodal_jpeg_decode", "minhash_dedup_assign",
     "gopher_repetition", "asof_events", "range_join_orders",
+    "stratified_sample", "sequence_packing",
 )
 
 

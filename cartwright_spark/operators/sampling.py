@@ -1,0 +1,102 @@
+"""Training-data mixing primitives: deterministic stratified sampling and
+sequence packing.
+
+* :func:`hash_stratified_sample` — per-stratum (e.g. per-source/domain)
+  sampling rates applied via a content hash instead of an RNG. At 100 TB
+  the properties that matter are (a) NO state: any executor decides a
+  row's fate from the row alone, so the sample is identical across
+  retries, re-partitioning, and incremental re-runs (a Bernoulli RNG
+  sample is none of those), and (b) pure codegen: an md5 prefix compared
+  to a precomputed integer threshold, no shuffle at all.
+
+* :func:`pack_sequences` — the concat-and-chunk packing step an LLM
+  trainer runs downstream of curation: documents are laid out on one
+  global token stream in doc-id order, which is then cut into fixed
+  ``seq_len`` windows; each doc is assigned its starting pack and offset
+  (docs may straddle pack boundaries — exactly how real pipelines pack).
+  The core primitive is a GLOBAL prefix sum, which a naive
+  ``Window.orderBy`` computes in ONE task; here it is the classic
+  distributed two-pass scan, fully declarative: range-partition by id,
+  per-partition cumsum (parallel windows), then a partition-totals
+  prefix — a P-row window where P = #partitions (metadata-scale) —
+  broadcast-joined back. No driver collect, no single-task data window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+_HASH_SPACE = 1 << 32
+
+
+def det_hash_u32(col: Column, salt: str = "") -> Column:
+    """Deterministic uniform 32-bit hash of a column (md5 prefix), exactly
+    reproducible in any engine with md5 (DuckDB: ('0x' || substr(md5(x),
+    1, 8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(F.concat(col.cast("string"),
+                                             F.lit(salt))), 1, 8),
+                  16, 10).cast("long")
+
+
+def hash_stratified_sample(df: DataFrame, strata_col: str,
+                           rates: dict[str, float], id_col: str,
+                           salt: str = "",
+                           default_rate: float = 0.0) -> DataFrame:
+    """Keep each row iff hash(id) < rate(stratum) · 2³². Rates are
+    converted to integer thresholds once on the driver, so the kept set
+    is an exact, portable function of (id, salt, rates) — and a rate
+    increase strictly grows the previous sample (nested samples for
+    mixture re-weighting experiments)."""
+    thresholds = {k: int(r * _HASH_SPACE) for k, r in rates.items()}
+    thr = None
+    for k in sorted(thresholds):  # deterministic chain order
+        cond = F.col(strata_col) == k
+        v = F.lit(thresholds[k])
+        thr = F.when(cond, v) if thr is None else thr.when(cond, v)
+    thr = (thr.otherwise(F.lit(int(default_rate * _HASH_SPACE)))
+           if thr is not None
+           else F.lit(int(default_rate * _HASH_SPACE)))
+    return df.where(det_hash_u32(F.col(id_col), salt) < thr)
+
+
+def pack_sequences(docs: DataFrame, token_col: str, seq_len: int,
+                   id_col: str = "doc_id",
+                   partitions: int | None = None) -> DataFrame:
+    """doc → (pack_id, pack_offset, end_pack) on the global token stream
+    ordered by ``id_col``.
+
+    ``pack_id``/``pack_offset``: pack and offset where the doc starts
+    (cum_before ÷/mod seq_len); ``end_pack``: pack where its last token
+    lands (empty docs: the start pack). Equivalent single-pass SQL (the
+    oracle): ``sum(tokens) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` — which is exactly the one-task plan
+    this two-pass scan exists to avoid."""
+    parts = partitions or docs.sparkSession.sparkContext.defaultParallelism
+    d = (docs.select(id_col, F.col(token_col).cast("long").alias("__tok"))
+         .repartitionByRange(parts, F.col(id_col))
+         .withColumn("__pid", F.spark_partition_id()))
+    # pass 1: cumsum within each range partition (parallel)
+    wp = (W.partitionBy("__pid").orderBy(id_col)
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    local = d.withColumn("__cum_in", F.sum("__tok").over(wp))
+    # pass 2: exclusive prefix of per-partition totals. P rows total —
+    # the single-task window is metadata-scale by construction.
+    totals = d.groupBy("__pid").agg(F.sum("__tok").alias("__ptot"))
+    wt = (W.orderBy("__pid")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    prefix = totals.withColumn(
+        "__before", F.sum("__ptot").over(wt) - F.col("__ptot")) \
+        .select("__pid", "__before")
+    out = (local.join(F.broadcast(prefix), "__pid")
+           .withColumn("__cum_before",
+                       F.col("__before") + F.col("__cum_in") - F.col("__tok")))
+    return (out.select(
+        id_col,
+        F.col("__tok").alias("n_tokens"),
+        F.floor(F.col("__cum_before") / seq_len).alias("pack_id"),
+        (F.col("__cum_before") % seq_len).alias("pack_offset"),
+        F.floor((F.col("__cum_before")
+                 + F.greatest(F.col("__tok") - 1, F.lit(0))) / seq_len)
+        .alias("end_pack")))

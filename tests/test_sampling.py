@@ -1,0 +1,89 @@
+"""Deterministic stratified sampling + sequence packing."""
+
+import pandas as pd
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from cartwright_spark.operators.sampling import (
+    hash_stratified_sample,
+    pack_sequences,
+)
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string"))
+        .alias("source"))
+
+
+def test_stratified_rates_and_determinism(spark):
+    df = _docs(spark)
+    rates = {"src0": 0.8, "src1": 0.5, "src2": 0.1, "src3": 0.0}
+    kept = hash_stratified_sample(df, "source", rates, "doc_id", salt="s")
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("src3", 0) == 0
+    for src, rate in (("src0", 0.8), ("src1", 0.5), ("src2", 0.1)):
+        got = counts.get(src, 0) / 500
+        assert abs(got - rate) < 0.08, (src, got)
+    # identical across physical layout: the decision is row-local
+    re = hash_stratified_sample(df.repartition(17), "source", rates,
+                                "doc_id", salt="s")
+    assert sorted(r["doc_id"] for r in re.collect()) == \
+        sorted(r["doc_id"] for r in kept.collect())
+
+
+def test_stratified_samples_nest(spark):
+    """Raising a rate strictly grows the sample (threshold semantics) —
+    the property that makes mixture re-weighting reproducible."""
+    df = _docs(spark)
+    small = {r["doc_id"] for r in hash_stratified_sample(
+        df, "source", {"src0": 0.2}, "doc_id").collect()}
+    big = {r["doc_id"] for r in hash_stratified_sample(
+        df, "source", {"src0": 0.6}, "doc_id").collect()}
+    assert small and small < big
+
+
+def test_pack_sequences_matches_global_cumsum(spark):
+    """The distributed two-pass scan must equal the naive single-task
+    global-window formulation exactly, including docs straddling pack
+    boundaries and zero-token docs."""
+    pdf = pd.DataFrame({
+        "doc_id": range(500),
+        "toks": [(i * 37) % 700 for i in range(500)],
+    })
+    pdf.loc[3, "toks"] = 0          # empty doc
+    pdf.loc[7, "toks"] = 9000       # spans >2 packs
+    df = spark.createDataFrame(pdf).repartition(13)
+
+    got = pack_sequences(df, "toks", 1024, "doc_id", partitions=8)
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    naive = (df.withColumn("cb", F.coalesce(F.sum("toks").over(w), F.lit(0)))
+             .select("doc_id", F.col("toks").cast("long").alias("n_tokens"),
+                     F.floor(F.col("cb") / 1024).alias("pack_id"),
+                     (F.col("cb") % 1024).alias("pack_offset"),
+                     F.floor((F.col("cb")
+                              + F.greatest(F.col("toks") - 1, F.lit(0)))
+                             / 1024).alias("end_pack")))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, naive.collect()))
+    rows = {r["doc_id"]: r for r in got.collect()}
+    assert rows[7]["end_pack"] > rows[7]["pack_id"]        # straddles
+    assert rows[3]["n_tokens"] == 0
+
+
+def test_pack_sequences_data_window_is_partitioned(spark):
+    """Plan gate: the data-scale window must be keyed on the range
+    partition id; only the P-row totals window may be global."""
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 300).alias("toks"))
+    plan = pack_sequences(df, "toks", 512, "doc_id", partitions=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    windows = [l for l in plan.splitlines() if "Window" in l and
+               "windowspecdefinition" in l]
+    partitioned = [l for l in windows if "__pid" in l.split("], [")[0] or
+                   "[__pid" in l]
+    assert windows, plan
+    # the cumsum-over-rows window carries __pid as its partition spec
+    assert any("__pid" in l for l in windows), plan
