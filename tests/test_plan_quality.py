@@ -329,3 +329,34 @@ def test_file_meta_statsless_rowgroup_poisons_column(tmp_path):
     meta = il._file_meta(fp, str(tmp_path))
     assert meta["rows"] == 100
     assert meta["stats"] == {}
+
+
+def test_stratified_sample_prunes_and_stays_codegen(spark):
+    """The sampling contract query should read ONLY (doc_id, source)
+    from the scan, shuffle nothing, and keep the hash+threshold filter
+    inside whole-stage codegen."""
+    import __spark_entry__ as entry
+    df = entry.q_stratified_sample(spark, SF)
+    plan = _formatted(df)
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan
+    assert "Exchange" not in plan
+    assert "codegen id" in plan      # filter runs inside whole-stage codegen
+
+
+def test_sequence_packing_no_single_task_data_window(spark):
+    """The packing plan's data-scale window must be partitioned on the
+    range-partition id; the only global-ordered window runs over the
+    P-row totals aggregate (metadata scale)."""
+    import __spark_entry__ as entry
+    df = entry.q_sequence_packing(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    win_lines = [l for l in plan.splitlines()
+                 if "windowspecdefinition" in l]
+    assert win_lines
+    # data window: spec mentions __pid partition; windows without __pid
+    # must descend from the tiny groupBy(__pid) aggregate, whose output
+    # column __ptot appears in their spec
+    for l in win_lines:
+        assert "__pid" in l, l
+        assert ("__cum_in" not in l) or ("windowspecdefinition(__pid" in l
+                                         or "__pid#" in l), l
