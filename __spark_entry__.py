@@ -297,6 +297,18 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_stratum_cap(spark, sf_dir):
+    """Per-domain cap sampling (operators/sampling.py
+    stratum_cap_sample): keep the 12 smallest-hash docs per source —
+    deterministic domain caps without sorting the hot stratum (count
+    pre-pass → under-cap bypass → margin pre-filter → rank survivors
+    only). Oracle is the naive one-window-per-stratum formulation."""
+    from cartwright_spark.operators.sampling import stratum_cap_sample
+    docs = _t(spark, sf_dir, "documents")
+    out = stratum_cap_sample(docs, "source", 12, "doc_id", salt="cap-v1")
+    return out.select("doc_id", "source")
+
+
 def q_sequence_packing(spark, sf_dir):
     """Concat-and-chunk sequence packing (operators/sampling.py):
     global token-stream layout in doc_id order cut into 4096-token
@@ -1002,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stopword_hits": q_lang_stopword_hits,
         "gopher_repetition": q_gopher_repetition,
         "stratified_sample": q_stratified_sample,
+        "stratum_cap": q_stratum_cap,
         "sequence_packing": q_sequence_packing,
         "asof_events": q_asof_events,
         "range_join_orders": q_range_join_orders,
@@ -1247,6 +1260,17 @@ def oracle_sql() -> dict[str, str]:
                       for k, r in sorted(SAMPLE_RATES.items()))}
                     ELSE {int(0.05 * (1 << 32))} END
         """)(),
+        "stratum_cap": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                    || 'cap-v1'), 1, 8)
+                                 )::BIGINT, doc_id) AS rk
+              FROM documents)
+            WHERE rk <= 12
+        """,
         "sequence_packing": """
             SELECT doc_id,
                    CAST(n_chars AS BIGINT) AS n_tokens,

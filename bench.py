@@ -46,7 +46,7 @@ CONTRACT_BENCH_QUERIES = (
     "incremental_microbatch", "multimodal_png_decode",
     "multimodal_jpeg_decode", "minhash_dedup_assign",
     "gopher_repetition", "asof_events", "range_join_orders",
-    "stratified_sample", "sequence_packing",
+    "stratified_sample", "stratum_cap", "sequence_packing",
 )
 
 

@@ -61,6 +61,69 @@ def hash_stratified_sample(df: DataFrame, strata_col: str,
     return df.where(det_hash_u32(F.col(id_col), salt) < thr)
 
 
+def stratum_cap_sample(df: DataFrame, strata_col: str, cap: int,
+                       id_col: str, salt: str = "",
+                       margin: float = 3.0) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum — the "domain cap" step of a
+    crawl-mixing pipeline — deterministically: the kept rows are the
+    ``cap`` smallest ``det_hash_u32(id)`` values per stratum (ties by
+    id), so the result is a pure function of (ids, salt), stable across
+    layout and retries, and equal to the naive one-window formulation.
+
+    Scale shape: the naive form (``row_number() OVER (PARTITION BY
+    stratum ORDER BY hash)``) sorts every row of the hottest stratum in
+    ONE task — a 30%-of-corpus domain at 100 TB is a 30 TB single-task
+    sort. This version never sorts the full stratum:
+
+      1. per-stratum counts (one partial-agg shuffle, rows = |strata|);
+      2. under-cap strata bypass everything — kept wholesale, no sort;
+      3. over-cap strata are pre-filtered to hash < cap/count · 2³² ·
+         ``margin`` (hash is uniform, so survivors ≈ cap·margin per
+         stratum) and only survivors are ranked. Excluded rows all hash
+         above every kept row, so the survivor ranking is exact.
+
+    ``margin`` bounds the failure probability of the pre-filter (a
+    stratum yielding < cap survivors): by Chernoff, P < exp(-cap·(margin
+    − 1)²/(2·margin)) — at cap 1000 / margin 3, ~e⁻⁶⁶⁷ per stratum. The
+    survivor count is validated anyway (one tiny agg) and a loud
+    AssertionError beats a silent undersample."""
+    h = det_hash_u32(F.col(id_col), salt)
+    counts = (df.groupBy(strata_col)
+              .agg(F.count("*").alias("__n_str"))
+              .withColumn(
+                  "__thr",
+                  F.when(F.col("__n_str") <= cap,
+                         F.lit(_HASH_SPACE)).otherwise(
+                      F.least(
+                          F.lit(_HASH_SPACE),
+                          (F.lit(float(cap) * margin * _HASH_SPACE)
+                           / F.col("__n_str")).cast("long") + 1))))
+    tagged = (df.withColumn("__h", h)
+              .join(F.broadcast(counts), strata_col)
+              .where(F.col("__h") < F.col("__thr")))
+    small = (tagged.where(F.col("__n_str") <= cap)
+             .drop("__h", "__n_str", "__thr"))
+    over = tagged.where(F.col("__n_str") > cap)
+    wr = (W.partitionBy(strata_col)
+          .orderBy(F.col("__h").asc(), F.col(id_col).asc()))
+    ranked = (over.withColumn("__rk", F.row_number().over(wr))
+              .where(F.col("__rk") <= cap)
+              .drop("__h", "__n_str", "__thr", "__rk"))
+    return small.unionByName(ranked)
+
+
+def validate_stratum_cap(df: DataFrame, out: DataFrame, strata_col: str,
+                         cap: int) -> None:
+    """Loud check that the pre-filter margin held: every stratum kept
+    exactly min(cap, count) rows. One tiny aggregation per side."""
+    want = {r[strata_col]: min(cap, r["n"]) for r in
+            df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()}
+    got = {r[strata_col]: r["n"] for r in
+           out.groupBy(strata_col).agg(F.count("*").alias("n")).collect()}
+    assert got == want, (
+        f"stratum cap undersample — raise margin: {got} != {want}")
+
+
 def pack_sequences(docs: DataFrame, token_col: str, seq_len: int,
                    id_col: str = "doc_id",
                    partitions: int | None = None) -> DataFrame:

@@ -87,3 +87,41 @@ def test_pack_sequences_data_window_is_partitioned(spark):
     assert windows, plan
     # the cumsum-over-rows window carries __pid as its partition spec
     assert any("__pid" in l for l in windows), plan
+
+
+def test_stratum_cap_equals_naive_on_skewed_data(spark):
+    """2-phase cap sample ≡ the naive one-window form on a zipfian
+    layout (one stratum with 5k rows, one with 3 — exercises both the
+    under-cap bypass and the pre-filtered rank)."""
+    from cartwright_spark.operators.sampling import (
+        det_hash_u32,
+        stratum_cap_sample,
+        validate_stratum_cap,
+    )
+
+    df = spark.range(5003).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 5000, "hot").otherwise("cold").alias("src"))
+    out = stratum_cap_sample(df, "src", 100, "doc_id", salt="t")
+    naive = (df.withColumn("__h", det_hash_u32(F.col("doc_id"), "t"))
+             .withColumn("rk", F.row_number().over(
+                 W.partitionBy("src").orderBy("__h", "doc_id")))
+             .where(F.col("rk") <= 100).select("doc_id", "src"))
+    assert sorted(map(tuple, out.select("doc_id", "src").collect())) == \
+        sorted(map(tuple, naive.collect()))
+    validate_stratum_cap(df, out, "src", 100)
+    by = {r["src"]: r["n"] for r in
+          out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert by == {"hot": 100, "cold": 3}
+
+
+def test_stratum_cap_layout_invariant(spark):
+    from cartwright_spark.operators.sampling import stratum_cap_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("src"))
+    a = stratum_cap_sample(df, "src", 50, "doc_id")
+    b = stratum_cap_sample(df.repartition(23), "src", 50, "doc_id")
+    assert sorted(r["doc_id"] for r in a.collect()) == \
+        sorted(r["doc_id"] for r in b.collect())
