@@ -319,6 +319,29 @@ def q_sequence_packing(spark, sf_dir):
     return pack_sequences(docs, "n_chars", 4096, "doc_id")
 
 
+def q_interval_overlap(spark, sf_dir):
+    """Interval-interval overlap join (operators/temporal_join.py
+    binned_interval_join): promo windows of 1-in-97 orders × windows of
+    1-in-89 orders, matched iff the day ranges overlap. Each pair is
+    claimed in exactly one bin (the overlap-start bin) — no distinct
+    pass. Oracle: the naive inequality join."""
+    from cartwright_spark.operators.temporal_join import binned_interval_join
+    orders = _t(spark, sf_dir, "orders")
+    day = F.datediff("o_orderdate", F.lit("1970-01-01"))
+
+    def windows(mod, ka, kb):
+        return (orders.where(F.col("o_orderkey") % mod == 0)
+                .select(F.col("o_orderkey").alias(ka),
+                        day.alias(f"{kb}_lo"),
+                        (day + F.col("o_orderkey") % 30).alias(f"{kb}_hi")))
+
+    left = windows(97, "okey_a", "a")
+    right = windows(89, "okey_b", "b")
+    out = binned_interval_join(left, right, "a_lo", "a_hi",
+                               "b_lo", "b_hi", bin_size=16)
+    return out.select("okey_a", "okey_b", "a_lo", "a_hi", "b_lo", "b_hi")
+
+
 def q_knn_grid(spark, sf_dir):
     """J7: kNN join — 10 query points × part-derived sites, top-5 by squared
     equirect distance (integer-exact), rank via window."""
@@ -1018,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "asof_events": q_asof_events,
         "range_join_orders": q_range_join_orders,
+        "interval_overlap": q_interval_overlap,
         "knn_grid": q_knn_grid,
         "j6_pip_boxes": q_j6_pip_boxes,
         "j6_pip_bulk": q_j6_pip_bulk,
@@ -1321,6 +1345,25 @@ def oracle_sql() -> dict[str, str]:
                    ship_day, lo_day, hi_day
             FROM pts JOIN iv
               ON ship_day >= lo_day AND ship_day <= hi_day
+        """,
+        "interval_overlap": """
+            WITH a AS (
+              SELECT o_orderkey AS okey_a,
+                     date_diff('day', DATE '1970-01-01', o_orderdate)
+                       AS a_lo,
+                     date_diff('day', DATE '1970-01-01', o_orderdate)
+                       + o_orderkey % 30 AS a_hi
+              FROM orders WHERE o_orderkey % 97 = 0
+            ), b AS (
+              SELECT o_orderkey AS okey_b,
+                     date_diff('day', DATE '1970-01-01', o_orderdate)
+                       AS b_lo,
+                     date_diff('day', DATE '1970-01-01', o_orderdate)
+                       + o_orderkey % 30 AS b_hi
+              FROM orders WHERE o_orderkey % 89 = 0
+            )
+            SELECT okey_a, okey_b, a_lo, a_hi, b_lo, b_hi
+            FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
         """,
         "gopher_repetition": r"""
             WITH arrs AS (

@@ -105,3 +105,29 @@ def binned_range_join(points: DataFrame, intervals: DataFrame,
         (F.col(point_col) >= F.col(lo_col))
         & (F.col(point_col) <= F.col(hi_col)))
     return joined.drop("__bin")
+
+
+def binned_interval_join(left: DataFrame, right: DataFrame,
+                         llo: str, lhi: str, rlo: str, rhi: str,
+                         bin_size: int) -> DataFrame:
+    """Inner join interval rows to interval rows where they OVERLAP
+    (``llo <= rhi and rlo <= lhi``, integer domain, bounds inclusive).
+
+    Both sides explode onto the bin grid; an overlapping pair shares
+    every bin its intersection covers, so emitting on bin equality alone
+    would duplicate it — the classic dedup is to claim the pair in
+    exactly ONE bin: the one containing the overlap's START,
+    ``max(llo, rlo)`` (both rows are guaranteed present there). Shuffle
+    volume is Σ span/bin_size per side; no post-hoc distinct needed."""
+    lb = left.withColumn(
+        "__bin", F.explode(F.sequence(F.floor(F.col(llo) / F.lit(bin_size)),
+                                      F.floor(F.col(lhi) / F.lit(bin_size)))))
+    rb = right.withColumn(
+        "__bin", F.explode(F.sequence(F.floor(F.col(rlo) / F.lit(bin_size)),
+                                      F.floor(F.col(rhi) / F.lit(bin_size)))))
+    joined = lb.join(rb, "__bin").where(
+        (F.col(llo) <= F.col(rhi)) & (F.col(rlo) <= F.col(lhi))
+        # claim in the overlap-start bin only — exactly-once emission
+        & (F.floor(F.greatest(F.col(llo), F.col(rlo)) / F.lit(bin_size))
+           == F.col("__bin")))
+    return joined.drop("__bin")

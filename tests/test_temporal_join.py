@@ -153,3 +153,26 @@ def test_asof_matches_pandas_merge_asof(spark):
             assert g is None or pd.isna(g), (eid, g, rid)
         else:
             assert g == rid, (eid, g, rid)
+
+
+def test_binned_interval_join_matches_naive(spark):
+    """Exactly-once emission (overlap-start-bin claim) cross-checked
+    against the naive inequality join, with spans from 0 (point
+    intervals) to multi-bin."""
+    from cartwright_spark.operators.temporal_join import (
+        binned_interval_join,
+    )
+
+    a = spark.range(80).select(
+        F.col("id").alias("aid"), ((F.col("id") * 53) % 400).alias("a_lo"),
+        (((F.col("id") * 53) % 400) + (F.col("id") % 47)).alias("a_hi"))
+    b = spark.range(60).select(
+        F.col("id").alias("bid"), ((F.col("id") * 71) % 380).alias("b_lo"),
+        (((F.col("id") * 71) % 380) + (F.col("id") % 31)).alias("b_hi"))
+    got = sorted((r["aid"], r["bid"]) for r in binned_interval_join(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi", bin_size=16).collect())
+    want = sorted((r["aid"], r["bid"]) for r in a.join(
+        b, (F.col("a_lo") <= F.col("b_hi"))
+        & (F.col("b_lo") <= F.col("a_hi"))).collect())
+    assert got == want and len(got) > 100
+    assert len(got) == len(set(got))        # exactly once — no dupes
