@@ -39,7 +39,8 @@ from pyspark.sql import functions as F
 def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
               time_col: str, right_payload: list[str],
               tolerance_us: int | None = None,
-              prefix: str = "r_") -> DataFrame:
+              prefix: str = "r_",
+              bucket_us: int | None = None) -> DataFrame:
     """Backward as-of left join: for each left row, attach the payload of
     the latest right row with the same key and ``right.time <= left.time``
     (within ``tolerance_us`` microseconds of the left time, if given).
@@ -48,7 +49,17 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
     to the one with the greatest first payload column before the join
     (mirrors what a SQL oracle's arg-max does); a right row exactly at
     the left row's time DOES match (inclusive, kdb/pandas semantics).
-    """
+
+    ``bucket_us`` is the hot-key skew split: with it, the sort window is
+    partitioned on (key, time-bucket) instead of (key), so one hot key's
+    rows spread over span/bucket_us partitions instead of serializing
+    into one task's sort. Cross-bucket visibility is restored by a CARRY
+    table: the latest right row per (key, bucket), carried forward over
+    the per-key bucket sequence by a second window whose input is one
+    row per non-empty (key, bucket) — bucket-grain, not row-grain, so it
+    is orders of magnitude smaller than the data (pick ``bucket_us`` so
+    a hot key has ≫ 1 and ≪ rows buckets). Results are identical to the
+    unbucketed join for every input (property-tested)."""
     lt = F.col(time_col).cast("timestamp")
     l = left.withColumn("__is_left", F.lit(1))
     for c in right_payload:
@@ -67,16 +78,31 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
     u = r.unionByName(l.select(*r.columns))
+    part_cols = list(key_cols)
+    if bucket_us is not None:
+        u = u.withColumn(
+            "__bkt", F.floor(F.unix_micros(F.col(time_col)
+                                           .cast("timestamp"))
+                             / F.lit(bucket_us)))
+        part_cols.append("__bkt")
     # right rows sort before left rows at equal time ⇒ inclusive match
-    wspec = (W.partitionBy(*key_cols)
+    wspec = (W.partitionBy(*part_cols)
              .orderBy(F.col(time_col).asc(), F.col("__is_left").asc())
              .rowsBetween(W.unboundedPreceding, W.currentRow))
     carried = [F.last(prefix + c, ignorenulls=True).over(wspec)
                .alias(prefix + c) for c in right_payload]
     rtime = (F.last(F.when(F.col("__is_left") == 0, lt), ignorenulls=True)
              .over(wspec).alias("__rtime"))
-    out = (u.select(*[c for c in left.columns], *carried, rtime)
+    keep = [c for c in left.columns] + ([] if bucket_us is None
+                                        else ["__bkt"])
+    out = (u.select(*keep, *carried, rtime)
            .where(F.col("__is_left") == 1).drop("__is_left"))
+    if bucket_us is not None:
+        out = _asof_apply_carry(out, r, key_cols, time_col, right_payload,
+                                prefix, bucket_us)
+        # joins reorder columns (keys first) — restore the contract order
+        out = out.select(*left.columns,
+                         *[prefix + c for c in right_payload], "__rtime")
     if tolerance_us is not None:
         stale = (F.unix_micros(lt) - F.unix_micros(F.col("__rtime"))
                  > F.lit(tolerance_us))
@@ -87,6 +113,42 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
         out = out.withColumn(
             "__rtime", F.when(stale, F.lit(None)).otherwise(F.col("__rtime")))
     return out.withColumnRenamed("__rtime", prefix + time_col)
+
+
+def _asof_apply_carry(out: DataFrame, r: DataFrame, key_cols: list[str],
+                      time_col: str, right_payload: list[str],
+                      prefix: str, bucket_us: int) -> DataFrame:
+    """Fill cross-bucket as-of matches: for each (key, bucket) the latest
+    right row of any strictly earlier bucket, carried forward over the
+    per-key bucket sequence (one row per non-empty (key, bucket) — the
+    carry window is bucket-grain, never row-grain)."""
+    rts = F.col(time_col).cast("timestamp")
+    rb = r.withColumn("__bkt",
+                      F.floor(F.unix_micros(rts) / F.lit(bucket_us)))
+    wlast = W.partitionBy(*key_cols, "__bkt").orderBy(rts.desc())
+    last_rb = (rb.withColumn("__rn2", F.row_number().over(wlast))
+               .where(F.col("__rn2") == 1)
+               .select(*key_cols, "__bkt",
+                       F.struct(rts.alias("__cts"),
+                                *[F.col(prefix + c) for c in right_payload])
+                       .alias("__cr")))
+    grid = (out.select(*key_cols, "__bkt")
+            .unionByName(last_rb.select(*key_cols, "__bkt")).distinct())
+    wcarry = (W.partitionBy(*key_cols).orderBy("__bkt")
+              .rowsBetween(W.unboundedPreceding, -1))
+    carry = (grid.join(last_rb, [*key_cols, "__bkt"], "left")
+             .withColumn("__carry",
+                         F.last("__cr", ignorenulls=True).over(wcarry))
+             .select(*key_cols, "__bkt", "__carry"))
+    out = out.join(carry, [*key_cols, "__bkt"], "left")
+    for c in right_payload:
+        out = out.withColumn(
+            prefix + c, F.coalesce(F.col(prefix + c),
+                                   F.col("__carry")[prefix + c]))
+    return (out.withColumn("__rtime",
+                           F.coalesce(F.col("__rtime"),
+                                      F.col("__carry")["__cts"]))
+            .drop("__carry", "__bkt"))
 
 
 def binned_range_join(points: DataFrame, intervals: DataFrame,

@@ -176,3 +176,73 @@ def test_binned_interval_join_matches_naive(spark):
         & (F.col("b_lo") <= F.col("a_hi"))).collect())
     assert got == want and len(got) > 100
     assert len(got) == len(set(got))        # exactly once — no dupes
+
+
+def test_asof_bucketed_equals_unbucketed(spark):
+    """bucket_us (hot-key skew split) must be result-identical to the
+    plain join at several bucket widths — including buckets with lefts
+    but no rights (carry across empty buckets) and right rows exactly on
+    bucket boundaries."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = dt.datetime(2024, 1, 1)
+    lrows = pd.DataFrame({
+        "event_id": np.arange(400),
+        "user_id": np.concatenate([np.zeros(300, int),      # hot key
+                                   rng.integers(1, 6, 100)]),
+        "ts": [base + dt.timedelta(seconds=int(s))
+               for s in rng.integers(0, 100_000, 400)],
+    })
+    rrows = pd.DataFrame({
+        "user_id": np.concatenate([np.zeros(60, int),
+                                   rng.integers(1, 6, 40)]),
+        # multiples of 1000s: exactly on 1000s-bucket boundaries
+        "ts": [base + dt.timedelta(seconds=int(s) * 1000)
+               for s in rng.integers(0, 100, 100)],
+        "event_id": np.arange(5000, 5100),
+        "value": rng.random(100),
+    })
+    L = spark.createDataFrame(lrows)
+    R = spark.createDataFrame(rrows)
+    want = sorted(map(tuple, asof_join(
+        L, R, ["user_id"], "ts", ["event_id", "value"]).collect()))
+    for bucket_s in (1_000, 7_777, 1_000_000):
+        got = sorted(map(tuple, asof_join(
+            L, R, ["user_id"], "ts", ["event_id", "value"],
+            bucket_us=bucket_s * 1_000_000).collect()))
+        assert got == want, f"bucket_us={bucket_s}s diverges"
+
+
+def test_asof_bucketed_with_tolerance(spark):
+    L = spark.createDataFrame(pd.DataFrame({
+        "event_id": [1, 2], "user_id": [3, 3],
+        "ts": [_ts("2024-01-01T10:00:00"), _ts("2024-01-02T20:00:00")]}))
+    R = spark.createDataFrame(pd.DataFrame({
+        "user_id": [3], "ts": [_ts("2024-01-01T09:00:00")],
+        "event_id": [301], "value": [9.0]}))
+    out = {r["event_id"]: r.asDict() for r in asof_join(
+        L, R, ["user_id"], "ts", ["event_id", "value"],
+        tolerance_us=2 * 3600 * 1_000_000,
+        bucket_us=3600 * 1_000_000).collect()}
+    assert out[1]["r_event_id"] == 301
+    assert out[2]["r_event_id"] is None      # carried but then too stale
+
+
+def test_asof_bucketed_window_is_bucket_partitioned(spark):
+    """Plan gate: with bucket_us the data-scale sort window is keyed on
+    (key, __bkt), so a hot key cannot serialize into one task."""
+    L = spark.range(1000).select(
+        F.lit(1).alias("user_id"), F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"))
+    R = spark.range(100).select(
+        F.lit(1).alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 600).alias("ts"),
+        F.col("id").alias("event_id"), F.lit(1.0).alias("value"))
+    plan = asof_join(L, R, ["user_id"], "ts", ["event_id"],
+                     bucket_us=3600 * 1_000_000) \
+        ._jdf.queryExecution().executedPlan().toString()
+    spec_lines = [l for l in plan.splitlines()
+                  if "windowspecdefinition" in l]
+    # the row-grain carry window spec mentions __bkt as a partition key
+    assert any("__bkt" in l and "__is_left" in l for l in spec_lines), plan
