@@ -342,6 +342,43 @@ def q_interval_overlap(spark, sf_dir):
     return out.select("okey_a", "okey_b", "a_lo", "a_hi", "b_lo", "b_hi")
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (operators/hygiene.py): portable Java∩RE2 regexes,
+    per-class counts + redacted length. The corpus is synthetic words,
+    so PII is injected deterministically in-query (same injection in
+    the oracle) — 1 in 7 docs gains an email, an IPv4 and a digit run."""
+    from cartwright_spark.operators.hygiene import redact_pii
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"),
+                        F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com at 10.0.3."),
+                        (F.col("doc_id") % 250).cast("string"),
+                        F.lit(" ref 987654321012")))
+        .otherwise(F.col("text")))
+    out = redact_pii(seeded)
+    return out.select("doc_id", "n_email", "n_ipv4", "n_digit_run",
+                      F.length("redacted").alias("redacted_len"))
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (operators/hygiene.py): docs whose
+    13-gram stream hits a probe set (probes = first 13 words of every
+    101st doc — the GPT-3-style eval-overlap join). Broadcast gram
+    equi-join; clean docs never leave the map side."""
+    from cartwright_spark.operators.hygiene import contamination_check
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower(F.col("text")), "\\s+"),
+                     lambda w: w != "")
+    probes = (docs.where(F.col("doc_id") % 101 == 0)
+              .select(F.concat_ws(" ", F.slice(words, 1, 13))
+                      .alias("probe")))
+    return contamination_check(docs, probes)
+
+
 def q_knn_grid(spark, sf_dir):
     """J7: kNN join — 10 query points × part-derived sites, top-5 by squared
     equirect distance (integer-exact), rank via window."""
@@ -1042,6 +1079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events": q_asof_events,
         "range_join_orders": q_range_join_orders,
         "interval_overlap": q_interval_overlap,
+        "pii_redact": q_pii_redact,
+        "contamination": q_contamination,
         "knn_grid": q_knn_grid,
         "j6_pip_boxes": q_j6_pip_boxes,
         "j6_pip_bulk": q_j6_pip_bulk,
@@ -1364,6 +1403,71 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT okey_a, okey_b, a_lo, a_hi, b_lo, b_hi
             FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+        """,
+        "pii_redact": r"""
+            WITH seeded AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com at 10.0.3.'
+                            || CAST(doc_id % 250 AS VARCHAR)
+                            || ' ref 987654321012'
+                     ELSE text END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS n_email,
+                   len(regexp_extract_all(text,
+                     '(\d{1,3}\.){3}\d{1,3}')) AS n_ipv4,
+                   len(regexp_extract_all(text, '\d{9,}')) AS n_digit_run,
+                   length(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<PII>', 'g'),
+                         '(\d{1,3}\.){3}\d{1,3}', '<PII>', 'g'),
+                       '\d{9,}', '<PII>', 'g')) AS redacted_len
+            FROM seeded
+        """,
+        "contamination": r"""
+            WITH arrs AS (
+              SELECT doc_id,
+                     list_filter(str_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), w0 AS (
+              SELECT doc_id, unnest(ws) AS w,
+                     generate_subscripts(ws, 1) AS pos, len(ws) AS n
+              FROM arrs
+            ), leads AS (
+              SELECT doc_id, pos, n, w,
+                     lead(w,1) OVER win AS w1, lead(w,2) OVER win AS w2,
+                     lead(w,3) OVER win AS w3, lead(w,4) OVER win AS w4,
+                     lead(w,5) OVER win AS w5, lead(w,6) OVER win AS w6,
+                     lead(w,7) OVER win AS w7, lead(w,8) OVER win AS w8,
+                     lead(w,9) OVER win AS w9, lead(w,10) OVER win AS w10,
+                     lead(w,11) OVER win AS w11, lead(w,12) OVER win AS w12
+              FROM w0 WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            ), grams AS (
+              SELECT doc_id,
+                     w || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
+                       || ' ' || w5 || ' ' || w6 || ' ' || w7 || ' ' || w8
+                       || ' ' || w9 || ' ' || w10 || ' ' || w11 || ' ' || w12
+                       AS g
+              FROM leads WHERE pos + 12 <= n
+            ), probes AS (
+              SELECT DISTINCT array_to_string(list_slice(ws, 1, 13), ' ')
+                       AS g
+              FROM arrs WHERE doc_id % 101 = 0
+            )
+            SELECT doc_id,
+                   count(*) AS n_hits,
+                   count(DISTINCT g) AS n_probes_hit
+            FROM grams JOIN probes USING (g)
+            GROUP BY doc_id
         """,
         "gopher_repetition": r"""
             WITH arrs AS (

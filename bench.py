@@ -47,7 +47,7 @@ CONTRACT_BENCH_QUERIES = (
     "multimodal_jpeg_decode", "minhash_dedup_assign",
     "gopher_repetition", "asof_events", "range_join_orders",
     "stratified_sample", "stratum_cap", "sequence_packing",
-    "interval_overlap",
+    "interval_overlap", "pii_redact", "contamination",
 )
 
 
