@@ -379,6 +379,61 @@ def q_contamination(spark, sf_dir):
     return contamination_check(docs, probes)
 
 
+def q_connected_components(spark, sf_dir):
+    """Distributed connected components (functions/graph.py, alternating
+    large-star/small-star — Kiveris et al. SoCC'14): the pairs→clusters
+    closure a dedup pipeline runs after LSH. Deterministic graph from
+    orderkeys: star edges to the 97-block base plus sparse cross-block
+    bridges at multiples of 293 (component sizes stay bounded so the
+    DuckDB recursive-closure oracle is tractable)."""
+    from cartwright_spark.functions.graph import connected_components
+    o = _t(spark, sf_dir, "orders")
+    star = o.select(F.col("o_orderkey").alias("src"),
+                    (F.col("o_orderkey") - F.col("o_orderkey") % 97)
+                    .alias("dst"))
+    bridge = (o.where((F.col("o_orderkey") % 293 == 0)
+                      & (F.col("o_orderkey") >= 97))
+              .select(F.col("o_orderkey").alias("src"),
+                      (F.col("o_orderkey") - 97).alias("dst")))
+    return connected_components(star.union(bridge), "src", "dst")
+
+
+def q_grid_cluster(spark, sf_dir):
+    """Density-grid spatial clustering (functions/graph.py grid_cluster):
+    snap points to 5° cells, connected-components over 8-neighbor
+    adjacency of OCCUPIED cells (bounded by the grid, not the corpus),
+    label points by their cell blob — DBSCAN's grid approximation."""
+    from cartwright_spark.functions.graph import grid_cluster
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 7 == 0)
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37 % 181) - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 73 % 361) - 180.0).alias("lon"))
+    out = grid_cluster(pts, "lat", "lon", cell_deg=5.0)
+    return out.select("c_custkey", "cell_id", "cluster_id")
+
+
+def q_bm25_scores(spark, sf_dir):
+    """BM25 relevance (operators/ranking.py): inverted doc-term index
+    with the query-term filter pushed below the tf aggregation, df and
+    corpus scalars broadcast. Emits every matched doc's score (the
+    integer n_terms column is the float-free rank key; see
+    bm25_topk's docstring for why the contract compares scores, not
+    float-ordered ranks)."""
+    from cartwright_spark.operators.ranking import bm25_scores
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(docs, ["spark", "join", "window"])
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct sketch (operators/sketch.py): bottom-64 portable
+    md5-derived 32-bit hashes per group via a salted two-stage ranked
+    window (no collect_set, no global sort), estimate (k-1)·2^32/h_k."""
+    from cartwright_spark.operators.sketch import kmv_distinct
+    orders = _t(spark, sf_dir, "orders")
+    return kmv_distinct(orders, "o_orderpriority", "o_custkey", k=64)
+
+
 def q_knn_grid(spark, sf_dir):
     """J7: kNN join — 10 query points × part-derived sites, top-5 by squared
     equirect distance (integer-exact), rank via window."""
@@ -1081,6 +1136,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "pii_redact": q_pii_redact,
         "contamination": q_contamination,
+        "connected_components": q_connected_components,
+        "grid_cluster": q_grid_cluster,
+        "bm25_scores": q_bm25_scores,
+        "kmv_distinct": q_kmv_distinct,
         "knn_grid": q_knn_grid,
         "j6_pip_boxes": q_j6_pip_boxes,
         "j6_pip_bulk": q_j6_pip_bulk,
@@ -1468,6 +1527,123 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT g) AS n_probes_hit
             FROM grams JOIN probes USING (g)
             GROUP BY doc_id
+        """,
+        # transitive closure of the same deterministic edge rules; MIN of
+        # all labels reachable from a node = its component minimum.
+        # Tractable because the edge rules bound component sizes (~97-300
+        # nodes), so the reach relation stays ~nodes x comp_size.
+        "connected_components": """
+            WITH RECURSIVE
+            e AS (
+              SELECT o_orderkey AS src,
+                     o_orderkey - (o_orderkey % 97) AS dst
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_orderkey - 97
+              FROM orders
+              WHERE o_orderkey % 293 = 0 AND o_orderkey >= 97
+            ),
+            ee AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+            sym AS (
+              SELECT src AS a, dst AS b FROM ee
+              UNION
+              SELECT dst, src FROM ee
+            ),
+            nodes AS (SELECT DISTINCT a AS id FROM sym),
+            reach(id, lab) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.id
+            )
+            SELECT id, MIN(lab) AS component FROM reach GROUP BY id
+        """,
+        "grid_cluster": """
+            WITH RECURSIVE
+            pts AS (
+              SELECT c_custkey,
+                     ((c_custkey * 37) % 181) - 90.0  AS lat,
+                     ((c_custkey * 73) % 361) - 180.0 AS lon
+              FROM customer WHERE c_custkey % 7 = 0
+            ),
+            cells_pts AS (
+              SELECT c_custkey,
+                     CAST(floor((lat + 90.0) / 5.0) AS BIGINT) * 100000
+                     + CAST(floor((lon + 180.0) / 5.0) AS BIGINT)
+                       AS cell_id
+              FROM pts
+            ),
+            cells AS (SELECT DISTINCT cell_id FROM cells_pts),
+            offs(off) AS (VALUES (1), (100001), (100000), (99999)),
+            sym0 AS (
+              SELECT c.cell_id AS a, c.cell_id + o.off AS b
+              FROM cells c CROSS JOIN offs o
+              WHERE c.cell_id + o.off IN (SELECT cell_id FROM cells)
+            ),
+            sym AS (
+              SELECT a, b FROM sym0 UNION SELECT b, a FROM sym0
+            ),
+            reach(id, lab) AS (
+              SELECT cell_id, cell_id FROM cells
+              UNION
+              SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.id
+            ),
+            comp AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id)
+            SELECT p.c_custkey, p.cell_id, c.cluster_id
+            FROM cells_pts p JOIN comp c ON p.cell_id = c.id
+        """,
+        # expression shapes/parenthesization mirror operators/ranking.py
+        # exactly so doubles agree past the hash tolerance.
+        "bm25_scores": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS term
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n_docs,
+                     (SELECT count(*) FROM w) * 1.0
+                     / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM w WHERE term IN ('spark', 'join', 'window')
+              GROUP BY doc_id, term
+            ),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_terms,
+                   SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * t.tf * 2.2
+                       / (t.tf + 1.2 * (1.0 - 0.75
+                                        + (0.75 * l.dl) / s.avgdl)))
+                     AS score
+            FROM tf t
+            JOIN dfq d USING (term)
+            JOIN dl l USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY t.doc_id
+        """,
+        "kmv_distinct": """
+            WITH v AS (
+              SELECT DISTINCT o_orderpriority AS grp,
+                     ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)
+                     )::BIGINT AS h
+              FROM orders
+            ),
+            r AS (
+              SELECT grp, h,
+                     row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+              FROM v
+            ),
+            b AS (SELECT grp, h FROM r WHERE rn <= 64)
+            SELECT grp AS o_orderpriority,
+                   count(*) AS n_kept,
+                   max(h) AS kth_hash,
+                   CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                        ELSE 270582939648.0 / max(h) END AS est_distinct
+            FROM b GROUP BY grp
         """,
         "gopher_repetition": r"""
             WITH arrs AS (

@@ -48,6 +48,7 @@ CONTRACT_BENCH_QUERIES = (
     "gopher_repetition", "asof_events", "range_join_orders",
     "stratified_sample", "stratum_cap", "sequence_packing",
     "interval_overlap", "pii_redact", "contamination",
+    "connected_components", "grid_cluster", "bm25_scores", "kmv_distinct",
 )
 
 

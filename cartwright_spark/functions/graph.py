@@ -1,0 +1,154 @@
+"""Distributed connected components — the transitive-closure layer dedup
+pipelines need to turn near-duplicate PAIRS into CLUSTERS.
+
+`minhash_lsh_pairs` / `simhash_pairs` emit an edge list; assigning every
+document to one canonical keeper is connected components over that graph.
+The alternating large-star / small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", ACM SoCC 2014 — public)
+converges in O(log n) rounds on any graph, including the long chains that
+defeat plain min-label propagation (O(diameter) rounds) and the megastars
+that defeat per-component collection.
+
+Spark-first shape: every round is two algebraic aggregations
+(`groupBy().min()` — map-side partial agg absorbs megastar skew because
+min is algebraic) plus an equi-join back to the neighbor list. No driver
+data path; per-round lineage is truncated with an eager localCheckpoint so
+the plan stays O(1) deep across iterations. Convergence is detected by an
+exact edge-set fingerprint (count + sum of xxhash64) — two scalar aggs,
+no exceptAll shuffle.
+
+At 100 TB scale: the edge list from LSH is linear in corpus size (bounded
+candidates per doc — see dedup.minhash_dedup_assign), rounds are
+logarithmic, and the only skewed key (the component minimum, which
+accumulates the whole component's neighborhood) flows through an
+AQE-splittable equi-join, not a sort.
+
+Reference parity: the reference (jataware/cartwright) has no graph layer;
+this serves the training-data-pipeline dedup scope from the brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(nbrs: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of v to min(Γ(v) ∪ {v}).
+
+    `nbrs` is the symmetric neighbor list (a, b) with both orientations
+    present. Emits the new directed edge set (child ≥ parent invariant
+    restored for large nodes)."""
+    m = (nbrs.groupBy("a").agg(F.min("b").alias("mb"))
+         .select("a", F.least("a", "mb").alias("m")))
+    return (nbrs.join(m, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient every edge large→small, then connect each node's small
+    neighborhood (and itself) to its minimum."""
+    nbrs = (edges.select(F.greatest("a", "b").alias("a"),
+                         F.least("a", "b").alias("b"))
+            .where(F.col("a") != F.col("b")))
+    m = nbrs.groupBy("a").agg(F.min("b").alias("m"))
+    # neighbors below the minimum keep an edge to it; the center node
+    # itself re-attaches to the minimum.
+    out1 = (nbrs.join(m, "a")
+            .where(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b")))
+    out2 = m.select(F.col("a"), F.col("m").alias("b"))
+    return out1.union(out2).where(F.col("a") != F.col("b")).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        # decimal(38,0) sum: exact and overflow-free under ANSI mode at
+        # any realistic edge count (long sum overflows at ~10^9 edges)
+        F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h")).first()
+    return (row["n"], row["h"])
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iter: int = 25) -> DataFrame:
+    """(id, component) for every node in the undirected edge list, where
+    `component` is the minimum node id of its connected component.
+
+    Nodes are whatever integer type the edge columns carry. Self-loops
+    are ignored. Isolated nodes never appear in an edge list, so callers
+    with a node table should left-join and coalesce(component, id).
+
+    max_iter bounds the alternation (convergence is O(log n) rounds —
+    25 covers graphs far beyond 10^12 edges); raises RuntimeError if the
+    fingerprint hasn't stabilized by then, rather than returning a
+    partially-contracted forest."""
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+         .where(F.col(src) != F.col(dst))
+         .distinct())
+    nodes = (e.select(F.col("a").alias("id"))
+             .union(e.select(F.col("b").alias("id")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    e = e.localCheckpoint(eager=True)
+
+    prev = None
+    for _ in range(max_iter):
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        e = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        fp = _fingerprint(e)
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+
+    # converged edge set is a star forest: every non-root points at its
+    # component minimum; roots have no outgoing edge.
+    return (nodes.join(e, nodes["id"] == e["a"], "left")
+            .select("id", F.coalesce(e["b"], nodes["id"]).alias("component")))
+
+
+def grid_cluster(points: DataFrame, lat: str = "lat", lon: str = "lon",
+                 cell_deg: float = 5.0, max_iter: int = 25) -> DataFrame:
+    """Density-grid spatial clustering: snap points to an integer
+    lat/lon cell, link occupied cells that are 8-neighbor adjacent, and
+    label each point with its cell cluster (DBSCAN's grid approximation
+    with minPts=1, eps=cell edge).
+
+    Output: input columns + (cell_id bigint, cluster_id bigint) where
+    cluster_id = min cell_id of the connected cell blob.
+
+    Scale shape: the heavy table (points) is touched twice with a single
+    groupBy(cell) each; the CC iteration runs over OCCUPIED CELLS only —
+    bounded by the grid (≤ (180/cell_deg)·(360/cell_deg) cells) no matter
+    how many points, so a 10^12-point corpus clusters over at most a few
+    million cell nodes. The final label join back to points is an
+    equi-join on cell_id (dense urban cells are hot keys — AQE skew-join
+    splits them)."""
+    ix = F.floor((F.col(lat) + 90.0) / cell_deg).cast("long")
+    iy = F.floor((F.col(lon) + 180.0) / cell_deg).cast("long")
+    pts = points.withColumn("cell_id", ix * 100000 + iy)
+    cells = pts.select("cell_id").distinct().localCheckpoint(eager=True)
+
+    # 8-neighborhood candidate edges: each occupied cell proposes its
+    # E/SE/S/SW neighbor (half the stencil — the symmetric closure inside
+    # connected_components supplies the rest), realized only when the
+    # neighbor is occupied (equi-join against the occupied set).
+    offs = [(0, 1), (1, 1), (1, 0), (1, -1)]
+    props = cells.select(
+        F.col("cell_id").alias("src"),
+        F.explode(F.array(*[F.lit(dx * 100000 + dy) for dx, dy in offs])
+                  ).alias("off"))
+    cand = props.select("src", (F.col("src") + F.col("off")).alias("dst"))
+    edges = cand.join(cells.withColumnRenamed("cell_id", "dst"), "dst")
+
+    comp = connected_components(edges, "src", "dst", max_iter=max_iter)
+    labels = (cells.join(comp, cells["cell_id"] == comp["id"], "left")
+              .select("cell_id",
+                      F.coalesce("component", "cell_id").alias("cluster_id")))
+    return pts.join(labels, "cell_id")

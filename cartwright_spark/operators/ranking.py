@@ -1,0 +1,92 @@
+"""BM25 keyword relevance scoring over an on-the-fly inverted index.
+
+Training-data curation uses keyword relevance both for targeted corpus
+slicing ("pull the pages about X") and quality weighting. BM25 (Robertson
+et al., public IR literature) over a distributed term index is the
+standard shape; this builds it from DataFrame primitives only:
+
+  docs --tokenize--> (doc, term, tf) --prune to query terms-->
+       --df per term (broadcast)--> score --sum per doc--> rank
+
+Scale notes (100 TB):
+- The query-term IN-filter lands BEFORE the (doc, term) aggregation, so
+  the only wide shuffle over corpus-sized data is a groupBy on
+  (doc_id, term) restricted to docs that contain a query term.
+- Per-term document frequencies and the corpus-level (N, avgdl) scalars
+  are metadata-sized and broadcast; nothing corpus-sized is collected.
+- Everything is whole-stage-codegen built-ins: split/filter/explode/
+  groupBy/log. No Python in the hot path.
+
+Tokenization matches operators/textstats.py's whitespace convention
+(split on \\s+, lowercase, drop empties) so scores compose with the
+quality/repetition layer.
+
+Reference parity: jataware/cartwright has no retrieval layer; this is
+engine scope from the brief's training-data-pipeline axis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _words(text_col: str):
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda w: w != "")
+
+
+def bm25_scores(docs: DataFrame, terms: list[str], text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.2,
+                b: float = 0.75) -> DataFrame:
+    """(id_col, n_terms, score) for every document matching ≥1 query term.
+
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)) with the
+    +1-smoothed idf = ln(1 + (N - df + 0.5)/(df + 0.5)). `n_terms` is the
+    count of distinct query terms present (integer — a float-free rank
+    key when callers need deterministic cross-engine ordering)."""
+    if not terms:
+        raise ValueError("bm25_scores needs at least one query term")
+    base = docs.select(F.col(id_col), _words(text_col).alias("__w")) \
+               .withColumn("dl", F.size("__w"))
+
+    # corpus scalars: one metadata-sized agg, broadcast via crossJoin
+    stats = base.agg(F.count("*").alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+
+    tf = (base.select(id_col, "dl", F.explode("__w").alias("term"))
+          .where(F.col("term").isin(list(terms)))
+          .groupBy(id_col, "dl", "term")
+          .agg(F.count("*").alias("tf")))
+
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = (tf.join(F.broadcast(df_), "term")
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    denom = (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    term_score = idf * F.col("tf") * (k1 + 1.0) / denom
+    return (scored.withColumn("__s", term_score)
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_terms"),
+                 F.sum("__s").alias("score")))
+
+
+def bm25_topk(docs: DataFrame, terms: list[str], topk: int = 10,
+              text_col: str = "text", id_col: str = "doc_id",
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Top-k documents by BM25 score (ties broken by id ascending).
+
+    The rank is a single window over the MATCHED docs only (already
+    pruned to query-term hits), ordered by float score — fine within one
+    engine; cross-engine equality tests should compare `bm25_scores`
+    directly (see __spark_entry__), since ulp-level log differences can
+    legally flip near-tied ranks."""
+    s = bm25_scores(docs, terms, text_col, id_col, k1, b)
+    # orderBy().limit(k) compiles to TakeOrderedAndProject — per-partition
+    # top-k merged at the driver, never a single-task global sort. The
+    # rank window then runs over ≤ topk rows.
+    top = s.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(topk)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w))

@@ -1,0 +1,73 @@
+"""KMV (k-minimum-values) distinct-count sketch — deterministic,
+mergeable cardinality estimation per group.
+
+At 100 TB you don't count distinct URLs per domain exactly; you sketch.
+KMV (Bar-Yossef et al., "Counting distinct elements in a data stream",
+RANDOM 2002 — public) keeps the k smallest hash values per group: if the
+k-th smallest of D uniform hashes in [0, M) sits at h_k, then
+D ≈ (k-1)·M/h_k. Unlike HyperLogLog the sketch is a plain sorted array —
+exactly reproducible in ANSI SQL, which is what makes it oracle-checkable
+here (the driver's DuckDB gate re-derives it bit-identically).
+
+Hash: the first 8 hex chars of md5(value) as a BIGINT in [0, 2^32) —
+portable across Spark (`conv(substring(md5(x),1,8),16,10)`) and DuckDB
+(`('0x'||substr(md5(x),1,8))::BIGINT`), unlike xxhash64/crc32 which only
+one engine exposes.
+
+Scale shape: a distinct on (group, hash) (one shuffle with map-side
+partial), then bottom-k as a TWO-STAGE ranked window — first within
+(group, hash-salt) so a hot group's sort runs salt_buckets-way parallel
+and each partition sorts only its slice, then a final window over
+≤ salt_buckets·k rows per group. No collect_set (unbounded executor
+memory on a hot group), no global sort.
+
+Reference parity: no sketch layer in jataware/cartwright; engine scope
+from the brief (per-domain corpus statistics at crawl scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_M = float(2 ** 32)
+
+
+def hash32(col) -> "F.Column":
+    """Portable 32-bit value hash as BIGINT in [0, 2^32)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10) \
+            .cast("long")
+
+
+def kmv_sketch(df: DataFrame, group_col: str, value_col: str,
+               k: int = 64, salt_buckets: int = 16) -> DataFrame:
+    """Per group: the bottom-k distinct 32-bit hashes of value_col, as
+    rows (group, h, rn) with rn = 1-based rank. Mergeable: union two
+    sketches and re-rank to get the sketch of the union."""
+    vals = (df.select(F.col(group_col).alias("grp"),
+                      hash32(F.col(value_col)).alias("h"))
+            .distinct())
+    w1 = Window.partitionBy("grp", "salt").orderBy("h")
+    part = (vals.withColumn("salt", F.pmod("h", F.lit(salt_buckets)))
+            .withColumn("rn", F.row_number().over(w1))
+            .where(F.col("rn") <= k)
+            .drop("salt", "rn"))
+    w2 = Window.partitionBy("grp").orderBy("h")
+    return (part.withColumn("rn", F.row_number().over(w2))
+            .where(F.col("rn") <= k)
+            .withColumnRenamed("grp", group_col))
+
+
+def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
+                 k: int = 64, salt_buckets: int = 16) -> DataFrame:
+    """(group, n_kept, kth_hash, est_distinct): KMV cardinality estimate
+    per group. Exact (n_kept) when the group holds < k distinct hashes;
+    (k-1)·2^32/h_k otherwise. est_distinct is a double; expected relative
+    error ~ 1/sqrt(k-2) (≈13% at k=64)."""
+    sk = kmv_sketch(df, group_col, value_col, k, salt_buckets)
+    agg = sk.groupBy(group_col).agg(
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("kth_hash"))
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")) \
+           .otherwise(F.lit((k - 1) * _M) / F.col("kth_hash"))
+    return agg.withColumn("est_distinct", est)

@@ -1,0 +1,198 @@
+"""connected_components / grid_cluster (functions/graph.py), BM25
+(operators/ranking.py), KMV sketch (operators/sketch.py)."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartwright_spark.functions.graph import connected_components, grid_cluster
+from cartwright_spark.operators.ranking import bm25_scores, bm25_topk
+from cartwright_spark.operators.sketch import kmv_distinct, kmv_sketch
+
+
+# ---------------------------------------------------------------- graph
+
+def _uf_components(edges):
+    nodes = sorted({x for e in edges for x in e})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for mem in comp.values():
+        m = min(mem)
+        for n in mem:
+            out[n] = m
+    return out
+
+
+@pytest.mark.parametrize("n,m,seed", [(60, 50, 1), (400, 700, 2)])
+def test_cc_matches_union_find(spark, n, m, seed):
+    rng = random.Random(seed)
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {r["id"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == _uf_components(edges)
+
+
+def test_cc_long_chain_and_megastar(spark):
+    # chain stresses O(log n) convergence; megastar stresses the skewed
+    # min-aggregation key
+    chain = list(zip(range(100), range(1, 100)))
+    star = [(200, x) for x in range(201, 400)]
+    edges = chain + star
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {r["id"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert all(got[x] == 0 for x in range(100))
+    assert all(got[x] == 200 for x in range(200, 400))
+
+
+def test_cc_self_loops_and_duplicates(spark):
+    edges = [(5, 5), (1, 2), (2, 1), (1, 2), (7, 7)]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {r["id"]: r["component"]
+           for r in connected_components(df).collect()}
+    # pure-self-loop nodes never appear in the cleaned edge list
+    assert got == {1: 1, 2: 1}
+
+
+def test_grid_cluster_two_blobs_with_diagonal(spark):
+    # blob A: three points in diagonally-adjacent 1° cells; blob B far
+    # away. Diagonal adjacency must merge A into one cluster.
+    pts = [(1, 0.5, 0.5), (2, 1.5, 1.5), (3, 2.5, 1.5),
+           (4, 40.5, 40.5), (5, 40.6, 40.7)]
+    df = spark.createDataFrame(pts, "pid: long, lat: double, lon: double")
+    out = grid_cluster(df, cell_deg=1.0).collect()
+    clusters = {r["pid"]: r["cluster_id"] for r in out}
+    assert clusters[1] == clusters[2] == clusters[3]
+    assert clusters[4] == clusters[5]
+    assert clusters[1] != clusters[4]
+
+
+def test_grid_cluster_gap_splits(spark):
+    # two points two empty cells apart stay separate clusters
+    pts = [(1, 0.5, 0.5), (2, 0.5, 3.5)]
+    df = spark.createDataFrame(pts, "pid: long, lat: double, lon: double")
+    out = {r["pid"]: r["cluster_id"]
+           for r in grid_cluster(df, cell_deg=1.0).collect()}
+    assert out[1] != out[2]
+
+
+# ---------------------------------------------------------------- bm25
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_bm25_tf_monotone_and_idf(spark):
+    # 'rare' appears in 1 of 4 docs, 'common' in all 4. Doc 1 repeats
+    # 'rare'; equal lengths so only tf/df drive scores.
+    rows = [(1, "rare rare common pad"), (2, "common pad pad pad"),
+            (3, "common pad pad pad"), (4, "common pad pad pad")]
+    s = {r["doc_id"]: r for r in
+         bm25_scores(_docs(spark, rows), ["rare", "common"]).collect()}
+    assert s[1]["n_terms"] == 2
+    assert s[2]["n_terms"] == 1
+    # the rare-term doc dominates any common-only doc
+    assert s[1]["score"] > s[2]["score"]
+    # identical docs score identically
+    assert s[2]["score"] == s[3]["score"] == s[4]["score"]
+
+
+def test_bm25_length_normalization(spark):
+    # same tf, longer doc scores lower (b > 0)
+    rows = [(1, "hit pad"), (2, "hit pad pad pad pad pad pad pad")]
+    s = {r["doc_id"]: r["score"] for r in
+         bm25_scores(_docs(spark, rows), ["hit"]).collect()}
+    assert s[1] > s[2]
+
+
+def test_bm25_topk_rank_and_plan(spark):
+    rows = [(i, ("hit " * (i + 1)) + "pad") for i in range(8)]
+    top = bm25_topk(_docs(spark, rows), ["hit"], topk=3)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    # top-k must be TakeOrdered (per-partition heads), never a global sort
+    assert "TakeOrderedAndProject" in plan
+    got = [(r["doc_id"], r["rank"]) for r in top.collect()]
+    assert got == [(7, 1), (6, 2), (5, 3)]
+
+
+def test_bm25_empty_terms_raises(spark):
+    with pytest.raises(ValueError):
+        bm25_scores(_docs(spark, [(1, "a")]), [])
+
+
+# ---------------------------------------------------------------- kmv
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(40).select(
+        F.lit("g").alias("grp"), F.col("id").alias("v"))
+    row = kmv_distinct(df, "grp", "v", k=64).first()
+    assert row["n_kept"] == 40
+    assert row["est_distinct"] == 40.0
+
+
+def test_kmv_estimate_accuracy(spark):
+    # 5000 distinct values, k=256 → relative σ ≈ 1/sqrt(254) ≈ 6.3%;
+    # assert within 4σ
+    df = spark.range(5000).select(
+        F.lit("g").alias("grp"), F.col("id").alias("v"))
+    row = kmv_distinct(df, "grp", "v", k=256).first()
+    assert row["n_kept"] == 256
+    assert abs(row["est_distinct"] - 5000) / 5000 < 0.25
+
+
+def test_kmv_duplicates_ignored(spark):
+    # distinct-ness: each value replicated 7x changes nothing
+    rep = (spark.range(500)
+           .select(F.lit("g").alias("grp"),
+                   F.explode(F.array_repeat(F.col("id"), 7)).alias("v")))
+    one = kmv_distinct(spark.range(500).select(
+        F.lit("g").alias("grp"), F.col("id").alias("v")), "grp", "v").first()
+    many = kmv_distinct(rep, "grp", "v").first()
+    assert one["kth_hash"] == many["kth_hash"]
+    assert one["est_distinct"] == many["est_distinct"]
+
+
+def test_kmv_sketch_mergeable(spark):
+    # sketch(A ∪ B) == re-ranked union of sketch(A), sketch(B)
+    a = spark.range(0, 800).select(F.lit("g").alias("grp"),
+                                   F.col("id").alias("v"))
+    b = spark.range(400, 1200).select(F.lit("g").alias("grp"),
+                                      F.col("id").alias("v"))
+    k = 32
+    direct = sorted(r["h"] for r in
+                    kmv_sketch(a.union(b), "grp", "v", k=k).collect())
+    from pyspark.sql import Window
+    merged_rows = kmv_sketch(a, "grp", "v", k=k).select("grp", "h").union(
+        kmv_sketch(b, "grp", "v", k=k).select("grp", "h")).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    merged = sorted(r["h"] for r in merged_rows
+                    .withColumn("rn", F.row_number().over(w))
+                    .where(F.col("rn") <= k).collect())
+    assert direct == merged
+
+
+def test_kmv_salted_window_plan(spark):
+    # the heavy sort must be partitioned on (grp, salt), not grp alone
+    df = spark.range(1000).select(F.lit("g").alias("grp"),
+                                  F.col("id").alias("v"))
+    plan = kmv_sketch(df, "grp", "v", k=16)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Window") >= 2
+    assert "salt" in plan
