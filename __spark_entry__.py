@@ -398,6 +398,61 @@ def q_connected_components(spark, sf_dir):
     return connected_components(star.union(bridge), "src", "dst")
 
 
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization + registered domain (operators/urltools.py):
+    the first normalization pass of a web corpus — scheme/host lowering,
+    default-port + fragment + tracking-param stripping, www removal,
+    eTLD+1 extraction. Raw URLs are synthesized deterministically from
+    (doc_id, source) IN-QUERY on both sides (the hygiene.py PII-injection
+    pattern) across four shape variants: default port + www + tracking +
+    fragment; co.uk suffix with an all-tracking query; portless-path
+    non-default port; mixed-case scheme/path. Pure codegen'd column
+    expressions — no UDF, no shuffle."""
+    from cartwright_spark.operators.urltools import normalize_urls
+    d = _t(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 4
+    sid = F.col("doc_id").cast("string")
+    raw = (F.when(v == 0, F.concat(
+               F.lit("HTTP://WWW."), F.col("source"),
+               F.lit(".Example.COM:80/Alpha/"), sid,
+               F.lit("?utm_source=feed&id="),
+               (F.col("doc_id") % 7).cast("string"),
+               F.lit("&ref=Home#Frag")))
+           .when(v == 1, F.concat(
+               F.lit("https://news."), F.col("source"),
+               F.lit(".co.uk:443/Briefing?gclid="), sid))
+           .when(v == 2, F.concat(
+               F.lit("http://"), F.col("source"),
+               F.lit(".net:8080?b=2&utm_medium=x&a="),
+               (F.col("doc_id") % 5).cast("string")))
+           .otherwise(F.concat(
+               F.lit("HtTpS://"), F.col("source"),
+               F.lit(".COM/MiXeD/CaSe/"), sid)))
+    return (normalize_urls(d.select("doc_id", raw.alias("url")))
+            .select("doc_id", "url", "url_norm", "host",
+                    "registered_domain"))
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (functions/graph.py pagerank): the
+    host-graph quality prior over the same deterministic orders digraph
+    as connected_components (star edges into 97-block bases + sparse
+    bridges). Block bases have no out-edges, so the dangling-mass
+    redistribution path is exercised, not just the join. Oracle: the
+    power iteration unrolled into 10 chained CTEs — value-for-value,
+    no goldens."""
+    from cartwright_spark.functions.graph import pagerank
+    o = _t(spark, sf_dir, "orders")
+    star = o.select(F.col("o_orderkey").alias("src"),
+                    (F.col("o_orderkey") - F.col("o_orderkey") % 97)
+                    .alias("dst"))
+    bridge = (o.where((F.col("o_orderkey") % 293 == 0)
+                      & (F.col("o_orderkey") >= 97))
+              .select(F.col("o_orderkey").alias("src"),
+                      (F.col("o_orderkey") - 97).alias("dst")))
+    return pagerank(star.union(bridge), "src", "dst", iters=10)
+
+
 def q_grid_cluster(spark, sf_dir):
     """Density-grid spatial clustering (functions/graph.py grid_cluster):
     snap points to 5° cells, connected-components over 8-neighbor
@@ -423,6 +478,26 @@ def q_bm25_scores(spark, sf_dir):
     from cartwright_spark.operators.ranking import bm25_scores
     docs = _t(spark, sf_dir, "documents")
     return bm25_scores(docs, ["spark", "join", "window"])
+
+
+def q_centroid_outlier(spark, sf_dir):
+    """Embedding centroid outlier score (operators/simsearch.py): one
+    algebraic (group, pos) aggregation builds the centroid, broadcast
+    back; per-vector cosine is a bounded d-element fold — the corpus is
+    never shuffled on a per-vector key."""
+    from cartwright_spark.operators.simsearch import centroid_outlier
+    emb = _t(spark, sf_dir, "embeddings")
+    return centroid_outlier(emb, "label", "vec_id", "embedding")
+
+
+def q_linear_score(spark, sf_dir):
+    """Hashed linear scorer (operators/ranking.py): fastText-style
+    inference — token → md5 bucket → broadcast (bucket, weight) dim →
+    per-doc mean → sigmoid. The north star's vectorized batch-scoring
+    shape with a model-as-dim-table."""
+    from cartwright_spark.operators.ranking import hashed_linear_score
+    docs = _t(spark, sf_dir, "documents")
+    return hashed_linear_score(docs, dim=1024)
 
 
 def q_kmv_distinct(spark, sf_dir):
@@ -1137,9 +1212,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "contamination": q_contamination,
         "connected_components": q_connected_components,
+        "pagerank": q_pagerank,
+        "url_normalize": q_url_normalize,
         "grid_cluster": q_grid_cluster,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
+        "centroid_outlier": q_centroid_outlier,
+        "linear_score": q_linear_score,
         "knn_grid": q_knn_grid,
         "j6_pip_boxes": q_j6_pip_boxes,
         "j6_pip_bulk": q_j6_pip_bulk,
@@ -1179,10 +1258,131 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _pagerank_oracle() -> str:
+    """The power iteration unrolled into chained CTEs (one per round) —
+    standard recursive CTEs forbid aggregation over the recursive
+    reference, so a fixed-iteration algorithm oracles cleanly as
+    generated straight-line SQL instead. Semantics mirror
+    functions/graph.py pagerank exactly: uniform init, per-round
+    dangling-mass redistribution, d=0.85, 10 rounds, output rank·N."""
+    d, iters = 0.85, 10
+    parts = ["""
+        WITH e0 AS (
+          SELECT o_orderkey AS src,
+                 o_orderkey - (o_orderkey % 97) AS dst
+          FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_orderkey - 97
+          FROM orders
+          WHERE o_orderkey % 293 = 0 AND o_orderkey >= 97
+        ),
+        e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        od AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""]
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        parts.append(f""",
+        c{k} AS (
+          SELECT e.dst AS id, sum(r.rank / od.outdeg) AS contrib
+          FROM e
+          JOIN {p} r ON e.src = r.id
+          JOIN od ON od.id = e.src
+          GROUP BY e.dst
+        ),
+        d{k} AS (
+          SELECT coalesce(sum(r.rank), 0.0) AS dang
+          FROM {p} r LEFT JOIN od ON r.id = od.id
+          WHERE od.id IS NULL
+        ),
+        r{k} AS MATERIALIZED (
+          SELECT nodes.id,
+                 {(1.0 - d) / 1.0!r} / (SELECT n FROM nn) * 1.0
+                 + {d!r} * (coalesce(c.contrib, 0.0)
+                            + (SELECT dang FROM d{k}) / (SELECT n FROM nn))
+                   AS rank
+          FROM nodes LEFT JOIN c{k} c ON nodes.id = c.id
+        )""")
+    parts.append(f"""
+        SELECT id, rank * (SELECT n FROM nn) AS rank_x_n FROM r{iters}""")
+    return "".join(parts)
+
+
+def _url_normalize_oracle() -> str:
+    """DuckDB re-derivation of q_url_normalize: identical deterministic
+    URL synthesis, then the same Java∩RE2-portable regex pipeline
+    (DuckDB regexp_replace needs the explicit 'g' flag where Spark's is
+    global by default)."""
+    from cartwright_spark.operators.urltools import SUFFIX2, TRACKING_RE
+    url_re = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)[?]?([^#]*)"
+    sfx = ", ".join(f"'{s}'" for s in SUFFIX2)
+    return f"""
+        WITH raw AS (
+          SELECT doc_id,
+            CASE doc_id % 4
+              WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/Alpha/'
+                          || doc_id || '?utm_source=feed&id=' || (doc_id % 7)
+                          || '&ref=Home#Frag'
+              WHEN 1 THEN 'https://news.' || source
+                          || '.co.uk:443/Briefing?gclid=' || doc_id
+              WHEN 2 THEN 'http://' || source || '.net:8080?b=2&utm_medium=x&a='
+                          || (doc_id % 5)
+              ELSE 'HtTpS://' || source || '.COM/MiXeD/CaSe/' || doc_id
+            END AS url
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id, url,
+                 lower(regexp_extract(url, '{url_re}', 1)) AS scheme,
+                 lower(regexp_extract(url, '{url_re}', 2)) AS auth,
+                 regexp_extract(url, '{url_re}', 3) AS path,
+                 regexp_extract(url, '{url_re}', 4) AS query
+          FROM raw
+        ),
+        h AS (
+          SELECT *, CASE
+              WHEN scheme = 'http' AND auth LIKE '%:80'
+                THEN substr(auth, 1, length(auth) - 3)
+              WHEN scheme = 'https' AND auth LIKE '%:443'
+                THEN substr(auth, 1, length(auth) - 4)
+              ELSE auth END AS hp0
+          FROM p
+        ),
+        h2 AS (
+          SELECT *, CASE WHEN hp0 LIKE 'www.%' THEN substr(hp0, 5)
+                         ELSE hp0 END AS hostport
+          FROM h
+        ),
+        h3 AS (
+          SELECT *, regexp_replace(hostport, ':[0-9]+$', '') AS host,
+                 CASE WHEN path = '' THEN '/' ELSE path END AS npath,
+                 regexp_replace(regexp_replace('&' || query,
+                     '{TRACKING_RE}', '', 'g'), '^&+', '') AS q
+          FROM h2
+        ),
+        r AS (
+          SELECT *, regexp_extract(host, '[^.]+[.][^.]+$', 0) AS l2,
+                 regexp_extract(host, '[^.]+[.][^.]+[.][^.]+$', 0) AS l3
+          FROM h3
+        )
+        SELECT doc_id, url,
+               scheme || '://' || hostport || npath
+                 || CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_norm,
+               host,
+               CASE WHEN l2 IN ({sfx}) AND l3 <> '' THEN l3
+                    WHEN l2 <> '' THEN l2
+                    ELSE host END AS registered_domain
+        FROM r
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from cartwright_spark.sources import gazetteers as gz
     iso3_values = ", ".join(f"('{c}')" for c in sorted(gz.iso3_set()))
     return {
+        "pagerank": _pagerank_oracle(),
+        "url_normalize": _url_normalize_oracle(),
         "p4_latitude_valid": f"""
             SELECT l_orderkey, l_linenumber, lat
             FROM ({_COORDS_SQL})
@@ -1623,6 +1823,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN dfq d USING (term)
             JOIN dl l USING (doc_id)
             CROSS JOIN stats s
+            GROUP BY t.doc_id
+        """,
+        # unnest values cast to DOUBLE so the arithmetic runs in double
+        # like Spark's array<double> cast (FLOAT math would diverge)
+        "centroid_outlier": """
+            WITH ex AS (
+              SELECT vec_id, label,
+                     generate_subscripts(embedding, 1) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings
+            ),
+            cent AS (
+              SELECT label, pos, avg(x) AS c FROM ex GROUP BY label, pos
+            )
+            SELECT e.vec_id, e.label,
+                   SUM(e.x * c.c)
+                   / (sqrt(SUM(e.x * e.x)) * sqrt(SUM(c.c * c.c)))
+                     AS cos_centroid
+            FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+            GROUP BY e.vec_id, e.label
+        """,
+        "linear_score": r"""
+            WITH weights AS (
+              SELECT b AS bucket,
+                     ((b * 2654435761) % 2000003) / 1000001.5 - 1.0 AS wt
+              FROM range(1024) t(b)
+            ),
+            toks AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(unnest(
+                        list_filter(str_split_regex(lower(text), '\s+'),
+                                    x -> x <> ''))), 1, 8))::BIGINT % 1024
+                       AS bucket
+              FROM documents
+            )
+            SELECT t.doc_id,
+                   count(*) AS n_tokens,
+                   SUM(w.wt) AS raw,
+                   1.0 / (1.0 + exp(-(SUM(w.wt) / count(*)))) AS prob
+            FROM toks t JOIN weights w USING (bucket)
             GROUP BY t.doc_id
         """,
         "kmv_distinct": """

@@ -113,6 +113,69 @@ def connected_components(edges: DataFrame, src: str = "src",
             .select("id", F.coalesce(e["b"], nodes["id"]).alias("component")))
 
 
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iters: int = 10, damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the classic
+    host-graph quality prior a web-corpus curation pipeline mixes into
+    its sampling weights (and the reason the crawl's link structure is
+    worth keeping next to the text).
+
+    Output: (id, rank_x_n) where rank_x_n = rank · |V| (the normalized
+    form — 1.0 is the uniform baseline; emitting the raw probability at
+    web scale would push every value below float-compare resolution).
+
+    Semantics (exactly the textbook power iteration, so an unrolled SQL
+    re-derivation can check it value-for-value):
+      rank_0(v)   = 1/N
+      rank_t+1(v) = (1-d)/N + d·(Σ_{u→v} rank_t(u)/outdeg(u) + D_t/N)
+    where D_t is the dangling mass (Σ rank_t over nodes with no
+    out-edges) — redistributed uniformly, so Σ rank stays 1 every round.
+
+    Scale shape: each round is one equi-join (edges ⋈ ranks on src — the
+    hot dst of a megahub arrives via an algebraic sum, map-side partial
+    agg absorbs in-link skew) plus one left join back to the node table;
+    the dangling mass is a 1-row aggregate CROSS-joined back in
+    (broadcast — no driver data path). Per-round lineage is truncated
+    with an eager localCheckpoint, so the plan stays O(1) deep and a
+    megagraph's DAG never grows with the iteration count. Edges and the
+    static outdeg/node tables are checkpointed once and reused — at
+    10^12 edges each round touches the edge list exactly once."""
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+         .where(F.col(src) != F.col(dst))
+         .distinct()
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("a").alias("id"))
+             .union(e.select(F.col("b").alias("id")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    outdeg = (e.groupBy(F.col("a").alias("id"))
+              .agg(F.count("*").alias("outdeg"))
+              .localCheckpoint(eager=True))
+    n = nodes.count()
+
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        withdeg = ranks.join(outdeg, "id", "left")
+        contrib = (e.join(withdeg.where(F.col("outdeg").isNotNull())
+                          .select(F.col("id").alias("a"),
+                                  (F.col("rank") / F.col("outdeg"))
+                                  .alias("share")), "a")
+                   .groupBy(F.col("b").alias("id"))
+                   .agg(F.sum("share").alias("contrib")))
+        dang = (withdeg.where(F.col("outdeg").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")))
+        ranks = (nodes.join(contrib, "id", "left")
+                 .crossJoin(F.broadcast(dang))
+                 .select("id",
+                         (F.lit((1.0 - damping) / n)
+                          + F.lit(damping)
+                          * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                             + F.col("dang") / n)).alias("rank"))
+                 .localCheckpoint(eager=True))
+    return ranks.select("id", (F.col("rank") * n).alias("rank_x_n"))
+
+
 def grid_cluster(points: DataFrame, lat: str = "lat", lon: str = "lon",
                  cell_deg: float = 5.0, max_iter: int = 25) -> DataFrame:
     """Density-grid spatial clustering: snap points to an integer

@@ -90,3 +90,35 @@ def bm25_topk(docs: DataFrame, terms: list[str], topk: int = 10,
     top = s.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(topk)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def hashed_linear_score(docs: DataFrame, dim: int = 1024,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """FastText-style linear classifier inference with feature hashing:
+    token → hash bucket → broadcast weight lookup → mean → sigmoid.
+    The north star's "vectorized batch scoring" shape as pure built-ins:
+    a model is a broadcast (bucket, weight) dim table, inference is an
+    equi-join plus one algebraic aggregation — no Python in the hot path
+    and nothing corpus-sized ever collected or shuffled wide (the only
+    shuffle is the per-doc mean).
+
+    Weights here are derived deterministically from the bucket index (a
+    stand-in for trained parameters — swap in a real weights DataFrame of
+    the same shape). Output: (id, n_tokens, raw, prob)."""
+    from cartwright_spark.operators.sketch import hash32
+    spark = docs.sparkSession
+    weights = spark.range(dim).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * 2654435761) % 2000003 / 1000001.5 - 1.0)
+        .alias("wt"))
+    toks = (docs.select(F.col(id_col),
+                        F.explode(_words(text_col)).alias("__t"))
+            .select(id_col, (hash32(F.col("__t")) % dim).alias("bucket")))
+    return (toks.join(F.broadcast(weights), "bucket")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("wt").alias("raw"))
+            .withColumn("prob",
+                        1.0 / (1.0 + F.exp(-(F.col("raw")
+                                             / F.col("n_tokens"))))))

@@ -275,3 +275,33 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def centroid_outlier(emb: DataFrame, group_col: str = "label",
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(id, group, cos_centroid): cosine of every vector to its group's
+    mean embedding — the standard embedding-space outlier / mislabel
+    screen a curation pipeline runs per domain or cluster.
+
+    Scale shape: the centroid is built with ONE algebraic aggregation on
+    (group, pos) over the exploded vectors (map-side partial avg absorbs
+    hot groups), reassembled into a per-group array (groups × dim rows —
+    metadata-sized), then BROADCAST back; the per-row cosine is a bounded
+    d-element fold, so the corpus is never shuffled on a per-vector key.
+    For very hot paths swap the interpreted fold for the numpy matmul
+    kernels above (same contract)."""
+    from cartwright_spark.functions.partitioning import fan_out
+    v = fan_out(emb.select(F.col(id_col), F.col(group_col).alias("grp"),
+                           F.col(vec_col).cast("array<double>").alias("v")))
+    ex = v.select("grp", F.posexplode("v").alias("pos", "x"))
+    cent = (ex.groupBy("grp", "pos").agg(F.avg("x").alias("c"))
+            .groupBy("grp")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"]).alias("cv")))
+    return (v.join(F.broadcast(cent), "grp")
+            .select(id_col, F.col("grp").alias(group_col),
+                    (_dot(F.col("v"), F.col("cv"))
+                     / (_norm(F.col("v")) * _norm(F.col("cv"))))
+                    .alias("cos_centroid")))

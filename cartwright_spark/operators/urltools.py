@@ -1,0 +1,118 @@
+"""URL canonicalization + registered-domain extraction — the first
+normalization pass of any Common-Crawl-style pipeline (dedup keys, domain
+caps, and host-graph edges all key on the canonical URL / registered
+domain, so this runs once per page at full corpus width).
+
+Everything is pure JVM column expressions (regexp_extract/replace, split,
+element_at) — no Python in the hot path, whole-stage-codegen'd, and every
+regex is written in the Java∩RE2 portable subset (no lookaround, no
+backreferences) so a DuckDB oracle re-derives the result value-for-value
+(the same portability contract operators/hygiene.py established).
+
+Canonicalization (the conservative, widely-agreed subset — nothing that
+changes which resource the URL names):
+  - scheme and host lowercased (path/query case is preserved — it is
+    significant on most origin servers)
+  - fragment stripped (never sent to the server)
+  - default ports dropped (:80 for http, :443 for https)
+  - leading ``www.`` dropped from the host
+  - tracking parameters removed (utm_*, gclid, fbclid) with ``&``-sentinel
+    surgery so separators stay consistent
+  - empty path normalized to ``/``
+
+Registered domain: suffix-list match (longest first) over a built-in set
+of multi-label public suffixes (co.uk and friends) falling back to the
+last two labels. The real public-suffix list is ~9k rules; the mechanism
+here is the broadcast-free expression form — swap the SUFFIX2 tuple for
+the full list (or a broadcast dim join at that size) without touching
+callers.
+
+Reference parity: jataware/cartwright has no URL layer; this serves the
+web-corpus scope of the brief (BASELINE.json input_hint: pages keyed by
+url).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# multi-label public suffixes recognized ahead of the 2-label fallback.
+# Deliberately a short built-in subset — see module docstring.
+SUFFIX2 = ("co.uk", "ac.uk", "gov.uk", "org.uk", "com.au", "net.au",
+           "org.au", "co.jp", "or.jp", "ne.jp", "com.br", "com.cn",
+           "com.mx", "co.in", "co.kr", "co.za", "com.ar", "com.tr")
+
+TRACKING_RE = "&(utm_[^=&]*|gclid|fbclid)=[^&]*"
+
+_URL_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)[?]?([^#]*)"
+
+
+def url_parts(url: Column) -> dict[str, Column]:
+    """Split a URL into scheme/authority/path/query columns (fragment is
+    discarded by the parse itself)."""
+    u = F.trim(url)
+    return {
+        "scheme": F.lower(F.regexp_extract(u, _URL_RE, 1)),
+        "authority": F.lower(F.regexp_extract(u, _URL_RE, 2)),
+        "path": F.regexp_extract(u, _URL_RE, 3),
+        "query": F.regexp_extract(u, _URL_RE, 4),
+    }
+
+
+def _strip_default_port(authority: Column, scheme: Column) -> Column:
+    return (F.when((scheme == "http") & authority.endswith(":80"),
+                   F.substring(authority, 1, F.length(authority) - 3))
+            .when((scheme == "https") & authority.endswith(":443"),
+                  F.substring(authority, 1, F.length(authority) - 4))
+            .otherwise(authority))
+
+
+def host_of(authority: Column, scheme: Column) -> Column:
+    """Lowercased host with default port and leading www. removed."""
+    h = _strip_default_port(authority, scheme)
+    return F.when(h.startswith("www."), F.substring(h, 5, 2 ** 30)) \
+            .otherwise(h)
+
+
+def clean_query(query: Column) -> Column:
+    """Remove tracking params; keep remaining params in original order."""
+    q = F.regexp_replace(F.concat(F.lit("&"), query), TRACKING_RE, "")
+    # drop the sentinel (and a now-leading separator, if any)
+    q = F.regexp_replace(q, "^&+", "")
+    return q
+
+
+def registered_domain(host: Column) -> Column:
+    """eTLD+1 via longest-suffix match over SUFFIX2, else last 2 labels.
+    Hosts with fewer labels than the matched suffix + 1 (bare TLDs,
+    dotless hosts) fall through to the host itself.
+
+    Pure regex tail-extraction (no array indexing — ANSI-safe, and the
+    identical pattern runs under DuckDB's RE2 for the oracle)."""
+    last2 = F.regexp_extract(host, "[^.]+[.][^.]+$", 0)
+    last3 = F.regexp_extract(host, "[^.]+[.][^.]+[.][^.]+$", 0)
+    is2 = last2.isin(*SUFFIX2)
+    return (F.when(is2 & (last3 != ""), last3)
+            .when(last2 != "", last2)
+            .otherwise(host))
+
+
+def normalize_urls(df: DataFrame, url_col: str = "url",
+                   out_col: str = "url_norm") -> DataFrame:
+    """Append (out_col, host, registered_domain) to df.
+
+    Scale shape: narrow map-only stage, fully codegen'd — no shuffle, no
+    UDF, no dictionary lookup; the suffix set folds into an IN literal.
+    At 10^12 pages this is scan-bound, which is the correct bound."""
+    p = url_parts(F.col(url_col))
+    hostport = host_of(p["authority"], p["scheme"])  # keeps :8080 etc.
+    host = F.regexp_replace(hostport, ":[0-9]+$", "")
+    path = F.when(p["path"] == "", F.lit("/")).otherwise(p["path"])
+    q = clean_query(p["query"])
+    norm = F.concat(
+        p["scheme"], F.lit("://"), hostport, path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)))
+    return (df.withColumn(out_col, norm)
+            .withColumn("host", host)
+            .withColumn("registered_domain", registered_domain(host)))

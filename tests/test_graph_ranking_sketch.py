@@ -196,3 +196,56 @@ def test_kmv_salted_window_plan(spark):
         .executedPlan().toString()
     assert plan.count("Window") >= 2
     assert "salt" in plan
+
+
+# ------------------------------------------------------ centroid/linear
+
+def test_centroid_outlier_flags_outlier(spark):
+    import numpy as np
+    from cartwright_spark.operators.simsearch import centroid_outlier
+    rows = [(1, [1.0, 0.0, 0.0], 0), (2, [0.9, 0.1, 0.0], 0),
+            (3, [-1.0, 0.0, 0.0], 0),   # the outlier
+            (4, [0.0, 1.0, 0.0], 1), (5, [0.0, 0.9, 0.1], 1)]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>, label: int")
+    got = {r["vec_id"]: r["cos_centroid"]
+           for r in centroid_outlier(df).collect()}
+    # numpy cross-check
+    for lab in (0, 1):
+        vs = np.array([e for _, e, l in rows if l == lab])
+        cent = vs.mean(axis=0)
+        for vid, e, l in rows:
+            if l != lab:
+                continue
+            e = np.array(e)
+            exp = float(e @ cent / (np.linalg.norm(e) * np.linalg.norm(cent)))
+            assert abs(got[vid] - exp) < 1e-12
+    assert got[3] == min(got[1], got[2], got[3])
+
+
+def test_hashed_linear_score_matches_reference(spark):
+    import hashlib
+    import math
+    from cartwright_spark.operators.ranking import hashed_linear_score
+    text = "Alpha beta GAMMA beta"
+    df = spark.createDataFrame([(9, text)], "doc_id: long, text: string")
+    row = hashed_linear_score(df, dim=1024).first()
+
+    def wt(tok):
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 1024
+        return ((b * 2654435761) % 2000003) / 1000001.5 - 1.0
+
+    toks = text.lower().split()
+    raw = sum(wt(t) for t in toks)
+    assert row["n_tokens"] == 4
+    assert abs(row["raw"] - raw) < 1e-9
+    assert abs(row["prob"] - 1.0 / (1.0 + math.exp(-raw / 4))) < 1e-12
+
+
+def test_hashed_linear_score_deterministic(spark):
+    from cartwright_spark.operators.ranking import hashed_linear_score
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b c")],
+                               "doc_id: long, text: string")
+    got = {r["doc_id"]: (r["raw"], r["prob"])
+           for r in hashed_linear_score(df).collect()}
+    assert got[1] == got[2]
