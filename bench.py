@@ -49,7 +49,7 @@ CONTRACT_BENCH_QUERIES = (
     "stratified_sample", "stratum_cap", "sequence_packing",
     "interval_overlap", "pii_redact", "contamination",
     "connected_components", "grid_cluster", "bm25_scores", "kmv_distinct",
-    "centroid_outlier", "linear_score",
+    "centroid_outlier", "linear_score", "pagerank", "url_normalize",
 )
 
 

@@ -249,3 +249,67 @@ def test_hashed_linear_score_deterministic(spark):
     got = {r["doc_id"]: (r["raw"], r["prob"])
            for r in hashed_linear_score(df).collect()}
     assert got[1] == got[2]
+
+
+# ------------------------------------------------------------- pagerank
+
+def _np_pagerank(edges, iters=10, d=0.85):
+    """Reference power iteration with the same dangling-redistribution
+    semantics as functions/graph.py pagerank."""
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for a, b in edges:
+        out.setdefault(a, set()).add(b)
+    r = [1.0 / n] * n
+    for _ in range(iters):
+        contrib = [0.0] * n
+        dang = 0.0
+        for v in nodes:
+            if v in out:
+                share = r[idx[v]] / len(out[v])
+                for w in out[v]:
+                    contrib[idx[w]] += share
+            else:
+                dang += r[idx[v]]
+        r = [(1 - d) / n + d * (contrib[i] + dang / n) for i in range(n)]
+    return {v: r[idx[v]] * n for v in nodes}
+
+
+def test_pagerank_matches_reference_with_dangling(spark):
+    from cartwright_spark.functions.graph import pagerank
+    # 1→2, 1→3, 2→3, 4→1; node 3 is dangling (no out-edges)
+    edges = [(1, 2), (1, 3), (2, 3), (4, 1)]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {r["id"]: r["rank_x_n"]
+           for r in pagerank(df, iters=10).collect()}
+    exp = _np_pagerank(edges, iters=10)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-12
+    # probability mass conserved: mean normalized rank is exactly 1
+    assert abs(sum(got.values()) / len(got) - 1.0) < 1e-12
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    from cartwright_spark.functions.graph import pagerank
+    cyc = [(i, (i + 1) % 8) for i in range(8)]
+    df = spark.createDataFrame(cyc, "src: long, dst: long")
+    for r in pagerank(df, iters=5).collect():
+        assert abs(r["rank_x_n"] - 1.0) < 1e-12
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    from cartwright_spark.functions.graph import pagerank
+    # everyone links to 0; 0 links back to 1 only
+    edges = [(i, 0) for i in range(1, 20)] + [(0, 1)]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {r["id"]: r["rank_x_n"] for r in pagerank(df, iters=10).collect()}
+    # the hub and its sole beneficiary (which inherits the hub's whole
+    # rank each round) dominate every leaf
+    leaves = max(v for k, v in got.items() if k > 1)
+    assert min(got[0], got[1]) > 5 * leaves
+    exp = _np_pagerank(edges, iters=10)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-12

@@ -1,0 +1,89 @@
+"""URL canonicalization + registered-domain extraction
+(operators/urltools.py): value checks per variant, idempotence, and the
+map-only / no-UDF plan gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartwright_spark.operators.urltools import normalize_urls
+
+
+def _norm(spark, urls):
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i: long, url: string")
+    return {r["url"]: (r["url_norm"], r["host"], r["registered_domain"])
+            for r in normalize_urls(df).collect()}
+
+
+def test_default_port_www_tracking_fragment(spark):
+    got = _norm(spark, [
+        "HTTP://WWW.Sub.Example.COM:80/Alpha/9?utm_source=f&id=3&ref=Home#Frag",
+    ])
+    norm, host, reg = next(iter(got.values()))
+    assert norm == "http://sub.example.com/Alpha/9?id=3&ref=Home"
+    assert host == "sub.example.com"
+    assert reg == "example.com"
+
+
+def test_public_suffix_and_all_tracking_query(spark):
+    got = _norm(spark, ["https://news.acme.co.uk:443/Briefing?gclid=777"])
+    norm, host, reg = next(iter(got.values()))
+    assert norm == "https://news.acme.co.uk/Briefing"
+    assert host == "news.acme.co.uk"
+    assert reg == "acme.co.uk"
+
+
+def test_nondefault_port_kept_and_empty_path(spark):
+    got = _norm(spark, ["http://acme.net:8080?b=2&utm_medium=x&a=1"])
+    norm, host, reg = next(iter(got.values()))
+    assert norm == "http://acme.net:8080/?b=2&a=1"
+    assert host == "acme.net"
+    assert reg == "acme.net"
+
+
+def test_path_case_preserved_and_dotless_host(spark):
+    got = _norm(spark, ["HtTpS://localhost/MiXeD/CaSe/5",
+                        "https://intranet:9999/x"])
+    norm, host, reg = got["HtTpS://localhost/MiXeD/CaSe/5"]
+    assert norm == "https://localhost/MiXeD/CaSe/5"
+    assert host == "localhost" and reg == "localhost"
+    _, host2, reg2 = got["https://intranet:9999/x"]
+    assert host2 == "intranet" and reg2 == "intranet"
+
+
+def test_port_443_only_stripped_for_https(spark):
+    got = _norm(spark, ["http://a.example.org:443/x",
+                        "https://a.example.org:80/x"])
+    assert got["http://a.example.org:443/x"][0] == "http://a.example.org:443/x"
+    assert got["https://a.example.org:80/x"][0] == "https://a.example.org:80/x"
+
+
+def test_tracking_param_in_middle_and_multiple(spark):
+    got = _norm(spark, [
+        "http://e.com/p?a=1&utm_a=x&b=2&fbclid=z&c=3",
+        "http://e.com/p?utm_a=x&utm_b=y",
+    ])
+    assert got["http://e.com/p?a=1&utm_a=x&b=2&fbclid=z&c=3"][0] == \
+        "http://e.com/p?a=1&b=2&c=3"
+    assert got["http://e.com/p?utm_a=x&utm_b=y"][0] == "http://e.com/p"
+
+
+def test_idempotent(spark):
+    urls = ["HTTP://WWW.Sub.Example.COM:80/A/9?utm_source=f&id=3#z",
+            "https://news.acme.co.uk:443/B?gclid=7",
+            "http://acme.net:8080?b=2&utm_medium=x&a=1"]
+    first = {v[0] for v in _norm(spark, urls).values()}
+    again = _norm(spark, sorted(first))
+    for u in first:
+        assert again[u][0] == u
+
+
+def test_map_only_no_udf_plan(spark):
+    """The whole op must stay a narrow codegen'd projection: no shuffle,
+    no Python/Arrow eval in the plan."""
+    df = spark.range(100).select(
+        F.concat(F.lit("http://www.h"), F.col("id"), F.lit(".com/p?a=1"))
+        .alias("url"))
+    plan = normalize_urls(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
