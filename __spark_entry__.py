@@ -433,6 +433,47 @@ def q_url_normalize(spark, sf_dir):
                     "registered_domain"))
 
 
+def _synth_pages(spark, sf_dir):
+    """Deterministic page table (url, html-with-two-hrefs) from
+    documents — the Spark twin of _PAGES_SQL."""
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".com/p/"), sid)
+    html = F.concat(
+        F.lit('<html><a href="http://www.src'),
+        ((F.col("doc_id") + 3) % 20).cast("string"),
+        F.lit(".example.com:80/x/"),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit("?utm_source=a&q="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('">a</a><p><a href="https://news.src'),
+        ((F.col("doc_id") + 7) % 20).cast("string"),
+        F.lit('.co.uk:443/y#top">b</a></html>'))
+    return d.select("doc_id", url.alias("url"), html.alias("html"))
+
+
+def q_link_graph(spark, sf_dir):
+    """Host-level link graph (operators/urltools.py host_edges): hrefs
+    exploded out of html, both endpoints canonicalized with the URL
+    layer, self-links dropped, multiplicity collapsed to a weight. Pages
+    synthesized deterministically in-query on both sides. The only
+    shuffle is the algebraic (src_host, dst_host) count."""
+    from cartwright_spark.operators.urltools import host_edges
+    return host_edges(_synth_pages(spark, sf_dir))
+
+
+def q_host_pagerank(spark, sf_dir):
+    """PageRank over the host graph that link_graph builds — the
+    extract → normalize → graph composition end-to-end (the host-quality
+    prior a web curation pipeline mixes into sampling weights). String
+    node ids exercise pagerank's type-agnostic join path; the oracle is
+    the link-graph SQL fed into the same unrolled power iteration."""
+    from cartwright_spark.functions.graph import pagerank
+    from cartwright_spark.operators.urltools import host_edges
+    edges = host_edges(_synth_pages(spark, sf_dir))
+    return pagerank(edges, "src_host", "dst_host", iters=10)
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank (functions/graph.py pagerank): the
     host-graph quality prior over the same deterministic orders digraph
@@ -1214,6 +1255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "pagerank": q_pagerank,
         "url_normalize": q_url_normalize,
+        "link_graph": q_link_graph,
+        "host_pagerank": q_host_pagerank,
         "grid_cluster": q_grid_cluster,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
@@ -1258,24 +1301,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _pagerank_oracle() -> str:
+def _pagerank_unrolled(edges_sql: str, d: float = 0.85,
+                       iters: int = 10) -> str:
     """The power iteration unrolled into chained CTEs (one per round) —
     standard recursive CTEs forbid aggregation over the recursive
     reference, so a fixed-iteration algorithm oracles cleanly as
     generated straight-line SQL instead. Semantics mirror
     functions/graph.py pagerank exactly: uniform init, per-round
-    dangling-mass redistribution, d=0.85, 10 rounds, output rank·N."""
-    d, iters = 0.85, 10
-    parts = ["""
-        WITH e0 AS (
-          SELECT o_orderkey AS src,
-                 o_orderkey - (o_orderkey % 97) AS dst
-          FROM orders
-          UNION ALL
-          SELECT o_orderkey, o_orderkey - 97
-          FROM orders
-          WHERE o_orderkey % 293 = 0 AND o_orderkey >= 97
-        ),
+    dangling-mass redistribution, output rank·N. Every per-round CTE is
+    MATERIALIZED: r{k} is referenced twice (contribs + dangling mass),
+    so default inlining would blow up 2^iters.
+
+    `edges_sql` must yield (src, dst) of any equality-comparable type —
+    node ids can be ints (orders digraph) or strings (host graph)."""
+    parts = [f"""
+        WITH e0 AS ({edges_sql}),
         e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
         nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
         od AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src),
@@ -1307,6 +1347,63 @@ def _pagerank_oracle() -> str:
     parts.append(f"""
         SELECT id, rank * (SELECT n FROM nn) AS rank_x_n FROM r{iters}""")
     return "".join(parts)
+
+
+_ORDERS_DIGRAPH_SQL = """
+          SELECT o_orderkey AS src,
+                 o_orderkey - (o_orderkey % 97) AS dst
+          FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_orderkey - 97
+          FROM orders
+          WHERE o_orderkey % 293 = 0 AND o_orderkey >= 97
+"""
+
+# Deterministic page synthesis shared by link_graph / host_pagerank:
+# page url from (source), html with two outbound hrefs rotated across the
+# 20 sources — one www+port+tracking variant, one co.uk variant. The
+# DuckDB side re-derives the identical strings.
+_PAGES_SQL = """
+          SELECT doc_id,
+                 'https://' || source || '.com/p/' || doc_id AS url,
+                 '<html><a href="http://www.src' || ((doc_id + 3) % 20)
+                 || '.example.com:80/x/' || (doc_id % 13)
+                 || '?utm_source=a&q=' || (doc_id % 5)
+                 || '">a</a><p><a href="https://news.src'
+                 || ((doc_id + 7) % 20) || '.co.uk:443/y#top">b</a></html>'
+                   AS html
+          FROM documents
+"""
+
+_LINK_GRAPH_SQL = f"""
+          WITH pages AS ({_PAGES_SQL}),
+          links AS (
+            SELECT url, unnest(regexp_extract_all(html,
+                       'href="([^"]*)"', 1)) AS link
+            FROM pages
+          ),
+          n AS (
+            SELECT
+              regexp_replace(
+                CASE WHEN s1 LIKE 'www.%' THEN substr(s1, 5) ELSE s1 END,
+                ':[0-9]+$', '') AS src_host,
+              regexp_replace(
+                CASE WHEN s2 LIKE 'www.%' THEN substr(s2, 5) ELSE s2 END,
+                ':[0-9]+$', '') AS dst_host
+            FROM (
+              SELECT
+                lower(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2)) AS s1,
+                lower(regexp_extract(link,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2)) AS s2
+              FROM links
+            )
+          )
+          SELECT src_host, dst_host, count(*) AS n_links
+          FROM n
+          WHERE src_host <> dst_host
+          GROUP BY src_host, dst_host
+"""
 
 
 def _url_normalize_oracle() -> str:
@@ -1381,8 +1478,11 @@ def oracle_sql() -> dict[str, str]:
     from cartwright_spark.sources import gazetteers as gz
     iso3_values = ", ".join(f"('{c}')" for c in sorted(gz.iso3_set()))
     return {
-        "pagerank": _pagerank_oracle(),
+        "pagerank": _pagerank_unrolled(_ORDERS_DIGRAPH_SQL),
         "url_normalize": _url_normalize_oracle(),
+        "link_graph": _LINK_GRAPH_SQL,
+        "host_pagerank": _pagerank_unrolled(
+            f"SELECT src_host AS src, dst_host AS dst FROM ({_LINK_GRAPH_SQL})"),
         "p4_latitude_valid": f"""
             SELECT l_orderkey, l_linenumber, lat
             FROM ({_COORDS_SQL})

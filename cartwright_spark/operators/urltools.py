@@ -98,6 +98,43 @@ def registered_domain(host: Column) -> Column:
             .otherwise(host))
 
 
+HREF_RE = 'href="([^"]*)"'
+
+
+def extract_links(df: DataFrame, html_col: str = "html",
+                  out_col: str = "link") -> DataFrame:
+    """Explode every double-quoted href value out of an HTML column —
+    one output row per (page row, link). Pure JVM regexp_extract_all +
+    explode; rows with no links disappear (inner explode), matching the
+    edge-list semantics downstream graph ops want."""
+    return df.withColumn(
+        out_col,
+        F.explode(F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), 1)))
+
+
+def host_edges(pages: DataFrame, url_col: str = "url",
+               html_col: str = "html") -> DataFrame:
+    """(src_host, dst_host, n_links): the host-level link graph of a page
+    table — outlinks extracted from html, both endpoints canonicalized
+    with the same normalization as normalize_urls, self-links dropped,
+    multi-links collapsed into a weight.
+
+    Scale shape: extract + normalize are narrow codegen'd stages; the
+    only shuffle is the final (src_host, dst_host) count — algebraic, so
+    map-side partial agg absorbs hub-page skew. This is the input the
+    graph layer (functions/graph.py pagerank / connected_components)
+    consumes at corpus scale."""
+    links = extract_links(pages.select(url_col, html_col), html_col)
+    src = normalize_urls(links.select(F.col(url_col).alias("u"),
+                                      "link"), "u") \
+        .select(F.col("host").alias("src_host"), "link")
+    both = normalize_urls(src, "link") \
+        .select("src_host", F.col("host").alias("dst_host"))
+    return (both.where(F.col("src_host") != F.col("dst_host"))
+            .groupBy("src_host", "dst_host")
+            .agg(F.count("*").alias("n_links")))
+
+
 def normalize_urls(df: DataFrame, url_col: str = "url",
                    out_col: str = "url_norm") -> DataFrame:
     """Append (out_col, host, registered_domain) to df.

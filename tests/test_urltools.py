@@ -87,3 +87,43 @@ def test_map_only_no_udf_plan(spark):
     plan = normalize_urls(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+# ------------------------------------------------------------ link graph
+
+def test_extract_links_explodes_and_drops_linkless(spark):
+    from cartwright_spark.operators.urltools import extract_links
+    df = spark.createDataFrame(
+        [(1, '<a href="http://a.com/x">1</a><a href="http://b.com/y">2</a>'),
+         (2, "<p>no links here</p>")],
+        "i: long, html: string")
+    got = [(r["i"], r["link"]) for r in extract_links(df).collect()]
+    assert sorted(got) == [(1, "http://a.com/x"), (1, "http://b.com/y")]
+
+
+def test_host_edges_weights_and_self_link_drop(spark):
+    from cartwright_spark.operators.urltools import host_edges
+    pages = spark.createDataFrame(
+        [("https://s.com/1",
+          '<a href="http://www.t.com:80/a">x</a>'
+          '<a href="http://t.com/b">y</a>'
+          '<a href="https://s.com/self">z</a>'),
+         ("https://s.com/2", '<a href="http://u.org/c">w</a>')],
+        "url: string, html: string")
+    got = {(r["src_host"], r["dst_host"]): r["n_links"]
+           for r in host_edges(pages).collect()}
+    # www./:80 and the bare form canonicalize to the same host → weight 2;
+    # the self-link (s.com → s.com) is dropped
+    assert got == {("s.com", "t.com"): 2, ("s.com", "u.org"): 1}
+
+
+def test_host_edges_single_shuffle_plan(spark):
+    from cartwright_spark.operators.urltools import host_edges
+    pages = spark.range(100).select(
+        F.concat(F.lit("https://h"), F.col("id") % 5, F.lit(".com/p"))
+        .alias("url"),
+        F.concat(F.lit('<a href="https://h'), (F.col("id") + 1) % 5,
+                 F.lit('.com/x">l</a>')).alias("html"))
+    plan = host_edges(pages)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # only the (src,dst) count agg
+    assert "Python" not in plan
