@@ -379,6 +379,20 @@ def q_contamination(spark, sf_dir):
     return contamination_check(docs, probes)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Per-source weighted sample without replacement
+    (operators/sampling.py weighted_sample — Efraimidis-Spirakis
+    exponential keys, deterministic hash uniforms): 20 docs per source
+    drawn proportional to n_chars. The hot-group-safe two-stage salted
+    ranking is exercised; the oracle is the naive one-window
+    formulation the stages provably equal."""
+    from cartwright_spark.operators.sampling import weighted_sample
+    d = _t(spark, sf_dir, "documents")
+    return (weighted_sample(d, "n_chars", 20, "doc_id",
+                            group_col="source", salt="ws-v1")
+            .select("doc_id", "source", "n_chars"))
+
+
 def q_connected_components(spark, sf_dir):
     """Distributed connected components (functions/graph.py, alternating
     large-star/small-star — Kiveris et al. SoCC'14): the pairs→clusters
@@ -1253,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "contamination": q_contamination,
         "connected_components": q_connected_components,
+        "weighted_sample": q_weighted_sample,
         "pagerank": q_pagerank,
         "url_normalize": q_url_normalize,
         "link_graph": q_link_graph,
@@ -1478,6 +1493,21 @@ def oracle_sql() -> dict[str, str]:
     from cartwright_spark.sources import gazetteers as gz
     iso3_values = ", ".join(f"('{c}')" for c in sorted(gz.iso3_set()))
     return {
+        "weighted_sample": """
+            WITH keyed AS (
+              SELECT doc_id, source, n_chars,
+                     ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                          || 'ws-v1'), 1, 8))::BIGINT + 0.5)
+                        / 4294967296.0) / n_chars AS key
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0
+            )
+            SELECT doc_id, source, n_chars FROM (
+              SELECT *, row_number() OVER (
+                 PARTITION BY source ORDER BY key DESC, doc_id ASC) AS rn
+              FROM keyed)
+            WHERE rn <= 20
+        """,
         "pagerank": _pagerank_unrolled(_ORDERS_DIGRAPH_SQL),
         "url_normalize": _url_normalize_oracle(),
         "link_graph": _LINK_GRAPH_SQL,

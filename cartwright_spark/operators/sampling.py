@@ -112,6 +112,47 @@ def stratum_cap_sample(df: DataFrame, strata_col: str, cap: int,
     return small.unionByName(ranked)
 
 
+def weighted_sample(df: DataFrame, weight_col: str, k: int, id_col: str,
+                    group_col: str | None = None, salt: str = "",
+                    salt_buckets: int = 16) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential keys
+    (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    reservoir" — public): each row gets key = ln(u)/w with u a
+    deterministic hash-uniform in (0,1); the k largest keys are exactly
+    a weight-proportional without-replacement draw. Deterministic in
+    (ids, salt) like every sampler in this module — retries, layout
+    changes and engine ports reproduce the identical sample (the DuckDB
+    oracle re-derives it value-for-value). Rows with weight <= 0 or
+    NULL are excluded (zero mass), matching the A-ES definition.
+
+    Scale shape: the GLOBAL draw (group_col=None) compiles to
+    TakeOrdered — per-partition partial top-k, no full sort, no wide
+    shuffle. The PER-GROUP draw never sorts a hot group in one task:
+    stage 1 ranks within (group, hash-salt-bucket) so a 30%-of-corpus
+    group sorts salt_buckets-way parallel; stage 2 ranks the surviving
+    <= salt_buckets*k rows per group (the kmv_distinct pattern — exact,
+    because a group's true top-k all survive stage 1)."""
+    u = ((det_hash_u32(F.col(id_col), salt).cast("double") + 0.5)
+         / _HASH_SPACE)
+    keyed = (df.where(F.col(weight_col).isNotNull()
+                      & (F.col(weight_col) > 0))
+             .withColumn("__key", F.log(u) / F.col(weight_col)))
+    if group_col is None:
+        return (keyed.orderBy(F.col("__key").desc(), F.col(id_col).asc())
+                .limit(k).drop("__key"))
+    b = det_hash_u32(F.col(id_col), salt + "#b") % salt_buckets
+    w1 = (W.partitionBy(group_col, "__b")
+          .orderBy(F.col("__key").desc(), F.col(id_col).asc()))
+    w2 = (W.partitionBy(group_col)
+          .orderBy(F.col("__key").desc(), F.col(id_col).asc()))
+    return (keyed.withColumn("__b", b)
+            .withColumn("__r1", F.row_number().over(w1))
+            .where(F.col("__r1") <= k)
+            .withColumn("__r2", F.row_number().over(w2))
+            .where(F.col("__r2") <= k)
+            .drop("__key", "__b", "__r1", "__r2"))
+
+
 def validate_stratum_cap(df: DataFrame, out: DataFrame, strata_col: str,
                          cap: int) -> None:
     """Loud check that the pre-filter margin held: every stratum kept

@@ -125,3 +125,76 @@ def test_stratum_cap_layout_invariant(spark):
     b = stratum_cap_sample(df.repartition(23), "src", 50, "doc_id")
     assert sorted(r["doc_id"] for r in a.collect()) == \
         sorted(r["doc_id"] for r in b.collect())
+
+
+# -------------------------------------------------------- weighted A-ES
+
+def _aes_naive(rows, k, salt="", by_group=False):
+    """Reference Efraimidis-Spirakis draw with the same hash uniforms."""
+    import hashlib
+    import math
+
+    def key(doc_id, w):
+        h = int(hashlib.md5(f"{doc_id}{salt}".encode()).hexdigest()[:8], 16)
+        return math.log((h + 0.5) / 2 ** 32) / w
+
+    rows = [(i, g, w) for i, g, w in rows if w is not None and w > 0]
+    if by_group:
+        out = set()
+        for grp in {g for _, g, _ in rows}:
+            sub = sorted((r for r in rows if r[1] == grp),
+                         key=lambda r: (-key(r[0], r[2]), r[0]))
+            out |= {r[0] for r in sub[:k]}
+        return out
+    return {r[0] for r in sorted(rows, key=lambda r: (-key(r[0], r[2]),
+                                                      r[0]))[:k]}
+
+
+def _wdocs(spark, n=3000):
+    rows = [(i, f"g{i % 5}",
+             None if i % 97 == 0 else (0 if i % 31 == 0 else (i % 50) + 1))
+            for i in range(n)]
+    return rows, spark.createDataFrame(
+        rows, "doc_id: long, source: string, w: int")
+
+
+def test_weighted_sample_grouped_equals_naive(spark):
+    from cartwright_spark.operators.sampling import weighted_sample
+    rows, df = _wdocs(spark)
+    got = {r["doc_id"] for r in
+           weighted_sample(df, "w", 15, "doc_id", group_col="source",
+                           salt="t1").collect()}
+    assert got == _aes_naive(rows, 15, salt="t1", by_group=True)
+    assert len(got) == 5 * 15
+
+
+def test_weighted_sample_global_equals_naive_and_takeordered(spark):
+    from cartwright_spark.operators.sampling import weighted_sample
+    rows, df = _wdocs(spark)
+    samp = weighted_sample(df, "w", 40, "doc_id", salt="t2")
+    got = {r["doc_id"] for r in samp.collect()}
+    assert got == _aes_naive(rows, 40, salt="t2")
+    plan = samp._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan  # partial top-k, never a full sort
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from cartwright_spark.operators.sampling import weighted_sample
+    rows, df = _wdocs(spark, 400)
+    bad = {i for i, _, w in rows if w is None or w <= 0}
+    got = {r["doc_id"] for r in
+           weighted_sample(df, "w", 400, "doc_id",
+                           group_col="source").collect()}
+    assert not (got & bad)
+
+
+def test_weighted_sample_leans_toward_heavy_weights(spark):
+    from cartwright_spark.operators.sampling import weighted_sample
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, F.lit(100)).otherwise(F.lit(1))
+        .alias("w"))
+    got = [r["doc_id"] for r in
+           weighted_sample(df, "w", 100, "doc_id", salt="t3").collect()]
+    heavy = sum(1 for i in got if i < 1000)
+    assert heavy > 85  # 100:1 odds; uniform draw would give ~50
