@@ -379,6 +379,19 @@ def q_contamination(spark, sf_dir):
     return contamination_check(docs, probes)
 
 
+def q_cms_freq(spark, sf_dir):
+    """Count-Min frequency sketch (operators/sketch.py cms_build /
+    cms_estimate): depth-4 × width-64 sketch of documents.source, then
+    point estimates for every distinct source. Width 64 over 20 hot
+    values forces real bucket collisions, so the oracle checks the
+    collision arithmetic (est = min over rows of colliding-count sums),
+    not just a pass-through."""
+    from cartwright_spark.operators.sketch import cms_build, cms_estimate
+    d = _t(spark, sf_dir, "documents")
+    sk = cms_build(d, "source", depth=4, width=64)
+    return cms_estimate(sk, d.select("source"), "source", width=64)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Per-source weighted sample without replacement
     (operators/sampling.py weighted_sample — Efraimidis-Spirakis
@@ -1268,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "connected_components": q_connected_components,
         "weighted_sample": q_weighted_sample,
+        "cms_freq": q_cms_freq,
         "pagerank": q_pagerank,
         "url_normalize": q_url_normalize,
         "link_graph": q_link_graph,
@@ -1493,6 +1507,28 @@ def oracle_sql() -> dict[str, str]:
     from cartwright_spark.sources import gazetteers as gz
     iso3_values = ", ".join(f"('{c}')" for c in sorted(gz.iso3_set()))
     return {
+        "cms_freq": """
+            WITH sk AS (
+              SELECT r.rw,
+                     ('0x' || substr(md5(CAST(source AS VARCHAR)
+                        || '#cms' || r.rw), 1, 8))::BIGINT % 64 AS bucket,
+                     count(*) AS cnt
+              FROM documents, range(4) r(rw)
+              GROUP BY 1, 2
+            ),
+            cand AS (SELECT DISTINCT CAST(source AS VARCHAR) AS source
+                     FROM documents),
+            addr AS (
+              SELECT source, r.rw,
+                     ('0x' || substr(md5(source || '#cms' || r.rw),
+                        1, 8))::BIGINT % 64 AS bucket
+              FROM cand, range(4) r(rw)
+            )
+            SELECT a.source, min(coalesce(s.cnt, 0)) AS est
+            FROM addr a
+            LEFT JOIN sk s ON a.rw = s.rw AND a.bucket = s.bucket
+            GROUP BY a.source
+        """,
         "weighted_sample": """
             WITH keyed AS (
               SELECT doc_id, source, n_chars,

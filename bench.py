@@ -50,7 +50,7 @@ CONTRACT_BENCH_QUERIES = (
     "interval_overlap", "pii_redact", "contamination",
     "connected_components", "grid_cluster", "bm25_scores", "kmv_distinct",
     "centroid_outlier", "linear_score", "pagerank", "url_normalize",
-    "link_graph", "host_pagerank", "weighted_sample",
+    "link_graph", "host_pagerank", "weighted_sample", "cms_freq",
 )
 
 

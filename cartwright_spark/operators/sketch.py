@@ -71,3 +71,53 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
     est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")) \
            .otherwise(F.lit((k - 1) * _M) / F.col("kth_hash"))
     return agg.withColumn("est_distinct", est)
+
+
+def cms_build(df: DataFrame, value_col: str, depth: int = 4,
+              width: int = 1024) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005 —
+    public) of a column's value frequencies: rows (row, bucket, cnt)
+    with bucket = hash32(value ⊕ row-salt) mod width, cnt = how many
+    input rows landed there.
+
+    Deterministic (portable md5-derived hashes, same contract as KMV),
+    MERGEABLE (union two sketches and re-aggregate — counts add), and
+    bounded: the sketch is depth·width rows no matter the corpus, so
+    per-day / per-shard sketches roll up without touching raw data.
+
+    Scale shape: one explode (×depth, narrow) + one algebraic
+    (row, bucket) count — map-side partial agg absorbs any hot value
+    (the hot value IS one bucket per row; its count arrives
+    pre-combined). No collect, no window, no sort."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    return (df.select(F.col(value_col).cast("string").alias("__v"))
+            .select("__v", rows)
+            .select("row",
+                    (hash32(F.concat(F.col("__v"), F.lit("#cms"),
+                                     F.col("row").cast("string")))
+                     % width).alias("bucket"))
+            .groupBy("row", "bucket")
+            .agg(F.count("*").alias("cnt")))
+
+
+def cms_estimate(sketch: DataFrame, candidates: DataFrame,
+                 value_col: str, width: int = 1024) -> DataFrame:
+    """Point-frequency estimates for candidate values against a
+    cms_build sketch: est = min over the depth rows of the addressed
+    bucket counts (biased high only — collisions add, never subtract).
+    The sketch side is sketch-sized (depth·width) and broadcast; the
+    candidate explosion is ×depth. Output: (value_col, est)."""
+    depth = sketch.agg(F.max("row")).first()[0] + 1
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    addr = (candidates.select(F.col(value_col).cast("string")
+                              .alias(value_col))
+            .distinct()
+            .select(value_col, rows)
+            .select(value_col, "row",
+                    (hash32(F.concat(F.col(value_col), F.lit("#cms"),
+                                     F.col("row").cast("string")))
+                     % width).alias("bucket")))
+    return (addr.join(F.broadcast(sketch), ["row", "bucket"], "left")
+            .groupBy(value_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("est")))

@@ -313,3 +313,41 @@ def test_pagerank_hub_ranks_highest(spark):
     exp = _np_pagerank(edges, iters=10)
     for k in exp:
         assert abs(got[k] - exp[k]) < 1e-12
+
+
+# ------------------------------------------------------------ count-min
+
+def test_cms_estimate_never_undercounts_and_is_exact_without_collisions(spark):
+    from cartwright_spark.operators.sketch import cms_build, cms_estimate
+    import collections
+    vals = [f"v{i % 7}" for i in range(700)] + ["rare"] * 3
+    truth = collections.Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "x: string")
+    for width in (8, 4096):  # heavy collisions vs effectively none
+        sk = cms_build(df, "x", depth=4, width=width)
+        got = {r["x"]: r["est"]
+               for r in cms_estimate(sk, df, "x", width=width).collect()}
+        assert set(got) == set(truth)
+        for v, t in truth.items():
+            assert got[v] >= t  # CMS never undercounts
+        if width == 4096:
+            assert got == dict(truth)  # no collisions at this width
+
+
+def test_cms_sketch_is_mergeable(spark):
+    from pyspark.sql import functions as F
+    from cartwright_spark.operators.sketch import cms_build
+    df = spark.createDataFrame([(f"v{i % 11}",) for i in range(500)],
+                               "x: string")
+    whole = {(r["row"], r["bucket"]): r["cnt"]
+             for r in cms_build(df, "x", depth=3, width=32).collect()}
+    # deterministic halves: split by hash parity
+    from cartwright_spark.operators.sketch import hash32
+    h = hash32(F.col("x"))
+    left = cms_build(df.where(h % 2 == 0), "x", 3, 32)
+    right = cms_build(df.where(h % 2 == 1), "x", 3, 32)
+    merged = {(r["row"], r["bucket"]): r["cnt"]
+              for r in left.unionByName(right)
+              .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+              .collect()}
+    assert merged == whole
