@@ -140,40 +140,60 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     megagraph's DAG never grows with the iteration count. Edges and the
     static outdeg/node tables are checkpointed once and reused — at
     10^12 edges each round touches the edge list exactly once."""
+    # The edge table is hash-partitioned on src ONCE and checkpointed —
+    # localCheckpoint preserves outputPartitioning, so every round's
+    # e ⋈ share sort-merge join reuses it and only the node-sized rank
+    # side is exchanged. Without this, each iteration re-shuffles the
+    # full edge list (the dominant volume at web scale: edges ≈ 20-50×
+    # nodes); with it, per-round shuffle volume is O(nodes), not
+    # O(edges) — the difference between a bandwidth-bound iteration and
+    # a rank-table-sized one.
     e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
          .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
          .where(F.col(src) != F.col(dst))
          .distinct()
+         .repartition(F.col("a"))
          .localCheckpoint(eager=True))
+    # outdeg is carried ON the node table (one static join, checkpointed,
+    # id-partitioned) so no per-round ranks ⋈ outdeg shuffle exists and
+    # the nodes ⋈ contrib join never re-exchanges the node table.
     nodes = (e.select(F.col("a").alias("id"))
              .union(e.select(F.col("b").alias("id")))
              .distinct()
+             .join(e.groupBy(F.col("a").alias("id"))
+                   .agg(F.count("*").alias("outdeg")), "id", "left")
+             .repartition(F.col("id"))
              .localCheckpoint(eager=True))
-    outdeg = (e.groupBy(F.col("a").alias("id"))
-              .agg(F.count("*").alias("outdeg"))
-              .localCheckpoint(eager=True))
     n = nodes.count()
 
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
-        withdeg = ranks.join(outdeg, "id", "left")
-        contrib = (e.join(withdeg.where(F.col("outdeg").isNotNull())
-                          .select(F.col("id").alias("a"),
-                                  (F.col("rank") / F.col("outdeg"))
-                                  .alias("share")), "a")
-                   .groupBy(F.col("b").alias("id"))
-                   .agg(F.sum("share").alias("contrib")))
-        dang = (withdeg.where(F.col("outdeg").isNull())
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")))
-        ranks = (nodes.join(contrib, "id", "left")
-                 .crossJoin(F.broadcast(dang))
-                 .select("id",
-                         (F.lit((1.0 - damping) / n)
-                          + F.lit(damping)
-                          * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                             + F.col("dang") / n)).alias("rank"))
-                 .localCheckpoint(eager=True))
+        ranks = _pagerank_round(e, nodes, ranks, damping, n) \
+            .localCheckpoint(eager=True)
     return ranks.select("id", (F.col("rank") * n).alias("rank_x_n"))
+
+
+def _pagerank_round(e: DataFrame, nodes: DataFrame, ranks: DataFrame,
+                    damping: float, n: int) -> DataFrame:
+    """One power-iteration round (un-checkpointed — pagerank() owns the
+    lineage truncation). Exposed so tests can gate the round's physical
+    plan: with e pre-partitioned on `a` and nodes/ranks on `id`, the edge
+    table must join WITHOUT a fresh Exchange."""
+    contrib = (e.join(ranks.where(F.col("outdeg").isNotNull())
+                      .select(F.col("id").alias("a"),
+                              (F.col("rank") / F.col("outdeg"))
+                              .alias("share")), "a")
+               .groupBy(F.col("b").alias("id"))
+               .agg(F.sum("share").alias("contrib")))
+    dang = (ranks.where(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")))
+    return (nodes.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select("id", "outdeg",
+                    (F.lit((1.0 - damping) / n)
+                     + F.lit(damping)
+                     * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dang") / n)).alias("rank")))
 
 
 def grid_cluster(points: DataFrame, lat: str = "lat", lon: str = "lon",

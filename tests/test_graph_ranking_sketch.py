@@ -351,3 +351,47 @@ def test_cms_sketch_is_mergeable(spark):
               .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
               .collect()}
     assert merged == whole
+
+
+def test_pagerank_round_reuses_edge_partitioning(spark):
+    """The 100 TB contract of the iteration: the edge table (pre-
+    partitioned on src, checkpoint-preserved) must NOT be re-exchanged
+    inside a round — only node-sized sides shuffle. Run with broadcast
+    off so the sort-merge requirement is what's tested."""
+    from cartwright_spark.functions.graph import _pagerank_round
+    with _no_broadcast(spark):
+        e = (spark.range(5000)
+             .select((F.col("id") % 500).alias("a"),
+                     ((F.col("id") * 7 + 1) % 500).alias("b"))
+             .repartition(F.col("a")).localCheckpoint(eager=True))
+        nodes = (e.select(F.col("a").alias("id"))
+                 .union(e.select(F.col("b").alias("id"))).distinct()
+                 .join(e.groupBy(F.col("a").alias("id"))
+                       .agg(F.count("*").alias("outdeg")), "id", "left")
+                 .repartition(F.col("id")).localCheckpoint(eager=True))
+        ranks = nodes.withColumn("rank", F.lit(1.0 / 500))
+        plan = _pagerank_round(e, nodes, ranks, 0.85, 500) \
+            ._jdf.queryExecution().executedPlan().toString()
+    import re
+    # every Exchange must hash on id/share-side keys that are node-sized;
+    # the edge scan (ExistingRDD with columns a,b) must join exchange-free.
+    ex = [l.strip() for l in plan.split("\n") if "Exchange hash" in l]
+    # contrib partial-agg exchange + contrib->nodes join exchange only
+    assert len(ex) <= 2, plan
+    # the e-side of the first join is a bare checkpointed scan
+    assert re.search(r"Scan ExistingRDD[^\n]*\[a#\d+L?,b#\d+L?\]", plan), plan
+
+
+class _no_broadcast:
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        self.prev_aqe = self.spark.conf.get("spark.sql.adaptive.enabled")
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    def __exit__(self, *a):
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.prev)
+        self.spark.conf.set("spark.sql.adaptive.enabled", self.prev_aqe)

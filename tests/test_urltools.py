@@ -127,3 +127,50 @@ def test_host_edges_single_shuffle_plan(spark):
     plan = host_edges(pages)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # only the (src,dst) count agg
     assert "Python" not in plan
+
+
+# ---------------------------------------------------- property fuzzing
+
+def test_normalize_idempotent_fuzz(spark):
+    """Property: normalize(normalize(u)) == normalize(u) over generated
+    URLs covering scheme case, www/ports, weird-but-legal path/query
+    chars, tracking params in any position, and fragments. Seeded
+    generator, one Spark round-trip for the whole batch."""
+    import random
+    rng = random.Random(20260817)
+
+    def txt(alpha, lo, hi):
+        return "".join(rng.choice(alpha) for _ in range(rng.randint(lo, hi)))
+
+    def url():
+        scheme = rng.choice(["http", "HTTP", "https", "HtTpS"])
+        www = rng.choice(["", "www.", "WWW."])
+        labels = [txt("abcdefghijklmnopqrstuvwxyz0123456789", 1, 8)
+                  for _ in range(rng.randint(1, 3))]
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        path = "/".join(txt("abcdefghijklmnopqrstuvwxyzABCDE09._~%-", 0, 6)
+                        for _ in range(rng.randint(0, 3)))
+        params = [(rng.choice(["a", "b", "id", "q2", "utm_source",
+                               "utm_x", "gclid", "fbclid"]),
+                   txt("abcZ09", 0, 4))
+                  for _ in range(rng.randint(0, 4))]
+        qs = "&".join(f"{k}={v}" for k, v in params)
+        frag = rng.choice(["", "#f", "#Frag/2?x=1"])
+        u = f"{scheme}://{www}{'.'.join(labels)}{port}"
+        if path:
+            u += "/" + path
+        if qs:
+            u += "?" + qs
+        return u + frag
+
+    batch = [url() for _ in range(300)]
+    once = sorted({v[0] for v in _norm(spark, batch).values()})
+    twice = _norm(spark, once)
+    for u in once:
+        assert twice[u][0] == u, f"not idempotent: {u!r} -> {twice[u][0]!r}"
+        # invariants: no fragment, no tracking params, lowercase scheme+host
+        assert "#" not in u
+        assert "utm_" not in u.split("?")[-1] or "?" not in u
+        sch, rest = u.split("://", 1)
+        assert sch == sch.lower()
+        assert not rest.split("/")[0].startswith("www.")
