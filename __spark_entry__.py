@@ -501,6 +501,29 @@ def q_host_pagerank(spark, sf_dir):
     return pagerank(edges, "src_host", "dst_host", iters=10)
 
 
+def q_prior_weighted_sample(spark, sf_dir):
+    """The full web-curation composition in one query: synthesize pages →
+    extract+canonicalize the link graph (urltools) → PageRank the host
+    graph (functions/graph.py) → draw 200 pages WITHOUT replacement
+    proportional to their host's rank (operators/sampling.py
+    weighted_sample, global TakeOrdered path). This is the shape a
+    100 TB curation run takes: the prior is host-sized (broadcast), the
+    corpus is touched by one narrow normalize + one equi-join + a
+    partial top-k — never globally sorted. Oracle: link-graph SQL fed
+    into the unrolled power iteration, then the identical exp-key draw."""
+    from cartwright_spark.functions.graph import pagerank
+    from cartwright_spark.operators.sampling import weighted_sample
+    from cartwright_spark.operators.urltools import host_edges, normalize_urls
+    pages = _synth_pages(spark, sf_dir)
+    prior = pagerank(host_edges(pages), "src_host", "dst_host", iters=10)
+    ph = (normalize_urls(pages.select("doc_id", "url"), "url")
+          .select("doc_id", "host"))
+    weighted = (ph.join(F.broadcast(prior), ph["host"] == prior["id"])
+                .select("doc_id", "host", F.col("rank_x_n").alias("w")))
+    return (weighted_sample(weighted, "w", 200, "doc_id", salt="prior-v1")
+            .select("doc_id", "host", "w"))
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank (functions/graph.py pagerank): the
     host-graph quality prior over the same deterministic orders digraph
@@ -1286,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "link_graph": q_link_graph,
         "host_pagerank": q_host_pagerank,
+        "prior_weighted_sample": q_prior_weighted_sample,
         "grid_cluster": q_grid_cluster,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
@@ -1549,6 +1573,38 @@ def oracle_sql() -> dict[str, str]:
         "link_graph": _LINK_GRAPH_SQL,
         "host_pagerank": _pagerank_unrolled(
             f"SELECT src_host AS src, dst_host AS dst FROM ({_LINK_GRAPH_SQL})"),
+        "prior_weighted_sample": f"""
+            WITH pr AS MATERIALIZED (
+              {_pagerank_unrolled(
+                  "SELECT src_host AS src, dst_host AS dst FROM ("
+                  + _LINK_GRAPH_SQL + ")")}
+            ),
+            pages AS ({_PAGES_SQL}),
+            ph AS (
+              SELECT doc_id,
+                regexp_replace(
+                  CASE WHEN a LIKE 'www.%' THEN substr(a, 5) ELSE a END,
+                  ':[0-9]+$', '') AS host
+              FROM (
+                SELECT doc_id,
+                  lower(regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2)) AS a
+                FROM pages)
+            ),
+            wtd AS (
+              SELECT ph.doc_id, ph.host, pr.rank_x_n AS w
+              FROM ph JOIN pr ON ph.host = pr.id
+            ),
+            keyed AS (
+              SELECT doc_id, host, w,
+                     ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                          || 'prior-v1'), 1, 8))::BIGINT + 0.5)
+                        / 4294967296.0) / w AS key
+              FROM wtd WHERE w IS NOT NULL AND w > 0
+            )
+            SELECT doc_id, host, w FROM keyed
+            ORDER BY key DESC, doc_id ASC LIMIT 200
+        """,
         "p4_latitude_valid": f"""
             SELECT l_orderkey, l_linenumber, lat
             FROM ({_COORDS_SQL})
