@@ -600,6 +600,28 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(orders, "o_orderpriority", "o_custkey", k=64)
 
 
+def q_radius_join(spark, sf_dir):
+    """Within-distance (radius) spatial join (spatial/distjoin.py): every
+    part-derived site within 300 km of each customer-derived query point,
+    exact haversine. Engine: one S2-cell equi-join (sites one cell each,
+    queries disc-cover exploded) + narrow refine — no window, no dedup
+    shuffle. Oracle: the full inequality join with the mirrored haversine
+    expression; exactness also brute-force-proven in
+    tests/test_spatial_joins.py over random polar/dateline clusters."""
+    from cartwright_spark.spatial.distjoin import within_distance_join
+    cust = _t(spark, sf_dir, "customer")
+    q = cust.select(
+        F.col("c_custkey").alias("qid"),
+        (((F.col("c_custkey") * 131) % 18001) / 100.0 - 90.0).alias("lat"),
+        (((F.col("c_custkey") * 211) % 36001) / 100.0 - 180.0).alias("lon"))
+    p = _t(spark, sf_dir, "part")
+    sites = p.select(
+        F.col("p_partkey").alias("site_id"),
+        (((F.col("p_partkey") * 7919) % 18001) / 100.0 - 90.0).alias("lat"),
+        (((F.col("p_partkey") * 104729) % 36001) / 100.0 - 180.0).alias("lon"))
+    return within_distance_join(q, sites, r_m=300_000.0)
+
+
 def q_knn_grid(spark, sf_dir):
     """J7: kNN join — 10 query points × part-derived sites, top-5 by squared
     equirect distance (integer-exact), rank via window."""
@@ -1315,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
         "linear_score": q_linear_score,
+        "radius_join": q_radius_join,
         "knn_grid": q_knn_grid,
         "j6_pip_boxes": q_j6_pip_boxes,
         "j6_pip_bulk": q_j6_pip_bulk,
@@ -2235,6 +2258,33 @@ def oracle_sql() -> dict[str, str]:
                 "('" + str(n).replace("'", "''") + "')"
                 for n in __import__("cartwright_spark.sources.gazetteers",
                                     fromlist=["x"]).countries_pdf()["country_name"])),
+        # haversine mirrors functions/geodesy.py haversine_col term-for-term
+        # (radians → half-angle sines → clamp → 2R·asin√h with 2R folded to
+        # one literal, matching F.lit(2.0 * EARTH_RADIUS_M))
+        "radius_join": """
+            WITH q AS (
+              SELECT c_custkey AS qid,
+                     ((c_custkey * 131) % 18001) / 100.0 - 90.0 AS qlat,
+                     ((c_custkey * 211) % 36001) / 100.0 - 180.0 AS qlon
+              FROM customer
+            ),
+            sites AS (
+              SELECT p_partkey AS site_id,
+                     ((p_partkey * 7919) % 18001) / 100.0 - 90.0 AS slat,
+                     ((p_partkey * 104729) % 36001) / 100.0 - 180.0 AS slon
+              FROM part
+            ),
+            pairs AS (
+              SELECT q.qid, s.site_id,
+                     12742017.6 * asin(sqrt(least(greatest(
+                       power(sin((radians(s.slat) - radians(q.qlat)) / 2), 2)
+                       + cos(radians(q.qlat)) * cos(radians(s.slat))
+                         * power(sin((radians(s.slon) - radians(q.qlon)) / 2), 2),
+                       0.0), 1.0))) AS dist_m
+              FROM q CROSS JOIN sites s
+            )
+            SELECT qid, site_id, dist_m FROM pairs WHERE dist_m <= 300000.0
+        """,
         "knn_grid": """
             WITH q AS (
               SELECT c_custkey AS qid,

@@ -43,6 +43,19 @@ def geodesic_destination(lat_deg, lon_deg, delta_rad, theta_rad):
     la2 = np.arcsin(sinl2)
     lo2 = lo1 + np.arctan2(np.sin(theta_rad) * sind * cosl1,
                            cosd - sinl1 * sinl2)
+    # At the exact poles the general formula collapses: the cosl1·sind
+    # cross-term (~1e-18) is absorbed into cosd (ulp ~1e-16), leaving
+    # atan2(±tiny, 0) = ±π/2 — every bearing lands on ONE meridian and a
+    # cover disc around a polar point misses all other longitudes. The
+    # lat→±90 limit of the destination longitude is lon+θ from the south
+    # pole and lon+π−θ from the north pole (derivation: expand num/den to
+    # first order in cos(lat)); substitute it where cosl1 underflows the
+    # absorption threshold.
+    pole = np.broadcast_to(np.abs(cosl1) < 1e-12, lo2.shape)
+    if np.any(pole):
+        theta = np.asarray(theta_rad, dtype=np.float64)
+        lo2_pole = lo1 + np.where(sinl1 > 0, np.pi - theta, theta)
+        lo2 = np.where(pole, np.broadcast_to(lo2_pole, lo2.shape), lo2)
     return (np.rad2deg(la2),
             ((np.rad2deg(lo2) + 180.0) % 360.0) - 180.0)
 

@@ -1,0 +1,119 @@
+"""Within-distance (radius) spatial join.
+
+The missing member of the join family between the kNN join (top-k per
+query, spatial/knn.py) and the point-in-polygon join (spatial/pip.py):
+emit every (query, site) pair with haversine(query, site) <= r_m.
+
+Reference scope note: jataware/cartwright has no spatial-join layer at
+all (its gazetteer matching is fuzzy string match,
+cartwright/categorize.py) — the radius join is engine scope from the
+brief's spatial-join layer, same as kNN and PIP.
+
+Strategy (one equi-join, no window, no dedup pass):
+
+- sites encode to ONE S2 cell each at a level whose cell edge is ~r/2
+  (``pick_level``) — map-only, no shuffle;
+- each query explodes to the unique cells covering a geodesic disc of
+  radius r + 2 cell edges around it (the shared ``_disc_cells`` sampler
+  kNN uses, spherical-destination exact, face-boundary safe; the 2-edge
+  pad keeps the cell containing a just-inside-r site sampled even when
+  that site sits at the far corner of its cell);
+- candidates = equi-join on cell. Because each site carries exactly one
+  cell and each query's cell list is de-duplicated per row
+  (``np.unique``), a (query, site) pair can match AT MOST once — so
+  there is no dropDuplicates shuffle, unlike the kNN candidate join;
+- refine = the exact haversine predicate, a narrow codegen'd filter.
+
+Scale shape: cost is one Arrow encode per side + ONE shuffle (the cell
+equi-join). Hot cells (dense urban S2 cells) are ordinary join skew —
+AQE's skew-join split handles them because the join is a plain
+equi-join, and the refine filter is applied before any further shuffle.
+Candidate blow-up is bounded by geometry: a cell at edge ~r/2 holds
+candidates at most ~1.5r away, so refine discards a bounded (~2×)
+multiple of the true result, independent of data size.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cartwright_spark.functions.geodesy import EARTH_RADIUS_M, haversine_col
+from cartwright_spark.spatial import s2
+from cartwright_spark.spatial.knn import _disc_cells
+
+
+def pick_level(r_m: float) -> int:
+    """Largest S2 level whose average cell edge is still >= r_m / 2.
+
+    Edge ~ r/2 balances the two costs that move in opposite directions
+    with level: disc-cover sample count per query (grows ~(r/edge)^2,
+    ~36 samples at edge=r/2) vs candidate-set inflation (cells reach
+    ~edge past the disc, so coarser cells admit more refine misses).
+    """
+    # avg_edge_radians(L) = 1.459 * 2^-L ; want edge_m >= r_m/2
+    r_rad = max(float(r_m), 1.0) / EARTH_RADIUS_M
+    level = int(math.floor(math.log2(2.0 * 1.459 / r_rad)))
+    return max(0, min(20, level))
+
+
+def within_distance_join(queries: DataFrame, sites: DataFrame,
+                         r_m: float, level: int | None = None,
+                         qid_col: str = "qid", sid_col: str = "site_id",
+                         lat_col: str = "lat", lon_col: str = "lon",
+                         ) -> DataFrame:
+    """(qid, site_id, dist_m) — every site within ``r_m`` meters of each
+    query point, exact haversine distances.
+
+    queries(qid, lat, lon) × sites(site_id, lat, lon); column names
+    configurable. Either side may be large: both stay distributed, the
+    only shuffle is the cell equi-join (AQE skew-split eligible).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if level is None:
+        level = pick_level(r_m)
+    edge_rad = s2.avg_edge_radians(level)
+    edge_m = edge_rad * EARTH_RADIUS_M
+    r_cover_m = float(r_m) + 2.0 * edge_m
+
+    @pandas_udf("long")
+    def site_cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        cid = s2.latlng_to_cell(lat.to_numpy(np.float64),
+                                lon.to_numpy(np.float64), level)
+        return pd.Series(cid.astype(np.int64))
+
+    @pandas_udf("array<long>")
+    def disc(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(_disc_cells(
+            lat.to_numpy(), lon.to_numpy(), edge_rad, r_cover_m,
+            lambda la, lo: s2.latlng_to_cell(la, lo, level)))
+
+    # coalesce(-1) folds the join's isnotnull(cell) filter to a constant,
+    # so the Arrow encode is NOT re-evaluated as a pushed key-null filter
+    # (the re-evaluation trap measured at 4.7 s on the kNN site dim) —
+    # and unlike localCheckpoint it keeps a HUGE site table streaming.
+    s = sites.select(
+        F.col(sid_col).alias("site_id"),
+        F.col(lat_col).alias("slat"), F.col(lon_col).alias("slon"))
+    s = s.withColumn(
+        "cell", F.coalesce(site_cell(F.col("slat"), F.col("slon")),
+                           F.lit(-1)))
+
+    q = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col(lat_col).alias("qlat"), F.col(lon_col).alias("qlon"))
+    qc = q.withColumn(
+        "cell",
+        F.explode(F.coalesce(disc(F.col("qlat"), F.col("qlon")),
+                             F.array(F.lit(-2)))))
+
+    dist = haversine_col(F.col("qlat"), F.col("qlon"),
+                         F.col("slat"), F.col("slon"))
+    return (qc.join(s, "cell", "inner")
+            .select("qid", "site_id", dist.alias("dist_m"))
+            .where(F.col("dist_m") <= F.lit(float(r_m))))

@@ -714,3 +714,85 @@ def test_pip_bulk_adaptive_refine_salt(spark):
     # per-(admin, salt) group sizes actually bound the refine task input
     n_giant = 29_700
     assert n_giant / m["giant"] < 2_000 * 4
+
+
+# ---------------------------------------------------------------------------
+# within-distance (radius) join
+# ---------------------------------------------------------------------------
+
+def _hav_np(la1, lo1, la2, lo2):
+    from cartwright_spark.functions.geodesy import EARTH_RADIUS_M
+    la1, lo1, la2, lo2 = map(np.radians, (la1, lo1, la2, lo2))
+    h = (np.sin((la2 - la1) / 2) ** 2
+         + np.cos(la1) * np.cos(la2) * np.sin((lo2 - lo1) / 2) ** 2)
+    return 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(h, 0, 1)))
+
+
+@pytest.mark.parametrize("r_m", [60_000.0, 500_000.0, 2_500_000.0])
+def test_radius_join_matches_bruteforce(spark, r_m):
+    from cartwright_spark.spatial.distjoin import within_distance_join
+    rng = np.random.RandomState(int(r_m) % 997)
+    nq, ns = 250, 1500
+    qlat = rng.uniform(-89, 89, nq)
+    qlon = rng.uniform(-180, 180, nq)
+    slat = rng.uniform(-89, 89, ns)
+    slon = rng.uniform(-180, 180, ns)
+    # stress clusters: polar caps, dateline, and EXACT poles (the
+    # geodesic_destination pole-degeneracy regression: rings from an
+    # exact-pole center collapsed onto one meridian before the fix)
+    qlat[:10] = rng.uniform(86, 90, 10)
+    qlat[10] = 90.0
+    qlat[11] = -90.0
+    qlon[12:24] = rng.uniform(179.5, 180, 12)
+    slat[:80] = rng.uniform(85, 90, 80)
+    slat[80] = -90.0
+    slon[80:160] = rng.uniform(-180, -179.5, 80)
+    qdf = spark.createDataFrame(pd.DataFrame(
+        {"qid": np.arange(nq), "lat": qlat, "lon": qlon}))
+    sdf = spark.createDataFrame(pd.DataFrame(
+        {"site_id": np.arange(ns), "lat": slat, "lon": slon}))
+    got = within_distance_join(qdf, sdf, r_m).toPandas()
+    got_set = set(zip(got.qid, got.site_id))
+    D = _hav_np(qlat[:, None], qlon[:, None], slat[None, :], slon[None, :])
+    qi, si = np.where(D <= r_m)
+    want = set(zip(qi.tolist(), si.tolist()))
+    assert got_set == want
+    # distances are the exact haversine values
+    dd = {(q, s): d for q, s, d in zip(got.qid, got.site_id, got.dist_m)}
+    for (q, s) in list(want)[:50]:
+        assert abs(dd[(q, s)] - D[q, s]) < 1e-6
+
+
+def test_radius_join_pick_level_monotone():
+    from cartwright_spark.spatial.distjoin import pick_level
+    from cartwright_spark.functions.geodesy import EARTH_RADIUS_M
+    from cartwright_spark.spatial import s2
+    prev = 99
+    for r in (100.0, 1_000.0, 10_000.0, 1e5, 1e6, 1e7):
+        lvl = pick_level(r)
+        assert 0 <= lvl <= 20
+        assert lvl <= prev or prev == 99
+        prev = lvl
+        if 0 < lvl < 20:
+            # chosen edge is >= r/2 and the next-finer level's is not
+            assert s2.avg_edge_radians(lvl) * EARTH_RADIUS_M >= r / 2
+            assert s2.avg_edge_radians(lvl + 1) * EARTH_RADIUS_M < r / 2
+
+
+def test_radius_join_plan_no_cartesian_no_udf_refilter(spark):
+    from cartwright_spark.spatial.distjoin import within_distance_join
+    q = spark.range(100).select(
+        F.col("id").alias("qid"),
+        ((F.col("id") * 37 % 140) - 65.0).alias("lat"),
+        ((F.col("id") * 73 % 361) - 180.0).alias("lon"))
+    s = spark.range(1000).select(
+        F.col("id").alias("site_id"),
+        ((F.col("id") * 131 % 17000) / 100.0 - 85.0).alias("lat"),
+        ((F.col("id") * 211 % 36001) / 100.0 - 180.0).alias("lon"))
+    plan = within_distance_join(q, s, 400_000.0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # the site-side coalesce(-1) folds the join's key-null filter so the
+    # Arrow encode runs exactly once per side (encode sites + disc covers)
+    assert plan.count("ArrowEvalPython") <= 2
