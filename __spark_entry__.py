@@ -600,6 +600,27 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(orders, "o_orderpriority", "o_custkey", k=64)
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog cardinality sketch (operators/sketch.py hll_sketch /
+    hll_distinct): p=6 (64 registers) over a union of a high-cardinality
+    side (distinct custkeys per order priority, ~1.3k per group — raw
+    harmonic estimator branch) and a low-cardinality side (distinct
+    doc_ids per document source — the linear-counting correction
+    branch), so the oracle value-checks BOTH estimator branches. The
+    register table itself is re-derived in SQL (integer-exact rho via
+    binary-string length), and every 2^-rho term is a power of two so
+    the harmonic sum is order-independent in doubles."""
+    from cartwright_spark.operators.sketch import hll_distinct
+    o = _t(spark, sf_dir, "orders")
+    d = _t(spark, sf_dir, "documents")
+    vals = (o.select(F.col("o_orderpriority").alias("grp"),
+                     F.col("o_custkey").cast("string").alias("v"))
+            .unionByName(
+                d.select(F.col("source").alias("grp"),
+                         F.col("doc_id").cast("string").alias("v"))))
+    return hll_distinct(vals, "grp", "v", p=6)
+
+
 def q_radius_join(spark, sf_dir):
     """Within-distance (radius) spatial join (spatial/distjoin.py): every
     part-derived site within 300 km of each customer-derived query point,
@@ -1337,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
         "linear_score": q_linear_score,
+        "hll_distinct": q_hll_distinct,
         "radius_join": q_radius_join,
         "knn_grid": q_knn_grid,
         "j6_pip_boxes": q_j6_pip_boxes,
@@ -2258,6 +2280,45 @@ def oracle_sql() -> dict[str, str]:
                 "('" + str(n).replace("'", "''") + "')"
                 for n in __import__("cartwright_spark.sources.gazetteers",
                                     fromlist=["x"]).countries_pdf()["country_name"])),
+        # hll: register derivation mirrored term-for-term; rho is
+        # integer-exact (binary-string length), the harmonic sum is a sum
+        # of exact powers of two (order-independent), and the float
+        # literals are Python-computed so both engines parse the same
+        # doubles (DuckDB would otherwise fold 0.709*64*64 in DECIMAL)
+        "hll_distinct": f"""
+            WITH vals AS (
+              SELECT o_orderpriority AS grp, CAST(o_custkey AS VARCHAR) AS v
+              FROM orders
+              UNION ALL
+              SELECT source AS grp, CAST(doc_id AS VARCHAR) AS v
+              FROM documents
+            ),
+            hashed AS (
+              SELECT grp,
+                     (('0x' || substr(md5(v || '#hllidx'), 1, 8))::BIGINT
+                      % 64) AS reg,
+                     ('0x' || substr(md5(v || '#hllrho'), 1, 8))::BIGINT AS h
+              FROM vals
+            ),
+            regs AS (
+              SELECT grp, reg,
+                     max(CASE WHEN h = 0 THEN 33
+                              ELSE 33 - length(bin(h)) END) AS rho
+              FROM hashed GROUP BY grp, reg
+            ),
+            agg AS (
+              SELECT grp, count(*) AS n_regs,
+                     sum(1.0::DOUBLE / (1::BIGINT << rho)) AS s_ne
+              FROM regs GROUP BY grp
+            )
+            SELECT grp, n_regs,
+                   CASE WHEN {0.709 * 64 * 64!r} / (s_ne + (64 - n_regs))
+                             <= 160.0 AND (64 - n_regs) > 0
+                        THEN 64.0 * ln(64.0 / (64 - n_regs))
+                        ELSE {0.709 * 64 * 64!r} / (s_ne + (64 - n_regs))
+                   END AS est_distinct
+            FROM agg
+        """,
         # haversine mirrors functions/geodesy.py haversine_col term-for-term
         # (radians → half-angle sines → clamp → 2R·asin√h with 2R folded to
         # one literal, matching F.lit(2.0 * EARTH_RADIUS_M))

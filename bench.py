@@ -51,7 +51,7 @@ CONTRACT_BENCH_QUERIES = (
     "connected_components", "grid_cluster", "bm25_scores", "kmv_distinct",
     "centroid_outlier", "linear_score", "pagerank", "url_normalize",
     "link_graph", "host_pagerank", "weighted_sample", "cms_freq",
-    "prior_weighted_sample", "radius_join",
+    "prior_weighted_sample", "radius_join", "hll_distinct",
 )
 
 

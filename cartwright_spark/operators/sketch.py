@@ -121,3 +121,71 @@ def cms_estimate(sketch: DataFrame, candidates: DataFrame,
             .groupBy(value_col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .alias("est")))
+
+
+def hll_sketch(df: DataFrame, group_col: str, value_col: str,
+               p: int = 6) -> DataFrame:
+    """HyperLogLog register table (Flajolet, Fusy, Gandouet, Meunier,
+    AofA 2007 — public) per group: rows (group, reg, rho) with
+    reg = hash32(value ⊕ "#hllidx") mod 2^p and rho = max over the
+    register's values of (leading-zero count of hash32(value ⊕ "#hllrho")
+    in a 32-bit window) + 1. Empty registers carry no row.
+
+    rho is integer-exact in BOTH engines via binary-string length —
+    rho = 33 − length(bin(h)) for h>0 (33 when h=0) — no float log2 at
+    bit boundaries. Two independent 32-bit hashes replace the usual
+    split of one 64-bit hash because a portable 64-bit value doesn't fit
+    signed BIGINT arithmetic identically across Spark and DuckDB.
+
+    Scale shape: ONE algebraic max-agg on (group, reg) — a hot value is
+    a single register and arrives pre-combined by map-side partial agg;
+    the sketch is ≤ 2^p rows per group no matter the corpus. MERGEABLE:
+    union two sketches and re-max to sketch the union."""
+    m = 1 << p
+    h_idx = hash32(F.concat(F.col("__v"), F.lit("#hllidx")))
+    h_rho = hash32(F.concat(F.col("__v"), F.lit("#hllrho")))
+    rho = F.when(F.col("__h") == 0, F.lit(33)) \
+           .otherwise(F.lit(33) - F.length(F.bin(F.col("__h"))))
+    return (df.select(F.col(group_col).alias("grp"),
+                      F.col(value_col).cast("string").alias("__v"))
+            .select("grp", (h_idx % m).alias("reg"), h_rho.alias("__h"))
+            .select("grp", "reg", rho.alias("rho"))
+            .groupBy("grp", "reg")
+            .agg(F.max("rho").alias("rho"))
+            .withColumnRenamed("grp", group_col))
+
+
+#: alpha_m bias constants from the HLL paper (m = 16 / 32 / 64; larger m
+#: uses the asymptotic formula)
+_HLL_ALPHA = {4: 0.673, 5: 0.697, 6: 0.709}
+
+
+def hll_distinct(df: DataFrame, group_col: str, value_col: str,
+                 p: int = 6) -> DataFrame:
+    """(group, n_regs, est_distinct): HyperLogLog cardinality estimate
+    per group, expected relative error ~ 1.04/sqrt(2^p) (≈13% at p=6).
+
+    Estimator: raw = alpha·m²/S with S = Σ_regs 2^(−rho) (empty
+    registers contribute 2^0 = 1, i.e. m − n_regs); small-range
+    (linear-counting) correction m·ln(m/V) when raw ≤ 2.5m and V > 0
+    empty registers remain. Every 2^(−rho) term is an exact power of
+    two, so S is order-independent in IEEE doubles — safe under Spark's
+    nondeterministic partial-agg order AND bit-reproducible in the
+    DuckDB oracle. (The 32-bit large-range correction only matters near
+    2^32 distinct and is intentionally omitted.)"""
+    alpha = _HLL_ALPHA.get(p, 0.7213 / (1 + 1.079 / (1 << p)))
+    m = 1 << p
+    sk = hll_sketch(df, group_col, value_col, p)
+    agg = sk.groupBy(group_col).agg(
+        F.count("*").alias("n_regs"),
+        # integer shift keeps each 2^-rho term an EXACT power of two
+        # (F.shiftleft only takes a literal bit count, hence the expr)
+        F.sum(F.lit(1.0) / F.expr("shiftleft(cast(1 as bigint), rho)"))
+         .alias("__s_nonempty"))
+    s = F.col("__s_nonempty") + (F.lit(m) - F.col("n_regs"))
+    raw = F.lit(alpha * m * m) / s
+    v = F.lit(m) - F.col("n_regs")
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v)) \
+           .otherwise(raw)
+    return agg.select(group_col, "n_regs", est.alias("est_distinct"))

@@ -395,3 +395,65 @@ class _no_broadcast:
     def __exit__(self, *a):
         self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.prev)
         self.spark.conf.set("spark.sql.adaptive.enabled", self.prev_aqe)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def test_hll_estimate_accuracy(spark):
+    from cartwright_spark.operators.sketch import hll_distinct
+    # p=8 → 256 registers, σ ≈ 1.04/16 ≈ 6.5%; assert within 4σ
+    df = spark.range(20_000).select(
+        F.lit("g").alias("grp"), F.col("id").alias("v"))
+    row = hll_distinct(df, "grp", "v", p=8).first()
+    assert abs(row["est_distinct"] - 20_000) / 20_000 < 0.26
+
+
+def test_hll_duplicates_ignored(spark):
+    from cartwright_spark.operators.sketch import hll_distinct
+    base = spark.range(3_000).select(
+        F.lit("g").alias("grp"), F.col("id").alias("v"))
+    dup = base.unionAll(base).unionAll(base)
+    a = hll_distinct(base, "grp", "v", p=6).first()
+    b = hll_distinct(dup, "grp", "v", p=6).first()
+    assert a["est_distinct"] == b["est_distinct"]
+    assert a["n_regs"] == b["n_regs"]
+
+
+def test_hll_linear_counting_branch_is_exactish_when_sparse(spark):
+    from cartwright_spark.operators.sketch import hll_distinct
+    # 10 distinct over 64 registers → V>0 and raw ≤ 2.5m, so the
+    # linear-counting branch fires: est = m·ln(m/V), within ~σ of truth
+    df = spark.range(10).select(F.lit("g").alias("grp"),
+                                F.col("id").alias("v"))
+    row = hll_distinct(df, "grp", "v", p=6).first()
+    assert row["n_regs"] <= 10
+    assert abs(row["est_distinct"] - 10) < 4
+
+
+def test_hll_sketch_mergeable(spark):
+    from cartwright_spark.operators.sketch import hll_sketch
+    left = spark.range(0, 4_000).select(
+        F.lit("g").alias("grp"), F.col("id").alias("v"))
+    right = spark.range(2_000, 6_000).select(
+        F.lit("g").alias("grp"), F.col("id").alias("v"))
+    merged = (hll_sketch(left, "grp", "v", p=6)
+              .unionByName(hll_sketch(right, "grp", "v", p=6))
+              .groupBy("grp", "reg").agg(F.max("rho").alias("rho")))
+    direct = hll_sketch(left.unionByName(right), "grp", "v", p=6)
+    got = {(r["reg"], r["rho"]) for r in merged.collect()}
+    want = {(r["reg"], r["rho"]) for r in direct.collect()}
+    assert got == want
+
+
+def test_hll_layout_invariant(spark):
+    # the harmonic sum is a sum of exact powers of two, so the estimate
+    # is bit-identical across partition layouts (no float-order drift)
+    from cartwright_spark.operators.sketch import hll_distinct
+    df = spark.range(5_000).select(
+        (F.col("id") % 7).cast("string").alias("grp"),
+        F.col("id").alias("v"))
+    a = sorted(hll_distinct(df, "grp", "v", p=6).collect())
+    b = sorted(hll_distinct(df.repartition(17), "grp", "v", p=6).collect())
+    assert [r["est_distinct"] for r in a] == [r["est_distinct"] for r in b]
