@@ -239,8 +239,15 @@ class Catalog:
                        if fn.endswith(".parquet"))
         return out
 
-    def _snap(self, name: str, snapshot_id: int | None) -> dict:
-        if snapshot_id is None:
+    def _snap(self, name: str, snapshot_id: int | None,
+              as_of_ts: float | None = None) -> dict:
+        if snapshot_id is not None and as_of_ts is not None:
+            raise ValueError("pass snapshot_id OR as_of_ts, not both")
+        if as_of_ts is not None:
+            older = [s for s in self.snapshots(name)
+                     if s.get("created_at", 0.0) <= as_of_ts]
+            snap = older[-1] if older else None
+        elif snapshot_id is None:
             snap = self.latest_snapshot(name)
         else:
             snap = next((s for s in self.snapshots(name)
@@ -248,6 +255,30 @@ class Catalog:
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot for table {name}")
         return snap
+
+    def expire_snapshots(self, name: str, keep_last: int = 1) -> list[int]:
+        """Table maintenance: drop all but the newest ``keep_last``
+        snapshots — manifests AND their data directories (each snapshot
+        owns its own ``snap-<n>`` dir, so this is safe physical deletion,
+        no reference counting). The 100 TB operational reality: every
+        pipeline rerun commits a full new snapshot, so unexpired tables
+        grow by one corpus per run. Returns the expired snapshot ids.
+        Time travel to an expired snapshot then raises FileNotFoundError
+        (same contract as real Iceberg's expire_snapshots)."""
+        import shutil
+        snaps = self.snapshots(name)
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (never expire HEAD)")
+        expired = snaps[:-keep_last]
+        for s in expired:
+            shutil.rmtree(os.path.join(self.root, s["data_dir"]),
+                          ignore_errors=True)
+            try:
+                os.remove(os.path.join(self._snapdir(name),
+                                       f"{s['snapshot_id']}.json"))
+            except FileNotFoundError:
+                pass
+        return [s["snapshot_id"] for s in expired]
 
     def select_files(self, name: str, snapshot_id: int | None = None,
                      partition_filter=None, stats_filter=None) -> list[dict]:
@@ -270,13 +301,16 @@ class Catalog:
 
     def load_table(self, spark: SparkSession, name: str,
                    snapshot_id: int | None = None,
-                   partition_filter=None) -> DataFrame:
+                   partition_filter=None,
+                   as_of_ts: float | None = None) -> DataFrame:
         """Read a committed snapshot. Hive partition discovery is automatic
         (partition columns come back typed; ``.where`` on them prunes in
         Catalyst). With ``partition_filter`` the file list itself is cut
         down from the manifest first — basePath keeps the partition
-        columns in the schema."""
-        snap = self._snap(name, snapshot_id)
+        columns in the schema. Time travel: ``snapshot_id`` pins an exact
+        snapshot; ``as_of_ts`` resolves the newest snapshot committed at
+        or before that unix time (Iceberg's FOR TIMESTAMP AS OF)."""
+        snap = self._snap(name, snapshot_id, as_of_ts=as_of_ts)
         data_dir = os.path.join(self.root, snap["data_dir"])
         if partition_filter is None:
             return spark.read.parquet(data_dir)

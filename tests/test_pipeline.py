@@ -169,3 +169,49 @@ def test_mid_stage_failure_injection_resume(spark, tmp_path):
             for r in Catalog(wd_clean).load_table(spark, "tile_counts")
             .collect()}
     assert got == want
+
+
+def test_time_travel_and_expiry(spark, tmp_path):
+    """Snapshot time travel (by id and by timestamp) + expire_snapshots:
+    each commit owns its own data dir, so old versions stay readable
+    until explicitly expired — Iceberg's VERSION/TIMESTAMP AS OF and
+    expire_snapshots contracts."""
+    cat = Catalog(str(tmp_path / "tt"))
+    v0 = spark.range(10).select(F.col("id"), F.lit("v0").alias("tag"))
+    v1 = spark.range(25).select(F.col("id"), F.lit("v1").alias("tag"))
+    v2 = spark.range(40).select(F.col("id"), F.lit("v2").alias("tag"))
+    s0 = cat.write_table(v0, "t", stage="s", stage_key="k0")
+    s1 = cat.write_table(v1, "t", stage="s", stage_key="k1")
+    s2 = cat.write_table(v2, "t", stage="s", stage_key="k2")
+
+    # by snapshot id: every version readable, bit-for-bit
+    assert cat.load_table(spark, "t", snapshot_id=s0["snapshot_id"]).count() == 10
+    assert cat.load_table(spark, "t", snapshot_id=s1["snapshot_id"]).count() == 25
+    assert cat.load_table(spark, "t").count() == 40
+    tags = set(r["tag"] for r in cat.load_table(
+        spark, "t", snapshot_id=s1["snapshot_id"]).select("tag").distinct().collect())
+    assert tags == {"v1"}
+
+    # by timestamp: newest snapshot committed at-or-before the mark;
+    # earlier than the first commit → loud failure
+    assert cat.load_table(spark, "t", as_of_ts=s1["created_at"]).count() == 25
+    mid = (s1["created_at"] + s2["created_at"]) / 2
+    assert cat.load_table(spark, "t", as_of_ts=mid).count() == 25
+    assert cat.load_table(spark, "t", as_of_ts=s2["created_at"] + 1).count() == 40
+    with pytest.raises(FileNotFoundError):
+        cat.load_table(spark, "t", as_of_ts=s0["created_at"] - 1)
+    with pytest.raises(ValueError):
+        cat.load_table(spark, "t", snapshot_id=0, as_of_ts=mid)
+
+    # expiry: drop all but the 2 newest; v0 gone (manifest AND data),
+    # v1/v2 untouched; HEAD can never be expired
+    gone = cat.expire_snapshots("t", keep_last=2)
+    assert gone == [s0["snapshot_id"]]
+    with pytest.raises(FileNotFoundError):
+        cat.load_table(spark, "t", snapshot_id=s0["snapshot_id"])
+    assert cat.load_table(spark, "t", snapshot_id=s1["snapshot_id"]).count() == 25
+    assert cat.load_table(spark, "t").count() == 40
+    assert [s["snapshot_id"] for s in cat.snapshots("t")] == [
+        s1["snapshot_id"], s2["snapshot_id"]]
+    with pytest.raises(ValueError):
+        cat.expire_snapshots("t", keep_last=0)
