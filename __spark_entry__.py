@@ -600,6 +600,32 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(orders, "o_orderpriority", "o_custkey", k=64)
 
 
+def q_polygon_measures(spark, sf_dir):
+    """Spherical polygon area + perimeter (spatial/measures.py): one
+    rectangle ring per supplier key (deterministic rational corners, so
+    vertex synthesis is exact in both engines), measured with the
+    Chamberlain-Duquette spherical shoelace and a haversine perimeter.
+    Per-edge float terms are rounded to DECIMAL(38,12) and summed as
+    decimal — exact, associative, layout- and engine-independent — which
+    is what makes doubles-from-a-SUM oracle-checkable at all."""
+    from cartwright_spark.spatial.measures import polygon_measures
+    s = _t(spark, sf_dir, "supplier")
+    base = s.select(
+        F.col("s_suppkey").alias("poly_id"),
+        ((F.col("s_suppkey") * 37 % 120) - 60.0).alias("clat"),
+        ((F.col("s_suppkey") * 73 % 340) - 170.0).alias("clon"),
+        (F.lit(0.5) + (F.col("s_suppkey") % 7) / 4.0).alias("hh"),
+        (F.lit(0.5) + (F.col("s_suppkey") % 11) / 4.0).alias("hw"))
+    corners = spark.createDataFrame(
+        [(0, -1, -1), (1, -1, 1), (2, 1, 1), (3, 1, -1)],
+        "pos int, sy int, sx int")
+    verts = base.crossJoin(F.broadcast(corners)).select(
+        "poly_id", "pos",
+        (F.col("clat") + F.col("sy") * F.col("hh")).alias("lat"),
+        (F.col("clon") + F.col("sx") * F.col("hw")).alias("lon"))
+    return polygon_measures(verts)
+
+
 def q_hll_distinct(spark, sf_dir):
     """HyperLogLog cardinality sketch (operators/sketch.py hll_sketch /
     hll_distinct): p=6 (64 registers) over a union of a high-cardinality
@@ -1358,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
         "linear_score": q_linear_score,
+        "polygon_measures": q_polygon_measures,
         "hll_distinct": q_hll_distinct,
         "radius_join": q_radius_join,
         "knn_grid": q_knn_grid,
@@ -2280,6 +2307,51 @@ def oracle_sql() -> dict[str, str]:
                 "('" + str(n).replace("'", "''") + "')"
                 for n in __import__("cartwright_spark.sources.gazetteers",
                                     fromlist=["x"]).countries_pdf()["country_name"])),
+        # polygon measures: per-edge terms mirrored expression-for-
+        # expression, rounded to DECIMAL(38,12) and summed as decimal on
+        # BOTH sides (exact + associative ⇒ no float-sum order drift);
+        # float literals Python-computed so both engines parse the same
+        # doubles
+        "polygon_measures": f"""
+            WITH corners(pos, sy, sx) AS (
+              VALUES (0, -1, -1), (1, -1, 1), (2, 1, 1), (3, 1, -1)
+            ),
+            base AS (
+              SELECT s_suppkey AS poly_id,
+                     (s_suppkey * 37 % 120) - 60.0 AS clat,
+                     (s_suppkey * 73 % 340) - 170.0 AS clon,
+                     0.5 + (s_suppkey % 7) / CAST(4.0 AS DOUBLE) AS hh,
+                     0.5 + (s_suppkey % 11) / CAST(4.0 AS DOUBLE) AS hw
+              FROM supplier
+            ),
+            verts AS (
+              SELECT poly_id, pos,
+                     clat + sy * hh AS lat, clon + sx * hw AS lon
+              FROM base CROSS JOIN corners
+            ),
+            edges AS (
+              SELECT poly_id, lat AS lat1, lon AS lon1,
+                     coalesce(lead(lat) OVER w, first_value(lat) OVER w) AS lat2,
+                     coalesce(lead(lon) OVER w, first_value(lon) OVER w) AS lon2
+              FROM verts WINDOW w AS (PARTITION BY poly_id ORDER BY pos)
+            ),
+            agg AS (
+              SELECT poly_id, count(*) AS n_vertices,
+                     sum(CAST((radians(lon2) - radians(lon1))
+                              * (2.0 + sin(radians(lat1)) + sin(radians(lat2)))
+                         AS DECIMAL(38,12))) AS a,
+                     sum(CAST(12742017.6 * asin(sqrt(least(greatest(
+                           power(sin((radians(lat2) - radians(lat1)) / 2), 2)
+                           + cos(radians(lat1)) * cos(radians(lat2))
+                             * power(sin((radians(lon2) - radians(lon1)) / 2), 2),
+                           0.0), 1.0))) AS DECIMAL(38,12))) AS p
+              FROM edges GROUP BY poly_id
+            )
+            SELECT poly_id, n_vertices,
+                   abs(CAST(a AS DOUBLE)) * {6371.0088 ** 2 / 2.0!r} AS area_km2,
+                   CAST(p AS DOUBLE) / 1000.0 AS perimeter_km
+            FROM agg
+        """,
         # hll: register derivation mirrored term-for-term; rho is
         # integer-exact (binary-string length), the harmonic sum is a sum
         # of exact powers of two (order-independent), and the float

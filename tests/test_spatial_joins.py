@@ -796,3 +796,71 @@ def test_radius_join_plan_no_cartesian_no_udf_refilter(spark):
     # the site-side coalesce(-1) folds the join's key-null filter so the
     # Arrow encode runs exactly once per side (encode sites + disc covers)
     assert plan.count("ArrowEvalPython") <= 2
+
+
+# ---------------------------------------------------------------------------
+# polygon measures
+# ---------------------------------------------------------------------------
+
+def _verts_df(spark, polys):
+    rows = [(pid, i, float(la), float(lo))
+            for pid, ring in polys.items()
+            for i, (la, lo) in enumerate(ring)]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["poly_id", "pos", "lat", "lon"]))
+
+
+def test_polygon_measures_known_values(spark):
+    from cartwright_spark.spatial.measures import polygon_measures
+    from cartwright_spark.functions.geodesy import EARTH_RADIUS_M
+    R = EARTH_RADIUS_M / 1000.0
+    out = polygon_measures(_verts_df(spark, {
+        0: [(0, 0), (0, 1), (1, 1), (1, 0)],          # 1°×1° at equator
+        1: [(40, 10), (40, 20), (50, 20), (50, 10)],  # 10°×10° at 45°N
+    })).toPandas().set_index("poly_id")
+    # exact area of the lat-lon rectangle on the sphere:
+    # R²·Δλ·(sin φ2 − sin φ1)
+    exact0 = R * R * np.radians(1.0) * (np.sin(np.radians(1.0)) - 0.0)
+    exact1 = R * R * np.radians(10.0) * (
+        np.sin(np.radians(50.0)) - np.sin(np.radians(40.0)))
+    # C&D shoelace is a short-edge approximation: 1° edges ≪1e-4 rel,
+    # 10° edges ~1e-3 rel
+    assert abs(out.loc[0, "area_km2"] - exact0) / exact0 < 1e-4
+    assert abs(out.loc[1, "area_km2"] - exact1) / exact1 < 2e-3
+    # perimeter: meridian legs are exact arcs (Δφ·R); parallels are
+    # haversine chords of the great circle, close to Δλ·R·cosφ
+    assert abs(out.loc[0, "perimeter_km"]
+               - 2 * R * (np.radians(1.0) + np.radians(1.0)
+                          * np.cos(np.radians(0.5)))) < 1.0
+
+
+def test_polygon_measures_orientation_and_closing_vertex(spark):
+    from cartwright_spark.spatial.measures import polygon_measures
+    ccw = [(0, 0), (0, 2), (3, 2), (3, 0)]
+    cw = list(reversed(ccw))
+    closed = ccw + [ccw[0]]   # explicit closing vertex repeated
+    out = polygon_measures(_verts_df(spark, {0: ccw, 1: cw, 2: closed})) \
+        .toPandas().set_index("poly_id")
+    assert out.loc[0, "area_km2"] == out.loc[1, "area_km2"]   # |abs|
+    assert out.loc[0, "area_km2"] == out.loc[2, "area_km2"]   # zero edge
+    assert out.loc[0, "perimeter_km"] == out.loc[2, "perimeter_km"]
+    assert out.loc[2, "n_vertices"] == 5
+
+
+def test_polygon_measures_layout_invariant(spark):
+    # the decimal term sum is associative, so the result is bit-identical
+    # across partition layouts — no float-order drift
+    from cartwright_spark.spatial.measures import polygon_measures
+    rng = np.random.RandomState(3)
+    polys = {}
+    for pid in range(20):
+        n = 3 + pid % 6
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        r = rng.uniform(0.5, 3.0, n)
+        polys[pid] = list(zip(20 + r * np.sin(ang), 30 + r * np.cos(ang)))
+    vdf = _verts_df(spark, polys)
+    a = polygon_measures(vdf).toPandas().set_index("poly_id").sort_index()
+    b = polygon_measures(vdf.repartition(13)).toPandas() \
+        .set_index("poly_id").sort_index()
+    assert (a["area_km2"] == b["area_km2"]).all()
+    assert (a["perimeter_km"] == b["perimeter_km"]).all()
