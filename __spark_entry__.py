@@ -600,6 +600,25 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(orders, "o_orderpriority", "o_custkey", k=64)
 
 
+def q_triangle_lcc(spark, sf_dir):
+    """Per-vertex triangle counts + local clustering coefficient
+    (functions/graph.py triangle_counts, degree-ordered orientation so
+    hub vertices contribute no wedges) over a deterministic irregular
+    circulant graph on the customer keys: edges u→(u+o) mod N for
+    o ∈ {1,2,3}, dropped when (7u+o) ≡ 0 (mod 5) — irregular degrees,
+    dense triangle structure. Oracle: canonical-edge three-way join
+    (orientation-free — same triangle set, each counted once)."""
+    from cartwright_spark.functions.graph import triangle_counts
+    c = _t(spark, sf_dir, "customer")
+    n = c.count()   # scalar modulus; customer keys are dense 0..N-1
+    e = (c.select(F.col("c_custkey").alias("u"),
+                  F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+                  .alias("o"))
+         .where((F.col("u") * 7 + F.col("o")) % 5 != 0)
+         .select("u", ((F.col("u") + F.col("o")) % n).alias("v")))
+    return triangle_counts(e, "u", "v")
+
+
 def q_polygon_measures(spark, sf_dir):
     """Spherical polygon area + perimeter (spatial/measures.py): one
     rectangle ring per supplier key (deterministic rational corners, so
@@ -1384,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
         "linear_score": q_linear_score,
+        "triangle_lcc": q_triangle_lcc,
         "polygon_measures": q_polygon_measures,
         "hll_distinct": q_hll_distinct,
         "radius_join": q_radius_join,
@@ -2307,6 +2327,52 @@ def oracle_sql() -> dict[str, str]:
                 "('" + str(n).replace("'", "''") + "')"
                 for n in __import__("cartwright_spark.sources.gazetteers",
                                     fromlist=["x"]).countries_pdf()["country_name"])),
+        # triangle/lcc: the oracle counts triangles orientation-free via
+        # the canonical u<v three-way join — provably the same triangle
+        # set the engine's degree-ordered orientation finds, each exactly
+        # once; lcc doubles are single divisions of exact ints (CASTs keep
+        # DuckDB out of DECIMAL arithmetic)
+        "triangle_lcc": """
+            WITH nn AS (SELECT count(*) AS n FROM customer),
+            raw AS (
+              SELECT c_custkey AS u, o
+              FROM customer CROSS JOIN (VALUES (1), (2), (3)) t(o)
+              WHERE (c_custkey * 7 + o) % 5 <> 0
+            ),
+            e0 AS (
+              SELECT CAST(u AS VARCHAR) AS su,
+                     CAST((u + o) % (SELECT n FROM nn) AS VARCHAR) AS sv
+              FROM raw
+            ),
+            und AS (
+              SELECT DISTINCT least(su, sv) AS u, greatest(su, sv) AS v
+              FROM e0 WHERE su <> sv
+            ),
+            deg AS (
+              SELECT id, count(*) AS degree FROM (
+                SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und
+              ) GROUP BY id
+            ),
+            tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM und e1
+              JOIN und e2 ON e2.u = e1.v
+              JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+            ),
+            pv AS (
+              SELECT id, count(*) AS triangles FROM (
+                SELECT a AS id FROM tri
+                UNION ALL SELECT b AS id FROM tri
+                UNION ALL SELECT c AS id FROM tri
+              ) GROUP BY id
+            )
+            SELECT d.id, d.degree, coalesce(pv.triangles, 0) AS triangles,
+                   CASE WHEN d.degree >= 2
+                        THEN CAST(2.0 AS DOUBLE) * coalesce(pv.triangles, 0)
+                             / (d.degree * (d.degree - 1))
+                        ELSE CAST(0.0 AS DOUBLE) END AS lcc
+            FROM deg d LEFT JOIN pv ON pv.id = d.id
+        """,
         # polygon measures: per-edge terms mirrored expression-for-
         # expression, rounded to DECIMAL(38,12) and summed as decimal on
         # BOTH sides (exact + associative ⇒ no float-sum order drift);

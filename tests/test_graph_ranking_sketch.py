@@ -457,3 +457,65 @@ def test_hll_layout_invariant(spark):
     a = sorted(hll_distinct(df, "grp", "v", p=6).collect())
     b = sorted(hll_distinct(df.repartition(17), "grp", "v", p=6).collect())
     assert [r["est_distinct"] for r in a] == [r["est_distinct"] for r in b]
+
+
+# ---------------------------------------------------------------------------
+# triangle counting / local clustering coefficient
+# ---------------------------------------------------------------------------
+
+def _tri_df(spark, pairs):
+    return spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], "src string, dst string")
+
+
+def test_triangle_counts_known_graphs(spark):
+    from cartwright_spark.functions.graph import triangle_counts
+    # K4 (complete): every vertex d=3, T=3, lcc=1.0 — plus duplicate,
+    # reversed, and self-loop edges that must all be ignored
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(1, 0), (2, 2), (0, 1), (3, 1)]
+    out = triangle_counts(_tri_df(spark, noisy)).toPandas() \
+        .set_index("id").sort_index()
+    assert (out["degree"] == 3).all()
+    assert (out["triangles"] == 3).all()
+    assert (out["lcc"] == 1.0).all()
+    # path graph: no triangles, endpoints d=1 get lcc 0 (guarded div)
+    path = [(0, 1), (1, 2), (2, 3)]
+    out = triangle_counts(_tri_df(spark, path)).toPandas().set_index("id")
+    assert (out["triangles"] == 0).all()
+    assert (out["lcc"] == 0.0).all()
+
+
+def test_triangle_counts_random_vs_bruteforce(spark):
+    import numpy as np
+    from cartwright_spark.functions.graph import triangle_counts
+    rng = np.random.RandomState(11)
+    n = 40
+    adj = np.triu(rng.rand(n, n) < 0.25, k=1)
+    adj = adj | adj.T
+    pairs = [(a, b) for a in range(n) for b in range(n) if a < b and adj[a, b]]
+    out = triangle_counts(_tri_df(spark, pairs)).toPandas()
+    out["idn"] = out["id"].astype(int)
+    out = out.set_index("idn").sort_index()
+    a = adj.astype(np.int64)
+    tri_per_vertex = np.diag(a @ a @ a) // 2
+    deg = a.sum(1)
+    present = deg > 0
+    assert (out["degree"].to_numpy() == deg[present]).all()
+    assert (out["triangles"].to_numpy() == tri_per_vertex[present]).all()
+    d = deg[present].astype(float)
+    want_lcc = np.where(d >= 2, 2.0 * tri_per_vertex[present] / (d * (d - 1)), 0.0)
+    assert np.allclose(out["lcc"].to_numpy(), want_lcc, atol=0, rtol=0)
+
+
+def test_triangle_counts_megastar_no_wedge_blowup(spark):
+    # a 3000-leaf star: the hub's (degree,id) orientation key is maximal,
+    # so every edge points INTO the hub and the wedge join sees zero rows
+    # from it — the Suri-Vassilvitskii "curse of the last reducer" guard
+    from cartwright_spark.functions.graph import triangle_counts
+    star = [("hub", f"leaf{i}") for i in range(3000)]
+    star += [("leaf0", "leaf1")]   # one triangle-free chord pair
+    out = triangle_counts(_tri_df(spark, star)).toPandas().set_index("id")
+    assert out.loc["hub", "degree"] == 3000
+    assert out.loc["hub", "triangles"] == 1   # hub-leaf0-leaf1
+    assert out.loc["leaf5", "triangles"] == 0
