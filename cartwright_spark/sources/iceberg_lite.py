@@ -149,7 +149,9 @@ class Catalog:
                     metrics: dict | None = None,
                     partition_by: list[str] | None = None,
                     cluster_before_write: bool = True,
-                    files_per_partition: int = 1) -> dict:
+                    files_per_partition: int = 1,
+                    zorder_by: list[str] | None = None,
+                    zorder_files: int = 32) -> dict:
         """Commit a snapshot; with ``partition_by`` the data lands in
         hive-style partition directories (Catalyst partition pruning) and
         the manifest carries per-file partition values + column min/max
@@ -169,7 +171,14 @@ class Catalog:
         data_dir = os.path.join(self._tdir(name), "data", f"snap-{snap_id}")
         t0 = time.perf_counter()
         writer = df
-        if partition_by and cluster_before_write:
+        if zorder_by:
+            # Morton-cluster the layout so footer min/max stats prune
+            # box queries at the manifest level (functions/zorder.py);
+            # composes with hive partitioning — partition columns split
+            # directories, the z-range splits files within the order
+            from cartwright_spark.functions.zorder import zorder
+            writer = zorder(df, list(zorder_by), n_files=zorder_files)
+        elif partition_by and cluster_before_write:
             keys = [df[c] for c in partition_by]
             if files_per_partition > 1:
                 from pyspark.sql import functions as F
@@ -198,6 +207,7 @@ class Catalog:
             "table": name,
             "stage": stage,
             "partition_by": list(partition_by or []),
+            "zorder_by": list(zorder_by or []),
             "stage_key": stage_key or stage,
             "parent_snapshot": None if parent is None else parent["snapshot_id"],
             "parent_table": None if parent is None else parent["table"],

@@ -215,3 +215,57 @@ def test_time_travel_and_expiry(spark, tmp_path):
         s1["snapshot_id"], s2["snapshot_id"]]
     with pytest.raises(ValueError):
         cat.expire_snapshots("t", keep_last=0)
+
+
+def test_zorder_write_prunes_box_queries(spark, tmp_path):
+    """Z-order clustering (functions/zorder.py + write_table(zorder_by=)):
+    a lat-lon box stats_filter over the manifest keeps a small fraction
+    of a z-ordered table's files, while the same box over an ingest-
+    ordered write keeps (nearly) all of them — the footer min/max
+    data-skipping mechanism the layout exists for. Results must be
+    row-identical either way."""
+    from cartwright_spark.functions.zorder import zvalue
+    cat = Catalog(str(tmp_path / "zo"))
+    pts = spark.range(200_000).select(
+        F.col("id"),
+        (((F.col("id") * 7919) % 18001) / 100.0 - 90.0).alias("lat"),
+        (((F.col("id") * 104729) % 36001) / 100.0 - 180.0).alias("lon"))
+    # ingest order ≈ key order: every file's lat/lon range spans the box
+    plain = cat.write_table(pts.repartition(32), "plain", stage="s",
+                            stage_key="p")
+    zo = cat.write_table(pts, "zo", stage="s", stage_key="z",
+                         zorder_by=["lat", "lon"], zorder_files=32)
+    assert zo["zorder_by"] == ["lat", "lon"]
+
+    def box(stats):
+        la, lo = stats.get("lat"), stats.get("lon")
+        if la is None or lo is None:
+            return True   # undecidable: keep
+        return not (la["max"] < 10.0 or la["min"] > 20.0
+                    or lo["max"] < 30.0 or lo["min"] > 50.0)
+
+    kept_plain = len(cat.select_files("plain", stats_filter=box))
+    kept_zo = len(cat.select_files("zo", stats_filter=box))
+    n_plain = len(plain["files"])
+    n_zo = len(zo["files"])
+    assert kept_plain == n_plain          # no skipping without clustering
+    assert kept_zo <= n_zo // 4           # z-order: large majority skipped
+
+    # pruning is sound: the box rows from the pruned file set equal the
+    # full-scan box rows, on both layouts
+    want = pts.where((F.col("lat").between(10.0, 20.0))
+                     & (F.col("lon").between(30.0, 50.0))) \
+        .agg(F.count("*"), F.sum("id")).first()
+    files = [str(tmp_path / "zo") + "/" + f["path"]
+             for f in cat.select_files("zo", stats_filter=box)]
+    got = (spark.read.parquet(*files)
+           .where((F.col("lat").between(10.0, 20.0))
+                  & (F.col("lon").between(30.0, 50.0)))
+           .agg(F.count("*"), F.sum("id")).first())
+    assert tuple(got) == tuple(want)
+
+    # the z-value expression itself is pure codegen (no UDF/python)
+    zcol = zvalue(pts, ["lat", "lon"], bits=8)
+    plan = pts.select(zcol.alias("z")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
