@@ -600,6 +600,19 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(orders, "o_orderpriority", "o_custkey", k=64)
 
 
+def q_exact_quantiles(spark, sf_dir):
+    """Exact distributed quantiles (operators/quantile.py): the value at
+    sorted index floor(q·(n−1)) of orders.o_totalprice for q ∈
+    {0.1, 0.5, 0.9} — found by bounded histogram-refinement selection
+    (≤B aggregate rows to the driver per round, pushed-down range filter,
+    single-value cells answer immediately), NEVER a global sort. Oracle:
+    the one-window row_number() formulation the selection provably
+    equals."""
+    from cartwright_spark.operators.quantile import exact_quantiles
+    o = _t(spark, sf_dir, "orders")
+    return exact_quantiles(o, "o_totalprice", [0.1, 0.5, 0.9])
+
+
 def q_triangle_lcc(spark, sf_dir):
     """Per-vertex triangle counts + local clustering coefficient
     (functions/graph.py triangle_counts, degree-ordered orientation so
@@ -1403,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
         "linear_score": q_linear_score,
+        "exact_quantiles": q_exact_quantiles,
         "triangle_lcc": q_triangle_lcc,
         "polygon_measures": q_polygon_measures,
         "hll_distinct": q_hll_distinct,
@@ -2327,6 +2341,20 @@ def oracle_sql() -> dict[str, str]:
                 "('" + str(n).replace("'", "''") + "')"
                 for n in __import__("cartwright_spark.sources.gazetteers",
                                     fromlist=["x"]).countries_pdf()["country_name"])),
+        "exact_quantiles": """
+            WITH ranked AS (
+              SELECT o_totalprice AS v,
+                     row_number() OVER (ORDER BY o_totalprice) AS rn,
+                     count(*) OVER () AS n
+              FROM orders WHERE o_totalprice IS NOT NULL
+            )
+            SELECT CAST(q AS DOUBLE) AS q,
+                   CAST(floor(CAST(q AS DOUBLE) * (n - 1)) AS BIGINT) AS k,
+                   v AS value
+            FROM ranked
+            JOIN (VALUES (0.1), (0.5), (0.9)) t(q)
+              ON rn = 1 + floor(CAST(q AS DOUBLE) * (n - 1))
+        """,
         # triangle/lcc: the oracle counts triangles orientation-free via
         # the canonical u<v three-way join — provably the same triangle
         # set the engine's degree-ordered orientation finds, each exactly

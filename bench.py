@@ -52,7 +52,7 @@ CONTRACT_BENCH_QUERIES = (
     "centroid_outlier", "linear_score", "pagerank", "url_normalize",
     "link_graph", "host_pagerank", "weighted_sample", "cms_freq",
     "prior_weighted_sample", "radius_join", "hll_distinct",
-    "polygon_measures", "triangle_lcc",
+    "polygon_measures", "triangle_lcc", "exact_quantiles",
 )
 
 

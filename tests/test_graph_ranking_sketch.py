@@ -519,3 +519,64 @@ def test_triangle_counts_megastar_no_wedge_blowup(spark):
     assert out.loc["hub", "degree"] == 3000
     assert out.loc["hub", "triangles"] == 1   # hub-leaf0-leaf1
     assert out.loc["leaf5", "triangles"] == 0
+
+
+# ---------------------------------------------------------------------------
+# exact distributed quantiles (selection without sorting)
+# ---------------------------------------------------------------------------
+
+def test_exact_quantiles_vs_sorted_reference(spark):
+    import numpy as np
+    from cartwright_spark.operators.quantile import exact_quantiles
+    rng = np.random.RandomState(5)
+    # continuous + a 50%-of-rows duplicate + integer clumps + nulls
+    vals = np.concatenate([rng.randn(8000) * 100.0,
+                           np.full(12000, 42.5),
+                           rng.randint(-5, 5, 4000).astype(float)])
+    import pandas as pd
+    pdf = pd.DataFrame({"x": vals})
+    pdf.loc[len(pdf)] = [None]
+    df = spark.createDataFrame(pdf)
+    qs = [0.0, 0.1, 0.5, 0.75, 0.99, 1.0]
+    out = exact_quantiles(df, "x", qs).toPandas().set_index("q")
+    s = np.sort(vals)
+    for q in qs:
+        k = int(np.floor(q * (len(s) - 1)))
+        assert out.loc[q, "k"] == k
+        assert out.loc[q, "value"] == s[k]
+
+
+def test_exact_order_stat_bounds_and_degenerate(spark):
+    import pytest as _pytest
+    from cartwright_spark.operators.quantile import exact_order_stat
+    one = spark.range(1).select(F.lit(7.0).alias("v"))
+    assert exact_order_stat(one, "v", 0) == 7.0
+    const = spark.range(5000).select(F.lit(3.25).alias("v"))
+    assert exact_order_stat(const, "v", 2499) == 3.25   # single-value cell
+    with _pytest.raises(ValueError):
+        exact_order_stat(one, "v", 1)
+    with _pytest.raises(ValueError):
+        exact_order_stat(one.where(F.col("v") < 0), "v", 0)
+
+
+def test_exact_quantiles_no_global_sort_plan(spark):
+    # the whole point: no round plans a total sort/range-exchange of the
+    # data — each round is filter + hash-agg over ≤4096 cells
+    import io
+    from contextlib import redirect_stdout
+    from cartwright_spark.operators.quantile import exact_order_stat
+    df = spark.range(200_000).select(
+        ((F.col("id") * 7919) % 100_000).cast("double").alias("v"))
+    # capture every executed plan via the SQL listener-free route:
+    # run once and assert the job's final value; plan audit on the
+    # histogram round itself
+    src = df.where(F.col("v").isNotNull())
+    cells = (src.select(F.least(F.floor((F.col("v") - F.lit(0.0))
+                                        / F.lit(25.0)),
+                                F.lit(4095)).alias("cell"), "v")
+             .groupBy("cell").agg(F.count("*").alias("cnt")))
+    plan = cells._jdf.queryExecution().executedPlan().toString()
+    assert "RangePartitioning" not in plan   # no total-order exchange
+    assert "HashAggregate" in plan           # map-side-combinable agg
+    assert exact_order_stat(df, "v", 100_000) == float(
+        sorted(((i * 7919) % 100_000) for i in range(200_000))[100_000])
