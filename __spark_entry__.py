@@ -600,6 +600,19 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(orders, "o_orderpriority", "o_custkey", k=64)
 
 
+def q_geohash_encode(spark, sf_dir):
+    """Geohash encode (functions/geohash.py) of the synthetic lineitem
+    coordinates at precision 6 — pure codegen shifts/masks/element_at,
+    no UDF, no shuffle. Oracle: the SAME arithmetic emitted as SQL by
+    geohash_sql (one generator, two engines); verified against public
+    test vectors in tests/test_tiles.py."""
+    from cartwright_spark.functions.geohash import geohash_col
+    pts = _coords(spark, sf_dir)
+    return pts.select(
+        "l_orderkey", "l_linenumber",
+        geohash_col(F.col("lat"), F.col("lon"), 6).alias("gh"))
+
+
 def q_exact_quantiles(spark, sf_dir):
     """Exact distributed quantiles (operators/quantile.py): the value at
     sorted index floor(q·(n−1)) of orders.o_totalprice for q ∈
@@ -1416,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
         "linear_score": q_linear_score,
+        "geohash_encode": q_geohash_encode,
         "exact_quantiles": q_exact_quantiles,
         "triangle_lcc": q_triangle_lcc,
         "polygon_measures": q_polygon_measures,
@@ -2341,6 +2355,13 @@ def oracle_sql() -> dict[str, str]:
                 "('" + str(n).replace("'", "''") + "')"
                 for n in __import__("cartwright_spark.sources.gazetteers",
                                     fromlist=["x"]).countries_pdf()["country_name"])),
+        "geohash_encode": (lambda: f"""
+            SELECT l_orderkey, l_linenumber,
+                   {__import__('cartwright_spark.functions.geohash',
+                               fromlist=['x']).geohash_sql('lat', 'lon', 6)
+                    } AS gh
+            FROM ({_COORDS_SQL})
+        """)(),
         "exact_quantiles": """
             WITH ranked AS (
               SELECT o_totalprice AS v,

@@ -44,3 +44,64 @@ def test_tile_assignment_join(spark):
     # points far outside any bbox tile are not assigned
     far = pts[(pts.lat < -20) & (pts.lon > 0)]
     assert not any((f"{p}", aid) in rows for p in far.point_id for aid in ("a", "b"))
+
+
+# ---------------------------------------------------------------------------
+# geohash
+# ---------------------------------------------------------------------------
+
+def test_geohash_known_vectors(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from cartwright_spark.functions.geohash import geohash_col
+    # public vectors: Niemeyer's example + geohash.org spot checks
+    vecs = [(57.64911, 10.40744, "u4pruydq"),
+            (0.0, 0.0, "s0000000"),
+            (-90.0, -180.0, "00000000"),
+            (89.99999, 179.99999, "zzzzzzzz")]
+    df = spark.createDataFrame(
+        pd.DataFrame(vecs, columns=["lat", "lon", "want"]))
+    out = df.select("want", geohash_col(F.col("lat"), F.col("lon"), 8)
+                    .alias("gh")).toPandas()
+    assert (out["gh"] == out["want"]).all()
+
+
+def test_geohash_prefix_property_and_plan(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from cartwright_spark.functions.geohash import geohash_col
+    import numpy as np
+    rng = np.random.RandomState(9)
+    df = spark.createDataFrame(pd.DataFrame({
+        "lat": rng.uniform(-90, 90, 500),
+        "lon": rng.uniform(-180, 180, 500)}))
+    sel = df.select(
+        geohash_col(F.col("lat"), F.col("lon"), 4).alias("g4"),
+        geohash_col(F.col("lat"), F.col("lon"), 9).alias("g9"))
+    out = sel.toPandas()
+    # a shorter geohash is a PREFIX of the longer one (bisection nesting)
+    assert (out.apply(lambda r: r["g9"].startswith(r["g4"]), axis=1)).all()
+    # pure codegen: no python workers, no shuffle
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "Exchange" not in plan
+
+
+def test_geohash_sql_mirror(spark):
+    import duckdb
+    import pandas as pd
+    import numpy as np
+    from pyspark.sql import functions as F
+    from cartwright_spark.functions.geohash import geohash_col, geohash_sql
+    rng = np.random.RandomState(4)
+    pdf = pd.DataFrame({"lat": rng.uniform(-90, 90, 300),
+                        "lon": rng.uniform(-180, 180, 300)})
+    df = spark.createDataFrame(pdf)
+    got = df.select(geohash_col(F.col("lat"), F.col("lon"), 7)
+                    .alias("gh")).toPandas()["gh"]
+    con = duckdb.connect()
+    con.register("p", pdf)
+    want = con.execute(
+        f"SELECT {geohash_sql('lat', 'lon', 7)} AS gh FROM p"
+    ).fetchdf()["gh"]
+    assert (got.to_numpy() == want.to_numpy()).all()
