@@ -80,6 +80,16 @@ def within_distance_join(queries: DataFrame, sites: DataFrame,
     edge_rad = s2.avg_edge_radians(level)
     edge_m = edge_rad * EARTH_RADIUS_M
     r_cover_m = float(r_m) + 2.0 * edge_m
+    # a manual `level` far finer than the radius would explode the disc
+    # cover quadratically (samples ~ (r/edge)² per query row) — fail
+    # loudly instead of silently planning a 40k-cell explode per row
+    if r_cover_m / edge_m > 200.0:
+        raise ValueError(
+            f"level={level} (edge ~{edge_m / 1000.0:.1f} km) is too fine "
+            f"for r_m={r_m:.0f} — the disc cover would sample "
+            f"~{(r_cover_m / (0.35 * edge_m)) ** 2 / 4.0:.0f} cells per "
+            f"query row; use a coarser level (pick_level gives "
+            f"{pick_level(r_m)})")
 
     @pandas_udf("long")
     def site_cell(lat: pd.Series, lon: pd.Series) -> pd.Series:

@@ -864,3 +864,24 @@ def test_polygon_measures_layout_invariant(spark):
         .set_index("poly_id").sort_index()
     assert (a["area_km2"] == b["area_km2"]).all()
     assert (a["perimeter_km"] == b["perimeter_km"]).all()
+
+
+def test_radius_join_planet_scale_radius_and_fine_level_guard(spark):
+    from cartwright_spark.spatial.distjoin import within_distance_join
+    rng = np.random.RandomState(23)
+    nq, ns = 30, 200
+    qdf = spark.createDataFrame(pd.DataFrame(
+        {"qid": np.arange(nq), "lat": rng.uniform(-89, 89, nq),
+         "lon": rng.uniform(-180, 180, nq)}))
+    sdf = spark.createDataFrame(pd.DataFrame(
+        {"site_id": np.arange(ns), "lat": rng.uniform(-89, 89, ns),
+         "lon": rng.uniform(-180, 180, ns)}))
+    # half-circumference radius: the disc is the whole planet, so every
+    # (query, site) pair qualifies — the cover must still be complete
+    from cartwright_spark.functions.geodesy import EARTH_RADIUS_M
+    r = np.pi * EARTH_RADIUS_M
+    assert within_distance_join(qdf, sdf, r).count() == nq * ns
+    # a manual level far too fine for the radius fails loudly instead of
+    # planning a quadratic per-row cell explode
+    with pytest.raises(ValueError, match="too fine"):
+        within_distance_join(qdf, sdf, 1_000_000.0, level=14)
