@@ -600,6 +600,24 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(orders, "o_orderpriority", "o_custkey", k=64)
 
 
+def q_grouped_quantile(spark, sf_dir):
+    """Per-group exact p90 (operators/quantile.py grouped_exact_quantile)
+    over a deliberately skewed grouping: one 'hot' group holds ~75% of
+    orders, 50 cold groups split the rest. Small groups resolve via a
+    bounded per-group window; the hot group goes through simultaneous
+    histogram-refinement selection (broadcast range table + one
+    (group, cell) algebraic agg per round) — the hot stratum is NEVER
+    sorted. Oracle: the per-group row_number window formulation."""
+    from cartwright_spark.operators.quantile import grouped_exact_quantile
+    o = _t(spark, sf_dir, "orders")
+    grp = F.when(F.col("o_orderkey") % 4 < 3, F.lit("hot")) \
+        .otherwise(F.concat(F.lit("c"),
+                            (F.col("o_custkey") % 50).cast("string")))
+    df = o.select(grp.alias("grp"), "o_totalprice")
+    return grouped_exact_quantile(df, "grp", "o_totalprice", 0.9,
+                                  hot_threshold=2000)
+
+
 def q_geohash_encode(spark, sf_dir):
     """Geohash encode (functions/geohash.py) of the synthetic lineitem
     coordinates at precision 6 — pure codegen shifts/masks/element_at,
@@ -1429,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
         "linear_score": q_linear_score,
+        "grouped_quantile": q_grouped_quantile,
         "geohash_encode": q_geohash_encode,
         "exact_quantiles": q_exact_quantiles,
         "triangle_lcc": q_triangle_lcc,
@@ -2362,6 +2381,26 @@ def oracle_sql() -> dict[str, str]:
                     } AS gh
             FROM ({_COORDS_SQL})
         """)(),
+        "grouped_quantile": """
+            WITH g AS (
+              SELECT CASE WHEN o_orderkey % 4 < 3 THEN 'hot'
+                          ELSE 'c' || CAST(o_custkey % 50 AS VARCHAR)
+                     END AS grp,
+                     o_totalprice AS v
+              FROM orders WHERE o_totalprice IS NOT NULL
+            ),
+            ranked AS (
+              SELECT grp, v,
+                     row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+                     count(*) OVER (PARTITION BY grp) AS n
+              FROM g
+            )
+            SELECT grp, n,
+                   CAST(floor(CAST(0.9 AS DOUBLE) * (n - 1)) AS BIGINT) AS k,
+                   v AS value
+            FROM ranked
+            WHERE rn = 1 + floor(CAST(0.9 AS DOUBLE) * (n - 1))
+        """,
         "exact_quantiles": """
             WITH ranked AS (
               SELECT o_totalprice AS v,

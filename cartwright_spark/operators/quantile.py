@@ -96,3 +96,123 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: list[float],
         v = exact_order_stat(src, "v", k, buckets, max_rounds)
         rows.append((float(q), k, float(v)))
     return spark.createDataFrame(rows, "q double, k long, value double")
+
+
+def grouped_exact_quantile(df: DataFrame, group_col: str, value_col: str,
+                           q: float, hot_threshold: int = 100_000,
+                           buckets: int = 4096, max_rounds: int = 12,
+                           max_hot_groups: int = 1024) -> DataFrame:
+    """(group, n, k, value) — exact per-group discrete quantile (value at
+    sorted index floor(q·(n−1)) within each group).
+
+    Two paths, split by group size — the same design language as
+    stratum_cap (never sort the hot stratum):
+
+    - groups with n ≤ ``hot_threshold``: an ordinary per-group
+      row_number window. Each such group sorts ONLY its own ≤threshold
+      rows inside its partition — bounded task input no matter how many
+      small groups there are (millions of domains is the normal case).
+    - hot groups (n > threshold — by pigeonhole at most
+      total/threshold of them): histogram-refinement selection run
+      simultaneously for all hot groups, one filtered (group, cell)
+      algebraic agg per round with the per-group [lo, hi) ranges shipped
+      as a broadcast literal table. The driver holds O(hot_groups · B)
+      aggregate rows per round — metadata scale because hot groups are
+      few BY DEFINITION; ``max_hot_groups`` guards the contract loudly.
+
+    No path ever globally sorts a hot group's rows.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"quantile {q} outside [0, 1]")
+    spark = df.sparkSession
+    src = df.select(F.col(group_col).alias("grp"),
+                    F.col(value_col).cast("double").alias("v")) \
+            .where(F.col("v").isNotNull()) \
+            .localCheckpoint(eager=True)
+    base = src.groupBy("grp").agg(
+        F.count("*").alias("n"), F.min("v").alias("lo"),
+        F.max("v").alias("hi"))
+    kcol = F.floor(F.lit(q) * (F.col("n") - 1)).cast("long")
+    base = base.withColumn("k", kcol).localCheckpoint(eager=True)
+
+    # --- small groups: bounded per-group window sort ---------------------
+    small = base.where(F.col("n") <= hot_threshold).select("grp", "n", "k")
+    w = Window.partitionBy("grp").orderBy(F.asc("v"))
+    small_out = (src.join(F.broadcast(small), "grp")
+                 .withColumn("rn", F.row_number().over(w))
+                 .where(F.col("rn") == F.col("k") + 1)
+                 .select("grp", "n", "k", F.col("v").alias("value")))
+
+    # --- hot groups: simultaneous histogram refinement --------------------
+    hot_rows = base.where(F.col("n") > hot_threshold).collect()
+    if len(hot_rows) > max_hot_groups:
+        raise ValueError(
+            f"{len(hot_rows)} groups exceed hot_threshold="
+            f"{hot_threshold} (> max_hot_groups={max_hot_groups}) — "
+            f"raise the threshold or the guard")
+    state = {r["grp"]: {"lo": r["lo"], "hi": r["hi"], "k": r["k"],
+                        "n": r["n"]} for r in hot_rows}
+    resolved: dict = {}
+    for _ in range(max_rounds):
+        pend = {g: s for g, s in state.items() if g not in resolved}
+        for g, s in list(pend.items()):
+            if s["lo"] == s["hi"]:
+                resolved[g] = s
+                del pend[g]
+        if not pend:
+            break
+        from pyspark.sql.types import DoubleType, StructField, StructType
+        rschema = StructType([
+            StructField("grp", base.schema["grp"].dataType),
+            StructField("rlo", DoubleType()),
+            StructField("rhi", DoubleType()),
+            StructField("w", DoubleType())])
+        ranges = spark.createDataFrame(
+            [(g, s["lo"], s["hi"],
+              max((s["hi"] - s["lo"]) / buckets, 5e-324))
+             for g, s in pend.items()], rschema)
+        cells = (src.join(F.broadcast(ranges), "grp")
+                 .where((F.col("v") >= F.col("rlo"))
+                        & (F.col("v") <= F.col("rhi")))
+                 .select("grp", F.least(
+                     F.floor((F.col("v") - F.col("rlo")) / F.col("w")),
+                     F.lit(buckets - 1)).alias("cell"), "v")
+                 .groupBy("grp", "cell")
+                 .agg(F.count("*").alias("cnt"), F.min("v").alias("mn"),
+                      F.max("v").alias("mx"))
+                 .collect())
+        per_group: dict = {}
+        for c in cells:
+            per_group.setdefault(c["grp"], []).append(c)
+        for g, cs in per_group.items():
+            cs.sort(key=lambda c: c["cell"])
+            k, acc = pend[g]["k"], 0
+            for c in cs:
+                if acc + c["cnt"] > k:
+                    if c["mn"] == c["mx"]:
+                        resolved[g] = {"lo": c["mn"], "hi": c["mn"],
+                                       "k": 0, "n": pend[g]["n"]}
+                    else:
+                        state[g] = {"lo": c["mn"], "hi": c["mx"],
+                                    "k": k - acc, "n": pend[g]["n"]}
+                    break
+                acc += c["cnt"]
+    still = [g for g in state if g not in resolved
+             and state[g]["lo"] != state[g]["hi"]]
+    if still:
+        raise ValueError(
+            f"hot groups {still[:5]} not converged after {max_rounds} "
+            f"rounds — raise max_rounds or buckets")
+    for g, s in state.items():
+        if g not in resolved:
+            resolved[g] = s
+    hot_vals = [(g, state[g]["n"],
+                 int(math.floor(q * (state[g]["n"] - 1))),
+                 float(resolved[g]["lo"])) for g in state]
+    if hot_vals:
+        hot_out = spark.createDataFrame(
+            hot_vals, small_out.schema)
+        return small_out.unionByName(hot_out)
+    return small_out

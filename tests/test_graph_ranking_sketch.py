@@ -580,3 +580,39 @@ def test_exact_quantiles_no_global_sort_plan(spark):
     assert "HashAggregate" in plan           # map-side-combinable agg
     assert exact_order_stat(df, "v", 100_000) == float(
         sorted(((i * 7919) % 100_000) for i in range(200_000))[100_000])
+
+
+def test_grouped_exact_quantile_both_paths(spark):
+    import numpy as np
+    import pandas as pd
+    from cartwright_spark.operators.quantile import grouped_exact_quantile
+    rng = np.random.RandomState(13)
+    rows = []
+    for g in range(60):   # small groups
+        rows += [(f"g{g}", float(v)) for v in rng.randn(40) * 10]
+    rows += [("hotA", float(v)) for v in rng.randn(30_000) * 100]
+    rows += [("hotB", 7.5)] * 10_000   # megadup: single-value cell path
+    rows += [("hotB", float(v)) for v in rng.randn(10_000)]
+    pdf = pd.DataFrame(rows, columns=["grp", "x"])
+    df = spark.createDataFrame(pdf).repartition(16)
+    for q in (0.5, 0.9):
+        out = grouped_exact_quantile(df, "grp", "x", q,
+                                     hot_threshold=1000) \
+            .toPandas().set_index("grp")
+        for g, sub in pdf.groupby("grp"):
+            s = np.sort(sub["x"].to_numpy())
+            k = int(np.floor(q * (len(s) - 1)))
+            assert out.loc[g, "value"] == s[k], (g, q)
+            assert out.loc[g, "k"] == k
+            assert out.loc[g, "n"] == len(s)
+
+
+def test_grouped_exact_quantile_guard(spark):
+    import pytest as _pytest
+    from cartwright_spark.operators.quantile import grouped_exact_quantile
+    df = spark.range(10_000).select(
+        (F.col("id") % 20).cast("string").alias("grp"),
+        F.col("id").cast("double").alias("v"))
+    with _pytest.raises(ValueError, match="max_hot_groups"):
+        grouped_exact_quantile(df, "grp", "v", 0.5, hot_threshold=10,
+                               max_hot_groups=5)
