@@ -600,6 +600,46 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(orders, "o_orderpriority", "o_custkey", k=64)
 
 
+def q_multimodal_gif_frames(spark, sf_dir):
+    """Multiframe media decode (operators/gif.py — from-scratch GIF89a
+    codec, full LZW): deterministic palette-indexed animations built
+    from doc_id, encoded and decoded distributed inside mapInPandas;
+    per-frame pixel sums, decoded delays, and the cumulative frame
+    start time all closed-form in (doc_id, frame), so the DuckDB oracle
+    re-derives every value in pure SQL — the first REAL multiframe
+    (video-shaped) decode path, with frame timing from the bitstream."""
+    import numpy as np
+    import pandas as pd
+
+    from cartwright_spark.operators.gif import decode_gif, encode_gif
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 150)
+    H, W, NF, P = 10, 8, 3, 64
+    palette = np.stack([(np.arange(P) * 3) % 256, (np.arange(P) * 5) % 256,
+                        (np.arange(P) * 7) % 256], 1).astype(np.uint8)
+
+    def fn(batches):
+        y = np.arange(H)[:, None]
+        x = np.arange(W)[None, :]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].to_numpy(np.int64):
+                frames = [((int(i) * 31 + f * 13 + y * 7 + x * 3) % P)
+                          .astype(np.uint8) for f in range(NF)]
+                delays = [10 + 5 * f for f in range(NF)]
+                decoded = decode_gif(encode_gif(frames, palette, delays))
+                t = 0
+                for f, (d, rgb) in enumerate(decoded):
+                    rows.append((int(i), f, d, t, int(rgb.sum())))
+                    t += d
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame", "delay_cs", "t_start_cs", "px_sum"])
+
+    return docs.mapInPandas(
+        fn, "media_id long, frame long, delay_cs long, "
+            "t_start_cs long, px_sum long")
+
+
 def q_grouped_quantile(spark, sf_dir):
     """Per-group exact p90 (operators/quantile.py grouped_exact_quantile)
     over a deliberately skewed grouping: one 'hot' group holds ~75% of
@@ -1447,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
         "linear_score": q_linear_score,
+        "multimodal_gif_frames": q_multimodal_gif_frames,
         "grouped_quantile": q_grouped_quantile,
         "geohash_encode": q_geohash_encode,
         "exact_quantiles": q_exact_quantiles,
@@ -2381,6 +2422,32 @@ def oracle_sql() -> dict[str, str]:
                     } AS gh
             FROM ({_COORDS_SQL})
         """)(),
+        # gif frames: pixel indices, palette, delays, and frame start
+        # times are all closed-form in (doc_id, frame) — the oracle
+        # recomputes the decoded rasters' sums without any codec
+        "multimodal_gif_frames": """
+            WITH ids AS (
+              SELECT doc_id FROM documents WHERE doc_id < 150
+            ),
+            dims AS (
+              SELECT f.f, y.y, x.x
+              FROM generate_series(0, 2) f(f),
+                   generate_series(0, 9) y(y),
+                   generate_series(0, 7) x(x)
+            ),
+            px AS (
+              SELECT doc_id, f,
+                     (doc_id * 31 + f * 13 + y * 7 + x * 3) % 64 AS p
+              FROM ids CROSS JOIN dims
+            )
+            SELECT doc_id AS media_id, f AS frame,
+                   10 + 5 * f AS delay_cs,
+                   CAST(10 * f + (5 * f * (f - 1)) // 2 AS BIGINT) AS t_start_cs,
+                   CAST(sum((p * 3) % 256 + (p * 5) % 256 + (p * 7) % 256)
+                     AS BIGINT) AS px_sum
+            FROM px
+            GROUP BY doc_id, f
+        """,
         "grouped_quantile": """
             WITH g AS (
               SELECT CASE WHEN o_orderkey % 4 < 3 THEN 'hot'

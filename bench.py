@@ -53,7 +53,7 @@ CONTRACT_BENCH_QUERIES = (
     "link_graph", "host_pagerank", "weighted_sample", "cms_freq",
     "prior_weighted_sample", "radius_join", "hll_distinct",
     "polygon_measures", "triangle_lcc", "exact_quantiles",
-    "geohash_encode", "grouped_quantile",
+    "geohash_encode", "grouped_quantile", "multimodal_gif_frames",
 )
 
 

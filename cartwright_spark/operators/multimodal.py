@@ -162,10 +162,14 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     if payload[:2] == b"\xFF\xD8":
         from cartwright_spark.operators.jpeg import decode_jpeg
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from cartwright_spark.operators.gif import decode_gif
+        return decode_gif(payload)[0][1]   # first frame as a still
     raise NotImplementedError(
-        "only PNG and baseline JPEG decode in this environment "
-        "(from-scratch decoders); pass fake=True for the deterministic "
-        "test decoder or plug a codec in here")
+        "only PNG, baseline JPEG, and GIF decode in this environment "
+        "(from-scratch decoders); true video still raises — pass "
+        "fake=True for the deterministic test decoder or plug a codec "
+        "in here")
 
 
 def extract_features(media: DataFrame, fake_decode: bool = True,

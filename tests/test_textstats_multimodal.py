@@ -316,3 +316,67 @@ def test_curation_repetition_gate(spark):
     gated = {r["doc_id"]
              for r in curate_documents(df, repetition_filter=True).collect()}
     assert gated == {1}          # ...and dies to the repetition gate
+
+
+# ---------------------------------------------------------------------------
+# GIF codec
+# ---------------------------------------------------------------------------
+
+def test_gif_roundtrip_multiframe_exact():
+    import numpy as np
+    from cartwright_spark.operators.gif import decode_gif, encode_gif
+    rng = np.random.RandomState(3)
+    P = 64
+    palette = np.stack([(np.arange(P) * 3) % 256, (np.arange(P) * 5) % 256,
+                        (np.arange(P) * 7) % 256], 1).astype(np.uint8)
+    frames = [rng.randint(0, P, (24, 17)).astype(np.uint8)
+              for _ in range(5)]
+    delays = [4, 10, 25, 7, 100]
+    out = decode_gif(encode_gif(frames, palette, delays))
+    assert len(out) == 5
+    for i, (d, rgb) in enumerate(out):
+        assert d == delays[i]
+        assert np.array_equal(rgb, palette[frames[i]])
+
+
+def test_gif_lzw_width_growth_and_clears():
+    # 200x200 = 40k pixels forces the code width past every bump and at
+    # least one mid-stream clear; decode must stay bit-exact
+    import numpy as np
+    from cartwright_spark.operators.gif import decode_gif, encode_gif
+    rng = np.random.RandomState(7)
+    P = 64
+    palette = rng.randint(0, 256, (P, 3)).astype(np.uint8)
+    big = rng.randint(0, P, (200, 200)).astype(np.uint8)
+    out = decode_gif(encode_gif([big], palette, [1]))
+    assert np.array_equal(out[0][1], palette[big])
+
+
+def test_gif_one_bit_palette_and_decode_image_dispatch():
+    import numpy as np
+    from cartwright_spark.operators.gif import decode_gif, encode_gif
+    from cartwright_spark.operators.multimodal import decode_image
+    pal2 = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    fr = (np.arange(81).reshape(9, 9) % 2).astype(np.uint8)
+    payload = encode_gif([fr, 1 - fr], pal2, [3, 6])
+    frames = decode_gif(payload)
+    assert np.array_equal(frames[0][1], pal2[fr])
+    assert np.array_equal(frames[1][1], pal2[1 - fr])
+    # decode_image returns the first frame as a still
+    assert np.array_equal(decode_image(payload), pal2[fr])
+
+
+def test_gif_rejects_garbage_and_interlace():
+    import numpy as np
+    import pytest as _pytest
+    from cartwright_spark.operators.gif import decode_gif, encode_gif
+    with _pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF" + b"\x00" * 20)
+    pal = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    payload = bytearray(encode_gif(
+        [np.zeros((4, 4), np.uint8)], pal, [1]))
+    # flip the interlace bit in the image descriptor flags byte
+    idx = payload.index(0x2C)
+    payload[idx + 9] |= 0x40
+    with _pytest.raises(NotImplementedError):
+        decode_gif(bytes(payload))
