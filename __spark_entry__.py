@@ -600,6 +600,39 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(orders, "o_orderpriority", "o_custkey", k=64)
 
 
+def q_warc_records(spark, sf_dir):
+    """WARC ingest (sources/warc.py — from-scratch ISO 28500 reader):
+    per-doc Common-Crawl-layout blobs (three records each, every record
+    its OWN gzip member) are built and exploded into record rows inside
+    one mapInPandas pass. Record urls, payload lengths, and payload md5s
+    are closed-form in (doc_id, rec), so the DuckDB oracle re-derives
+    every value — framing, member-by-member gunzip, and payload
+    extraction are value-checked end to end."""
+    import pandas as pd
+
+    from cartwright_spark.sources.warc import build_warc, warc_records
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 200)
+
+    def mk(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].to_numpy():
+                i = int(i)
+                recs = [{"url": f"https://w{i}.example.com/r/{r}",
+                         "payload": (f"payload-{i}-{r}-"
+                                     + "x" * (i % 7 + r)).encode()}
+                        for r in range(3)]
+                rows.append((i, build_warc(recs, gzip_members=True)))
+            yield pd.DataFrame(rows, columns=["blob_id", "warc"])
+
+    blobs = docs.mapInPandas(mk, "blob_id long, warc binary")
+    out = warc_records(blobs)
+    return out.select(
+        "blob_id", "rec_idx", "rec_type", "url", "n_bytes",
+        F.md5(F.col("payload").cast("string")).alias("payload_md5"))
+
+
 def q_multimodal_gif_frames(spark, sf_dir):
     """Multiframe media decode (operators/gif.py — from-scratch GIF89a
     codec, full LZW): deterministic palette-indexed animations built
@@ -1487,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
         "linear_score": q_linear_score,
+        "warc_records": q_warc_records,
         "multimodal_gif_frames": q_multimodal_gif_frames,
         "grouped_quantile": q_grouped_quantile,
         "geohash_encode": q_geohash_encode,
@@ -2422,6 +2456,24 @@ def oracle_sql() -> dict[str, str]:
                     } AS gh
             FROM ({_COORDS_SQL})
         """)(),
+        "warc_records": """
+            WITH recs AS (
+              SELECT doc_id AS blob_id, r AS rec_idx,
+                     'response' AS rec_type,
+                     'https://w' || CAST(doc_id AS VARCHAR)
+                       || '.example.com/r/' || CAST(r AS VARCHAR) AS url,
+                     'payload-' || CAST(doc_id AS VARCHAR) || '-'
+                       || CAST(r AS VARCHAR) || '-'
+                       || repeat('x', CAST(doc_id % 7 + r AS INT))
+                       AS payload
+              FROM documents CROSS JOIN generate_series(0, 2) t(r)
+              WHERE doc_id < 200
+            )
+            SELECT blob_id, rec_idx, rec_type, url,
+                   CAST(length(payload) AS BIGINT) AS n_bytes,
+                   md5(payload) AS payload_md5
+            FROM recs
+        """,
         # gif frames: pixel indices, palette, delays, and frame start
         # times are all closed-form in (doc_id, frame) — the oracle
         # recomputes the decoded rasters' sums without any codec

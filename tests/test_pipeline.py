@@ -269,3 +269,64 @@ def test_zorder_write_prunes_box_queries(spark, tmp_path):
     plan = pts.select(zcol.alias("z")) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# WARC reader
+# ---------------------------------------------------------------------------
+
+def test_warc_roundtrip_plain_and_gzip_members():
+    from cartwright_spark.sources.warc import build_warc, parse_warc
+    recs = [{"url": f"https://x.org/{i}",
+             "payload": bytes([i]) * (i * 13 + 1),
+             "rec_type": "response" if i % 2 == 0 else "request"}
+            for i in range(6)]
+    for gz in (False, True):
+        got = list(parse_warc(build_warc(recs, gzip_members=gz)))
+        assert len(got) == 6
+        for i, r in enumerate(got):
+            assert r["rec_idx"] == i
+            assert r["url"] == f"https://x.org/{i}"
+            assert r["payload"] == bytes([i]) * (i * 13 + 1)
+            assert r["rec_type"] == ("response" if i % 2 == 0
+                                     else "request")
+
+
+def test_warc_payload_may_contain_crlf_framing_bytes():
+    # Content-Length framing (not delimiter scanning) must carry a
+    # payload full of CRLFs and fake header lines intact
+    from cartwright_spark.sources.warc import build_warc, parse_warc
+    evil = b"\r\n\r\nWARC/1.0\r\nContent-Length: 0\r\n\r\n" * 3
+    got = list(parse_warc(build_warc(
+        [{"url": "https://e", "payload": evil}])))
+    assert len(got) == 1 and got[0]["payload"] == evil
+
+
+def test_warc_truncation_and_bad_version_raise():
+    import pytest as _pytest
+    from cartwright_spark.sources.warc import build_warc, parse_warc
+    blob = build_warc([{"url": "https://t", "payload": b"abcdef"}])
+    with _pytest.raises(ValueError, match="truncated"):
+        list(parse_warc(blob[:-10]))
+    with _pytest.raises(ValueError, match="version"):
+        list(parse_warc(b"HTTP/1.1 200\r\n\r\n"))
+
+
+def test_warc_records_distributed(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from cartwright_spark.sources.warc import build_warc, warc_records
+    rows = []
+    for b in range(20):
+        recs = [{"url": f"https://b{b}/r{r}",
+                 "payload": f"body-{b}-{r}".encode()} for r in range(4)]
+        rows.append((b, build_warc(recs, gzip_members=(b % 2 == 0))))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["blob_id", "warc"])).repartition(7)
+    out = warc_records(df).toPandas()
+    assert len(out) == 80
+    assert set(zip(out.blob_id, out.rec_idx)) == {
+        (b, r) for b in range(20) for r in range(4)}
+    row = out[(out.blob_id == 3) & (out.rec_idx == 2)].iloc[0]
+    assert row["url"] == "https://b3/r2"
+    assert bytes(row["payload"]) == b"body-3-2"
