@@ -600,6 +600,37 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(orders, "o_orderpriority", "o_custkey", k=64)
 
 
+def q_robots_filter(spark, sf_dir):
+    """RFC 9309 robots.txt politeness filter (operators/robots.py):
+    per-host robots BODIES are synthesized closed-form (a crawler-
+    specific group with Disallow+Allow, plus a deny-all ``*`` group that
+    must NOT be selected), parsed from scratch on the host dim, and
+    applied to order-derived URLs via broadcast rules + codegen prefix
+    longest-match (max_by, no window). The oracle re-derives the
+    decisions from the RULE SEMANTICS directly — wrong group selection,
+    wrong tie-break, or a lost default-allow URL all diverge."""
+    from cartwright_spark.operators.robots import robots_decisions
+    o = _t(spark, sf_dir, "orders")
+    urls = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.concat(F.lit("h"), (F.col("o_custkey") % 20).cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.concat(F.lit("/p"), (F.col("o_orderkey") % 4).cast("string"),
+                 F.when(F.col("o_orderkey") % 5 == 0, F.lit("/pub/page"))
+                 .otherwise(F.lit("/item")),
+                 F.col("o_orderkey").cast("string")).alias("path"))
+    hosts = o.select((F.col("o_custkey") % 20).alias("h")).distinct()
+    robots = hosts.select(
+        F.concat(F.lit("h"), F.col("h").cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.format_string(
+            "User-agent: crawler\nDisallow: /p%d/\nAllow: /p%d/pub\n\n"
+            "User-agent: *\nDisallow: /",
+            (F.col("h") % 3).cast("int"),
+            (F.col("h") % 3).cast("int")).alias("robots_txt"))
+    return robots_decisions(urls, robots, agent="crawler")
+
+
 def q_warc_records(spark, sf_dir):
     """WARC ingest (sources/warc.py — from-scratch ISO 28500 reader):
     per-doc Common-Crawl-layout blobs (three records each, every record
@@ -1520,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
         "linear_score": q_linear_score,
+        "robots_filter": q_robots_filter,
         "warc_records": q_warc_records,
         "multimodal_gif_frames": q_multimodal_gif_frames,
         "grouped_quantile": q_grouped_quantile,
@@ -2456,6 +2488,31 @@ def oracle_sql() -> dict[str, str]:
                     } AS gh
             FROM ({_COORDS_SQL})
         """)(),
+        "robots_filter": """
+            WITH u AS (
+              SELECT o_orderkey AS k,
+                     'h' || CAST(o_custkey % 20 AS VARCHAR)
+                       || '.example.com' AS host,
+                     '/p' || CAST(o_orderkey % 4 AS VARCHAR)
+                       || CASE WHEN o_orderkey % 5 = 0
+                               THEN '/pub/page' ELSE '/item' END
+                       || CAST(o_orderkey AS VARCHAR) AS path,
+                     CAST((o_custkey % 20) % 3 AS VARCHAR) AS d
+              FROM orders
+            )
+            SELECT k, host, path,
+                   CASE WHEN starts_with(path, '/p' || d || '/pub')
+                          THEN TRUE
+                        WHEN starts_with(path, '/p' || d || '/')
+                          THEN FALSE
+                        ELSE TRUE END AS allowed,
+                   CASE WHEN starts_with(path, '/p' || d || '/pub')
+                          THEN 7
+                        WHEN starts_with(path, '/p' || d || '/')
+                          THEN 4
+                        ELSE 0 END AS rule_len
+            FROM u
+        """,
         "warc_records": """
             WITH recs AS (
               SELECT doc_id AS blob_id, r AS rec_idx,

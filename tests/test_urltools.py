@@ -174,3 +174,57 @@ def test_normalize_idempotent_fuzz(spark):
         sch, rest = u.split("://", 1)
         assert sch == sch.lower()
         assert not rest.split("/")[0].startswith("www.")
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309)
+# ---------------------------------------------------------------------------
+
+def test_parse_robots_groups_and_merging():
+    from cartwright_spark.operators.robots import parse_robots
+    txt = ("# politeness\n"
+           "User-agent: crawler\nDisallow: /a/\nAllow: /a/ok\n\n"
+           "User-agent: *\nDisallow: /\n\n"
+           "User-agent: other\nUser-agent: crawler\nDisallow: /b\n")
+    # specific group beats *, same-agent groups merge, case-insensitive
+    assert parse_robots(txt, "Crawler") == [
+        (False, "/a/"), (True, "/a/ok"), (False, "/b")]
+    assert parse_robots(txt, "nobody") == [(False, "/")]
+    # empty Disallow is a no-op rule (allow everything)
+    assert parse_robots("User-agent: *\nDisallow:\n", "x") == []
+
+
+def test_robots_decisions_longest_match_wildcards_default(spark):
+    import pandas as pd
+    from cartwright_spark.operators.robots import robots_decisions
+    urls = spark.createDataFrame(pd.DataFrame({
+        "host": ["a", "a", "a", "a", "b", "c"],
+        "path": ["/priv/x", "/priv/pub/x", "/other", "/tmp/f.php",
+                 "/anything", "/nohost"]}))
+    robots = spark.createDataFrame(pd.DataFrame({
+        "host": ["a", "b"],
+        "robots_txt": [
+            "User-agent: bot\nDisallow: /priv/\nAllow: /priv/pub\n"
+            "Disallow: /*.php$\n",
+            "User-agent: bot\nDisallow:\n"]}))
+    out = robots_decisions(urls, robots, agent="bot").toPandas() \
+        .set_index("path")
+    assert out.loc["/priv/x", "allowed"] == False          # noqa: E712
+    assert out.loc["/priv/pub/x", "allowed"] == True       # noqa: E712
+    assert out.loc["/other", "allowed"] == True            # host rule miss
+    assert out.loc["/tmp/f.php", "allowed"] == False       # wildcard + $
+    assert out.loc["/anything", "allowed"] == True         # empty disallow
+    assert out.loc["/nohost", "allowed"] == True           # no robots row
+    assert len(out) == 6                                   # nothing lost
+
+
+def test_robots_tie_allow_wins(spark):
+    import pandas as pd
+    from cartwright_spark.operators.robots import robots_decisions
+    urls = spark.createDataFrame(pd.DataFrame(
+        {"host": ["a"], "path": ["/dir/page"]}))
+    robots = spark.createDataFrame(pd.DataFrame({
+        "host": ["a"],
+        "robots_txt": ["User-agent: *\nDisallow: /dir/\nAllow: /dir/\n"]}))
+    out = robots_decisions(urls, robots, agent="bot").toPandas()
+    assert bool(out["allowed"][0]) is True   # equal length → Allow wins
