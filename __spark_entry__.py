@@ -600,6 +600,23 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(orders, "o_orderpriority", "o_custkey", k=64)
 
 
+def q_bloom_semijoin(spark, sf_dir):
+    """Bloom-prefiltered semi join (operators/bloom.py): lineitem rows
+    survive a pure-codegen m=2^19 Bloom probe of the (rare) orders
+    subset's keys BEFORE the join exchange — the shuffle sees ~2% of
+    the corpus instead of all of it — then the exact join removes any
+    false positives, so the result is identical to the plain semi join
+    the oracle runs."""
+    from cartwright_spark.operators.bloom import bloom_prefilter_join
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_linenumber")
+    small = _t(spark, sf_dir, "orders") \
+        .where(F.col("o_orderkey") % 50 == 0) \
+        .select(F.col("o_orderkey").alias("k"))
+    out = bloom_prefilter_join(li, small, "k")
+    return out.select(F.col("k").alias("l_orderkey"), "l_linenumber")
+
+
 def q_robots_filter(spark, sf_dir):
     """RFC 9309 robots.txt politeness filter (operators/robots.py):
     per-host robots BODIES are synthesized closed-form (a crawler-
@@ -1551,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
         "linear_score": q_linear_score,
+        "bloom_semijoin": q_bloom_semijoin,
         "robots_filter": q_robots_filter,
         "warc_records": q_warc_records,
         "multimodal_gif_frames": q_multimodal_gif_frames,
@@ -2488,6 +2506,12 @@ def oracle_sql() -> dict[str, str]:
                     } AS gh
             FROM ({_COORDS_SQL})
         """)(),
+        "bloom_semijoin": """
+            SELECT l_orderkey, l_linenumber
+            FROM lineitem
+            WHERE l_orderkey IN (
+              SELECT o_orderkey FROM orders WHERE o_orderkey % 50 = 0)
+        """,
         "robots_filter": """
             WITH u AS (
               SELECT o_orderkey AS k,

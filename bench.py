@@ -54,7 +54,7 @@ CONTRACT_BENCH_QUERIES = (
     "prior_weighted_sample", "radius_join", "hll_distinct",
     "polygon_measures", "triangle_lcc", "exact_quantiles",
     "geohash_encode", "grouped_quantile", "multimodal_gif_frames",
-    "warc_records", "robots_filter",
+    "warc_records", "robots_filter", "bloom_semijoin",
 )
 
 

@@ -616,3 +616,50 @@ def test_grouped_exact_quantile_guard(spark):
     with _pytest.raises(ValueError, match="max_hot_groups"):
         grouped_exact_quantile(df, "grp", "v", 0.5, hot_threshold=10,
                                max_hot_groups=5)
+
+
+# ---------------------------------------------------------------- bloom
+
+def test_bloom_no_false_negatives_and_join_identity(spark):
+    from cartwright_spark.operators.bloom import (bloom_build,
+                                                  bloom_prefilter_join,
+                                                  bloom_probe)
+    small = spark.range(3000).select((F.col("id") * 7919 % 1_000_000)
+                                     .alias("k"))
+    big = spark.range(300_000).select((F.col("id") % 1_000_000).alias("k"),
+                                      F.col("id").alias("v"))
+    bm = bloom_build(small, "k", m_bits=1 << 16, k=5)
+    # NO false negatives: every build key probes true
+    missed = small.where(~bloom_probe(F.col("k"), bm, 1 << 16, 5)).count()
+    assert missed == 0
+    # composed join is identical to the exact semi join
+    exact = big.join(small.distinct(), "k", "left_semi")
+    got = bloom_prefilter_join(big, small, "k", m_bits=1 << 16, k=5)
+    assert sorted(r["v"] for r in got.collect()) \
+        == sorted(r["v"] for r in exact.collect())
+
+
+def test_bloom_probe_is_codegen_and_selective(spark):
+    from cartwright_spark.operators.bloom import bloom_build, bloom_probe
+    small = spark.range(500).select((F.col("id") * 31 % 10_000_000)
+                                    .alias("k"))
+    big = spark.range(200_000).select((F.col("id") % 10_000_000)
+                                      .alias("k"))
+    bm = bloom_build(small, "k", m_bits=1 << 19, k=5)
+    filtered = big.where(bloom_probe(F.col("k"), bm, 1 << 19, 5))
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
+    kept = filtered.count()
+    exact = big.join(small.distinct(), "k", "left_semi").count()
+    assert exact <= kept <= exact + 200_000 // 50   # fp rate ≪ 2%
+
+
+def test_bloom_bitmaps_mergeable(spark):
+    from cartwright_spark.operators.bloom import bloom_build, bloom_probe
+    a = spark.range(0, 1000).select((F.col("id") * 13).alias("k"))
+    b = spark.range(1000, 2000).select((F.col("id") * 13).alias("k"))
+    m = 1 << 16
+    merged = [x | y for x, y in zip(bloom_build(a, "k", m),
+                                    bloom_build(b, "k", m))]
+    direct = bloom_build(a.unionByName(b), "k", m)
+    assert merged == direct
