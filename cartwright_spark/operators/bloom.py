@@ -40,6 +40,12 @@ def bloom_build(small: DataFrame, key_col: str, m_bits: int = 1 << 19,
     of m_bits/64 longs. One explode (×k, narrow) + one algebraic bit_or
     agg; the collect is ≤ m_bits/64 rows (metadata scale). MERGEABLE:
     OR two bitmaps wordwise to get the bitmap of the key union."""
+    if m_bits > (1 << 22) or m_bits & (m_bits - 1):
+        raise ValueError(
+            f"m_bits={m_bits} must be a power of two ≤ 2^22 — the bitmap "
+            f"is collected to the driver and embedded as a plan literal "
+            f"({m_bits // 64} longs); beyond that use a broadcast-join "
+            f"membership filter instead")
     pos = F.explode(F.array(*_positions(F.col(key_col), m_bits, k)))
     words = (small.select(pos.alias("pos"))
              .select((F.col("pos") / 64).cast("long").alias("word"),

@@ -140,7 +140,10 @@ def grouped_exact_quantile(df: DataFrame, group_col: str, value_col: str,
     # --- small groups: bounded per-group window sort ---------------------
     small = base.where(F.col("n") <= hot_threshold).select("grp", "n", "k")
     w = Window.partitionBy("grp").orderBy(F.asc("v"))
-    small_out = (src.join(F.broadcast(small), "grp")
+    # NO broadcast hint: with millions of small groups (the normal
+    # per-domain case) the (grp, n, k) table is itself large — a plain
+    # equi-join lets AQE broadcast only when it actually fits
+    small_out = (src.join(small, "grp")
                  .withColumn("rn", F.row_number().over(w))
                  .where(F.col("rn") == F.col("k") + 1)
                  .select("grp", "n", "k", F.col("v").alias("value")))

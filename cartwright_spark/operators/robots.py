@@ -102,7 +102,11 @@ def robots_decisions(urls: DataFrame, robots: DataFrame, agent: str,
                      path_col: str = "path") -> DataFrame:
     """urls(host, path, ...) × robots(host, robots_txt) →
     urls + (allowed, rule_len): RFC 9309 longest-match decision per URL.
-    The rules dim is broadcast; the per-page path is pure JVM."""
+    The rules dim is broadcast; the per-page path is pure JVM.
+
+    NOTE: the longest-match pick groups by ALL of ``urls``' columns, so
+    duplicate url rows collapse to one output row — pass a unique id
+    column if input multiplicity must survive."""
     rules = robots_rules_df(robots, agent, host_col=host_col)
     hit = F.when(F.col("is_plain"),
                  F.col(path_col).startswith(F.col("pattern"))) \

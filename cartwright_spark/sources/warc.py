@@ -52,10 +52,11 @@ def _gunzip_members(blob: bytes) -> bytes:
     """Decompress a concatenation of gzip members (zlib leaves
     unused_data pointing at the next member)."""
     out = bytearray()
-    pos = 0
+    view = memoryview(blob)   # no per-member copy of the remainder —
+    pos = 0                   # a blob[pos:] slice would be O(members²)
     while pos < len(blob):
         d = zlib.decompressobj(wbits=31)
-        out += d.decompress(blob[pos:])
+        out += d.decompress(view[pos:])
         tail = d.unused_data
         if not tail:
             break
