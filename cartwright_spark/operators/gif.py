@@ -13,7 +13,9 @@ tables, graphic-control extensions (per-frame delay), full LZW with
 variable code width (up to 12 bits) and deferred-clear handling.
 Frames are composited over the previous frame at their (left, top)
 offset (disposal "none"/"do not dispose" semantics — what our encoder
-and typical web GIFs emit). Interlaced images are rejected loudly.
+and typical web GIFs emit), transparent pixels keep the previous screen
+content, and interlaced images are de-interlaced (the 8/8/4/2-row pass
+order of GIF89a appendix E).
 
 Encoder (for deterministic fixtures): palette-indexed frames, GIF89a
 with a graphic-control block per frame. LZW output uses literal codes
@@ -186,6 +188,7 @@ def decode_gif(payload: bytes) -> list[tuple[int, np.ndarray]]:
     screen = np.zeros((h, w, 3), np.uint8)
     frames: list[tuple[int, np.ndarray]] = []
     delay = 0
+    transparent = -1
     while pos < len(payload):
         b = payload[pos]
         pos += 1
@@ -196,7 +199,9 @@ def decode_gif(payload: bytes) -> list[tuple[int, np.ndarray]]:
             pos += 1
             if label == 0xF9:   # graphic control
                 size = payload[pos]
+                gflags = payload[pos + 1]
                 delay = struct.unpack("<H", payload[pos + 2:pos + 4])[0]
+                transparent = payload[pos + 4] if gflags & 0x01 else -1
                 pos += size + 1
             while payload[pos] != 0:    # skip (remaining) sub-blocks
                 pos += payload[pos] + 1
@@ -207,8 +212,6 @@ def decode_gif(payload: bytes) -> list[tuple[int, np.ndarray]]:
         left, top, fw, fh, iflags = struct.unpack("<HHHHB",
                                                   payload[pos:pos + 9])
         pos += 9
-        if iflags & 0x40:
-            raise NotImplementedError("interlaced GIF not supported")
         lct = gct
         if iflags & 0x80:
             n = 1 << ((iflags & 0x07) + 1)
@@ -226,7 +229,24 @@ def decode_gif(payload: bytes) -> list[tuple[int, np.ndarray]]:
             pos += ln + 1
         pos += 1
         idx = _lzw_decode(bytes(data), min_code, fw * fh).reshape(fh, fw)
-        screen[top:top + fh, left:left + fw] = lct[idx]
+        if iflags & 0x40:
+            # interlaced: rows are stored in 4 passes (8k, 8k+4, 4k+2,
+            # 2k+1 — GIF89a appendix E); undo the reordering
+            order = np.concatenate([np.arange(0, fh, 8),
+                                    np.arange(4, fh, 8),
+                                    np.arange(2, fh, 4),
+                                    np.arange(1, fh, 2)])
+            deinter = np.empty_like(idx)
+            deinter[order] = idx
+            idx = deinter
+        region = screen[top:top + fh, left:left + fw]
+        rgb = lct[idx]
+        if transparent >= 0:
+            # transparent pixels keep the previous screen content
+            mask = (idx == transparent)[:, :, None]
+            rgb = np.where(mask, region, rgb)
+        screen[top:top + fh, left:left + fw] = rgb
         frames.append((delay, screen.copy()))
         delay = 0
+        transparent = -1
     return frames

@@ -366,17 +366,45 @@ def test_gif_one_bit_palette_and_decode_image_dispatch():
     assert np.array_equal(decode_image(payload), pal2[fr])
 
 
-def test_gif_rejects_garbage_and_interlace():
+def test_gif_rejects_garbage_and_decodes_interlace():
     import numpy as np
     import pytest as _pytest
     from cartwright_spark.operators.gif import decode_gif, encode_gif
     with _pytest.raises(ValueError):
         decode_gif(b"NOTAGIF" + b"\x00" * 20)
-    pal = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
-    payload = bytearray(encode_gif(
-        [np.zeros((4, 4), np.uint8)], pal, [1]))
-    # flip the interlace bit in the image descriptor flags byte
+    # interlace: store the rows in GIF89a pass order (8k, 8k+4, 4k+2,
+    # 2k+1), set the interlace flag, and expect the decoder to undo it
+    rng = np.random.RandomState(5)
+    # palette bytes < 0x2C so payload.index(0x2C) finds the image
+    # descriptor, not a palette byte
+    pal = rng.randint(0, 43, (16, 3)).astype(np.uint8)
+    fh = 13
+    frame = rng.randint(0, 16, (fh, 9)).astype(np.uint8)
+    order = np.concatenate([np.arange(0, fh, 8), np.arange(4, fh, 8),
+                            np.arange(2, fh, 4), np.arange(1, fh, 2)])
+    payload = bytearray(encode_gif([frame[order]], pal, [1]))
     idx = payload.index(0x2C)
     payload[idx + 9] |= 0x40
-    with _pytest.raises(NotImplementedError):
-        decode_gif(bytes(payload))
+    out = decode_gif(bytes(payload))
+    assert np.array_equal(out[0][1], pal[frame])
+
+
+def test_gif_transparency_keeps_previous_screen():
+    import numpy as np
+    from cartwright_spark.operators.gif import decode_gif, encode_gif
+    pal = np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0]], np.uint8)
+    f1 = np.full((6, 6), 1, np.uint8)          # all red
+    f2 = np.full((6, 6), 2, np.uint8)          # green...
+    f2[:3] = 0                                 # ...top half uses index 0
+    payload = bytearray(encode_gif([f1, f2], pal, [5, 5]))
+    # mark index 0 transparent in the SECOND frame's GCE:
+    # GCE layout: 21 F9 04 <flags> <delay lo> <delay hi> <tindex> 00
+    gce2 = payload.index(b"\x21\xF9", payload.index(b"\x21\xF9") + 2)
+    payload[gce2 + 3] |= 0x01                  # transparency flag
+    payload[gce2 + 6] = 0                      # transparent index = 0
+    out = decode_gif(bytes(payload))
+    assert np.array_equal(out[0][1], pal[f1])
+    # frame 2: top half (transparent idx 0) keeps frame 1's red pixels
+    want = pal[f2].copy()
+    want[:3] = pal[1]
+    assert np.array_equal(out[1][1], want)
