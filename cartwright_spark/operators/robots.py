@@ -5,9 +5,9 @@ per-host robots.txt bodies (a host-sized dim — millions of rows against
 trillions of pages) and the crawler's user-agent, decide fetchability
 per URL. Semantics per RFC 9309:
 
-- group selection: the group whose ``User-agent`` token matches the
-  crawler (case-insensitive exact token) wins over the ``*`` group; all
-  groups for the same agent merge.
+- group selection: the group with the LONGEST ``User-agent`` token the
+  crawler's product token starts with wins (most-specific-agent rule);
+  same-token groups merge; the ``*`` groups are the fallback.
 - rule matching: a rule matches when its path pattern matches the URL
   path; ``*`` is a wildcard, a trailing ``$`` anchors the end; the
   LONGEST matching pattern wins, Allow beating Disallow on ties. No
@@ -32,7 +32,11 @@ from pyspark.sql import functions as F
 
 def parse_robots(txt: str, agent: str) -> list[tuple[bool, str]]:
     """[(allow, pattern), ...] — the merged rule set of the groups
-    selected for ``agent`` (specific groups beat the ``*`` groups)."""
+    selected for ``agent``: the LONGEST group token that the agent's
+    product token starts with wins (the RFC 9309 / de-facto "most
+    specific user agent" rule — group ``googlebot`` matches agent
+    ``googlebot-news`` but loses to a ``googlebot-news`` group);
+    same-token groups merge; the ``*`` groups are the fallback."""
     agent = agent.lower()
     groups: dict[str, list[tuple[bool, str]]] = {}
     current: list[str] = []
@@ -58,8 +62,10 @@ def parse_robots(txt: str, agent: str) -> list[tuple[bool, str]]:
                 continue    # empty Disallow = allow everything (no rule)
             for ua in current:
                 groups.setdefault(ua, []).append((key == "allow", val))
-    if agent in groups:
-        return groups[agent]
+    matches = [ua for ua in groups
+               if ua != "*" and (agent == ua or agent.startswith(ua))]
+    if matches:
+        return groups[max(matches, key=len)]
     return groups.get("*", [])
 
 

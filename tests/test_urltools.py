@@ -228,3 +228,14 @@ def test_robots_tie_allow_wins(spark):
         "robots_txt": ["User-agent: *\nDisallow: /dir/\nAllow: /dir/\n"]}))
     out = robots_decisions(urls, robots, agent="bot").toPandas()
     assert bool(out["allowed"][0]) is True   # equal length → Allow wins
+
+
+def test_parse_robots_most_specific_agent_wins():
+    from cartwright_spark.operators.robots import parse_robots
+    txt = ("User-agent: googlebot\nDisallow: /a\n\n"
+           "User-agent: googlebot-news\nDisallow: /b\n\n"
+           "User-agent: *\nDisallow: /c\n")
+    assert parse_robots(txt, "googlebot-news") == [(False, "/b")]
+    assert parse_robots(txt, "googlebot-image") == [(False, "/a")]
+    assert parse_robots(txt, "googlebot") == [(False, "/a")]
+    assert parse_robots(txt, "bingbot") == [(False, "/c")]
