@@ -559,6 +559,22 @@ def q_grid_cluster(spark, sf_dir):
     return out.select("c_custkey", "cell_id", "cluster_id")
 
 
+def q_morans_i(spark, sf_dir):
+    """Global + local Moran's I spatial autocorrelation
+    (spatial/autocorr.py): point->cell rollup (grid-bounded output),
+    occupied-cell 8-neighbour equi-join (cell table exploded 8x, never
+    the points), integer-exact moment aggregates, and the float
+    statistic emitted from ONE expression generator into both engines."""
+    from cartwright_spark.spatial.autocorr import morans_i
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        ((F.col("event_id") * 37 % 1801).cast("double") / 10.0 - 90.0)
+        .alias("lat"),
+        ((F.col("event_id") * 73 % 3600).cast("double") / 10.0 - 180.0)
+        .alias("lon"))
+    return morans_i(pts, cell_deg=5.0)
+
+
 def q_bm25_scores(spark, sf_dir):
     """BM25 relevance (operators/ranking.py): inverted doc-term index
     with the query-term filter pushed below the tf aggregation, df and
@@ -1564,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "prior_weighted_sample": q_prior_weighted_sample,
         "grid_cluster": q_grid_cluster,
+        "morans_i": q_morans_i,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -1793,6 +1810,10 @@ def _url_normalize_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from cartwright_spark.sources import gazetteers as gz
+    from cartwright_spark.spatial.autocorr import (
+        moran_global_sql as _moran_global_sql,
+        moran_local_sql as _moran_local_sql,
+    )
     iso3_values = ", ".join(f"('{c}')" for c in sorted(gz.iso3_set()))
     return {
         "cms_freq": """
@@ -2276,6 +2297,56 @@ def oracle_sql() -> dict[str, str]:
             comp AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id)
             SELECT p.c_custkey, p.cell_id, c.cluster_id
             FROM cells_pts p JOIN comp c ON p.cell_id = c.id
+        """,
+        # float exprs emitted by the SAME generator as the Spark plan
+        # (spatial/autocorr.py moran_*_sql) over integer-exact moments —
+        # one generator, two engines, no float-sum ordering anywhere.
+        "morans_i": f"""
+            WITH pts AS (
+              SELECT CAST((event_id * 37) % 1801 AS DOUBLE)
+                       / CAST(10.0 AS DOUBLE) - CAST(90.0 AS DOUBLE) AS lat,
+                     CAST((event_id * 73) % 3600 AS DOUBLE)
+                       / CAST(10.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon
+              FROM events
+            ),
+            cells AS (
+              SELECT CAST(floor((lat + CAST(90.0 AS DOUBLE))
+                                / CAST(5.0 AS DOUBLE)) AS BIGINT) AS cell_row,
+                     CAST(floor((lon + CAST(180.0 AS DOUBLE))
+                                / CAST(5.0 AS DOUBLE)) AS BIGINT) AS cell_col,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM pts GROUP BY 1, 2
+            ),
+            offs(dr, dc) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                                    (0,1),(1,-1),(1,0),(1,1)),
+            hits AS (
+              SELECT c.cell_row, c.cell_col,
+                     CAST(count(*) AS BIGINT) AS deg,
+                     CAST(sum(n.x) AS BIGINT) AS s
+              FROM cells c CROSS JOIN offs o
+              JOIN cells n ON n.cell_row = c.cell_row + o.dr
+                          AND n.cell_col = ((c.cell_col + o.dc) % 72 + 72) % 72
+              GROUP BY 1, 2
+            ),
+            per_cell AS (
+              SELECT c.cell_row, c.cell_col, c.x,
+                     COALESCE(h.deg, 0) AS deg, COALESCE(h.s, 0) AS s
+              FROM cells c LEFT JOIN hits h USING (cell_row, cell_col)
+            ),
+            stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(deg) AS BIGINT) AS w,
+                     CAST(sum(s) AS BIGINT) AS ss,
+                     CAST(sum(x * s) AS BIGINT) AS sxs,
+                     CAST(sum(x * deg) AS BIGINT) AS sxd
+              FROM per_cell
+            )
+            SELECT cell_row, cell_col, x, deg, s,
+                   {_moran_local_sql()} AS local_i,
+                   {_moran_global_sql()} AS morans_i
+            FROM per_cell CROSS JOIN stats
         """,
         # expression shapes/parenthesization mirror operators/ranking.py
         # exactly so doubles agree past the hash tolerance.

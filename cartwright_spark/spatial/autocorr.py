@@ -1,0 +1,131 @@
+"""Spatial autocorrelation: global + local Moran's I over grid cells.
+
+Reference scope note: cartwright has no spatial-statistics layer (its
+geo work stops at per-column classification, see reference
+cartwright/categorize.py); this module is engine scope from the brief's
+geospatial tier — the canonical "is this map clustered or dispersed?"
+statistic over the same cell rollups the tiling layer (spatial/tiles.py,
+s2.py, h3.py) produces.
+
+Statistic (binary 8-neighbour contiguity weights over OCCUPIED cells,
+longitude-wrapped):
+
+    I       = (n / W) * sum_i (x_i - m)(s_i - deg_i * m) / sum_i (x_i - m)^2
+    local_i = ((x_i - m) / m2) * (s_i - deg_i * m),   m2 = sum (x-m)^2 / n
+
+where x_i is the cell's point count, s_i the sum of occupied-neighbour
+counts, deg_i the occupied-neighbour count, m the mean count, W = sum deg.
+The identity sum_ij w_ij (x_i-m)(x_j-m) = sum_i (x_i-m)(s_i - deg_i*m)
+lets every input to the float math be an EXACT BIGINT aggregate
+(sum x, sum x^2, sum x*s, sum x*deg, sum s, sum deg, n): the doubles are
+then a single deterministic expression over exact integers, emitted from
+ONE generator (`moran_global_sql` / `moran_local_sql`) into both the
+Spark plan and the DuckDB oracle — no float-sum ordering anywhere.
+
+Scale shape (the 100 TB audit):
+  1. points -> cell counts: one shuffle with map-side partial agg; the
+     output cardinality is bounded by the GRID (36*72 cells at 5 deg,
+     ~8.4e6 at 0.25 deg), not the corpus — the classic rollup contract.
+  2. occupied-cell 8-neighbour join: equi-join on (row, col) after a
+     bounded 8-way explode of the CELL table (never the points). The
+     cell table is grid-bounded, so AQE broadcasts it at coarse
+     resolutions; at fine resolutions it is a plain shuffle equi-join
+     with fan-out exactly 8.
+  3. one global agg to a 1-row stats frame, broadcast back.
+No driver paths, no cartesian, nothing proportional to the corpus after
+step 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_OFFS = [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+         if (dr, dc) != (0, 0)]
+
+
+def moran_global_sql() -> str:
+    """Global Moran's I as one expression over the exact BIGINT
+    aggregates n_cells/w/sx/sxx/ss/sxs/sxd (columns of the 1-row stats
+    frame). Same text runs in Spark and DuckDB — one generator, two
+    engines. NULL (via nullif) when W or the variance is zero."""
+    xbar = "(CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE))"
+    num = (f"(CAST(sxs AS DOUBLE) - {xbar} * CAST(ss AS DOUBLE)"
+           f" - {xbar} * CAST(sxd AS DOUBLE)"
+           f" + {xbar} * {xbar} * CAST(w AS DOUBLE))")
+    den = (f"(CAST(sxx AS DOUBLE) - 2.0 * {xbar} * CAST(sx AS DOUBLE)"
+           f" + CAST(n_cells AS DOUBLE) * {xbar} * {xbar})")
+    return (f"(CAST(n_cells AS DOUBLE) / CAST(nullif(w, 0) AS DOUBLE))"
+            f" * ({num} / nullif({den}, 0.0))")
+
+
+def moran_local_sql() -> str:
+    """Local Moran's I_i over per-cell columns x/deg/s plus the stats
+    columns; same one-generator contract as `moran_global_sql`."""
+    xbar = "(CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE))"
+    m2 = (f"((CAST(sxx AS DOUBLE) - 2.0 * {xbar} * CAST(sx AS DOUBLE)"
+          f" + CAST(n_cells AS DOUBLE) * {xbar} * {xbar})"
+          f" / CAST(n_cells AS DOUBLE))")
+    return (f"((CAST(x AS DOUBLE) - {xbar}) / nullif({m2}, 0.0))"
+            f" * (CAST(s AS DOUBLE) - CAST(deg AS DOUBLE) * {xbar})")
+
+
+def cell_counts(points: DataFrame, lat_col: str = "lat",
+                lon_col: str = "lon", cell_deg: float = 5.0) -> DataFrame:
+    """points -> (cell_row, cell_col, x): one partial-agg'd shuffle,
+    output bounded by the grid."""
+    r = F.floor((F.col(lat_col) + F.lit(90.0)) / F.lit(float(cell_deg)))
+    c = F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(float(cell_deg)))
+    return (points
+            .select(r.cast("bigint").alias("cell_row"),
+                    c.cast("bigint").alias("cell_col"))
+            .groupBy("cell_row", "cell_col")
+            .agg(F.count(F.lit(1)).alias("x")))
+
+
+def neighbour_stats(cells: DataFrame, cell_deg: float = 5.0) -> DataFrame:
+    """(cell_row, cell_col, x) -> + (deg, s): occupied 8-neighbour count
+    and neighbour-x sum, longitude-wrapped. Explodes the CELL table 8x
+    (grid-bounded), never the points."""
+    ncols = int(round(360.0 / float(cell_deg)))
+    off_arr = "array(" + ",".join(
+        f"named_struct('dr', {dr}L, 'dc', {dc}L)" for dr, dc in _OFFS) + ")"
+    probes = (cells
+              .select("cell_row", "cell_col",
+                      F.explode(F.expr(off_arr)).alias("o"))
+              .select("cell_row", "cell_col",
+                      (F.col("cell_row") + F.col("o.dr")).alias("nr"),
+                      F.expr(f"((cell_col + o.dc) % {ncols} + {ncols})"
+                             f" % {ncols}").alias("nc")))
+    nbr = cells.select(F.col("cell_row").alias("nr"),
+                       F.col("cell_col").alias("nc"),
+                       F.col("x").alias("nx"))
+    hits = (probes.join(nbr, ["nr", "nc"], "inner")
+            .groupBy("cell_row", "cell_col")
+            .agg(F.count(F.lit(1)).alias("deg"), F.sum("nx").alias("s")))
+    return (cells.join(hits, ["cell_row", "cell_col"], "left")
+            .select("cell_row", "cell_col", "x",
+                    F.coalesce("deg", F.lit(0)).cast("bigint").alias("deg"),
+                    F.coalesce("s", F.lit(0)).cast("bigint").alias("s")))
+
+
+def morans_i(points: DataFrame, lat_col: str = "lat", lon_col: str = "lon",
+             cell_deg: float = 5.0) -> DataFrame:
+    """Per-cell Moran frame: (cell_row, cell_col, x, deg, s, local_i,
+    morans_i) — `morans_i` is the global statistic repeated on every row
+    (broadcast of a 1-row stats frame), `local_i` the cell's LISA term."""
+    per_cell = neighbour_stats(
+        cell_counts(points, lat_col, lon_col, cell_deg), cell_deg)
+    stats = per_cell.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("deg").alias("w"),
+        F.sum("s").alias("ss"),
+        F.sum(F.col("x") * F.col("s")).alias("sxs"),
+        F.sum(F.col("x") * F.col("deg")).alias("sxd"))
+    return (per_cell.crossJoin(F.broadcast(stats))
+            .select("cell_row", "cell_col", "x", "deg", "s",
+                    F.expr(moran_local_sql()).alias("local_i"),
+                    F.expr(moran_global_sql()).alias("morans_i")))

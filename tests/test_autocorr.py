@@ -1,0 +1,100 @@
+"""Moran's I: numpy-reference parity, sign behaviour, longitude wrap."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from cartwright_spark.spatial.autocorr import cell_counts, morans_i
+
+
+def _reference_moran(counts: dict[tuple[int, int], int], ncols: int):
+    """Direct-definition Moran's I (binary 8-neighbour weights, occupied
+    cells, lon wrap) — independent of the engine's moment identity."""
+    cells = sorted(counts)
+    x = np.array([counts[c] for c in cells], dtype=float)
+    m = x.mean()
+    num = 0.0
+    w_sum = 0
+    for i, (r, c) in enumerate(cells):
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if (dr, dc) == (0, 0):
+                    continue
+                nb = (r + dr, ((c + dc) % ncols + ncols) % ncols)
+                if nb in counts:
+                    j = cells.index(nb)
+                    num += (x[i] - m) * (x[j] - m)
+                    w_sum += 1
+    den = ((x - m) ** 2).sum()
+    return (len(cells) / w_sum) * num / den
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "lat double, lon double")
+
+
+def _global_i(df):
+    return df.select("morans_i").head()[0]
+
+
+def test_matches_reference_definition(spark):
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-89.9, 89.9, 400)
+    lon = rng.uniform(-179.9, 179.9, 400)
+    rows = [(float(a), float(b)) for a, b in zip(lat, lon)]
+    out = morans_i(_pts(spark, rows), cell_deg=30.0).toPandas()
+    counts = {}
+    for a, b in rows:
+        counts[(int((a + 90) // 30), int((b + 180) // 30))] = \
+            counts.get((int((a + 90) // 30), int((b + 180) // 30)), 0) + 1
+    expect = _reference_moran(counts, ncols=12)
+    assert out["morans_i"].iloc[0] == pytest.approx(expect, rel=1e-9)
+    # every row carries the same global statistic
+    assert out["morans_i"].nunique() == 1
+    # local terms sum to num/m2 -> n * I * (W/n) consistency:
+    # sum(local) = I * W  (standard LISA decomposition)
+    w = out["deg"].sum()
+    assert out["local_i"].sum() == pytest.approx(expect * w, rel=1e-9)
+
+
+def test_clustered_positive_dispersed_negative(spark):
+    # clustered: a dense 2x2 block of hot cells amid cold occupied cells
+    hot = [(2.0 + i * 0.01, 2.0) for i in range(60)] \
+        + [(7.0 + i * 0.01, 2.0) for i in range(60)] \
+        + [(2.0 + i * 0.01, 7.0) for i in range(60)] \
+        + [(7.0 + i * 0.01, 7.0) for i in range(60)]
+    cold = [(float(la) + 0.5, float(lo) + 0.5)
+            for la in range(-60, 60, 5) for lo in range(20, 60, 5)]
+    clustered = _global_i(morans_i(_pts(spark, hot + cold), cell_deg=5.0))
+    assert clustered > 0.3
+    # dispersed: alternating column stripes — under queen (8-neighbour)
+    # contiguity 6 of 8 neighbours are the opposite stripe (a checkerboard
+    # would NOT work: its 4 diagonal neighbours are same-coloured, I ~ 0)
+    board = []
+    for r in range(8):
+        for c in range(8):
+            n = 2 if c % 2 == 0 else 1
+            board += [(r * 5.0 + 2.0 + k * 0.01, c * 5.0 + 2.0)
+                      for k in range(n)]
+    dispersed = _global_i(morans_i(_pts(spark, board), cell_deg=5.0))
+    assert dispersed < -0.3
+
+
+def test_longitude_wrap_is_adjacent(spark):
+    # two occupied cells, one at col 0 and one at col 71 (cell_deg=5):
+    # wrap makes them neighbours -> deg == 1 for both
+    rows = [(0.5, -179.5), (0.5, 179.5)]
+    out = morans_i(_pts(spark, rows), cell_deg=5.0).toPandas()
+    assert sorted(out["cell_col"]) == [0, 71]
+    assert list(out["deg"]) == [1, 1]
+
+
+def test_cell_counts_bounded_by_grid(spark):
+    rng = np.random.default_rng(1)
+    rows = [(float(a), float(b))
+            for a, b in zip(rng.uniform(-89, 89, 3000),
+                            rng.uniform(-179, 179, 3000))]
+    cells = cell_counts(_pts(spark, rows), cell_deg=30.0)
+    assert cells.count() <= 6 * 12
+    assert cells.agg(F.sum("x")).head()[0] == 3000
