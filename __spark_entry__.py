@@ -575,6 +575,30 @@ def q_morans_i(spark, sf_dir):
     return morans_i(pts, cell_deg=5.0)
 
 
+def q_segment_intersections(spark, sf_dir):
+    """Exact segment-crossing join (spatial/segjoin.py): integer
+    orientation tests (no epsilon), grid-cell candidate equi-join with
+    bounded bbox fan-out, pair claimed exactly once at the max of the
+    two bboxes' min-cell corners — no distinct, no cartesian. Oracle is
+    the same exact predicate brute-forced."""
+    from cartwright_spark.spatial.segjoin import segment_intersections
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 3 == 0)
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("o_orderkey")
+    a = orders.select(
+        k.alias("id"),
+        (k * 7919 % 10000).alias("x0"), (k * 104729 % 10000).alias("y0"),
+        (k * 7919 % 10000 + k * 13 % 801 - 400).alias("x1"),
+        (k * 104729 % 10000 + k * 17 % 801 - 400).alias("y1"))
+    c = F.col("c_custkey")
+    b = cust.select(
+        c.alias("id"),
+        (c * 6151 % 10000).alias("x0"), (c * 3571 % 10000).alias("y0"),
+        (c * 6151 % 10000 + c * 19 % 801 - 400).alias("x1"),
+        (c * 3571 % 10000 + c * 23 % 801 - 400).alias("y1"))
+    return segment_intersections(a, b, cell=500)
+
+
 def q_bm25_scores(spark, sf_dir):
     """BM25 relevance (operators/ranking.py): inverted doc-term index
     with the query-term filter pushed below the tf aggregation, df and
@@ -1581,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prior_weighted_sample": q_prior_weighted_sample,
         "grid_cluster": q_grid_cluster,
         "morans_i": q_morans_i,
+        "segment_intersections": q_segment_intersections,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2347,6 +2372,41 @@ def oracle_sql() -> dict[str, str]:
                    {_moran_local_sql()} AS local_i,
                    {_moran_global_sql()} AS morans_i
             FROM per_cell CROSS JOIN stats
+        """,
+        # brute-force cross join with the SAME exact integer orientation
+        # predicate as spatial/segjoin.py — no epsilon on either side.
+        "segment_intersections": """
+            WITH a AS (
+              SELECT o_orderkey AS id,
+                     (o_orderkey * 7919) % 10000 AS x0,
+                     (o_orderkey * 104729) % 10000 AS y0,
+                     (o_orderkey * 7919) % 10000
+                       + (o_orderkey * 13) % 801 - 400 AS x1,
+                     (o_orderkey * 104729) % 10000
+                       + (o_orderkey * 17) % 801 - 400 AS y1
+              FROM orders WHERE o_orderkey % 3 = 0
+            ),
+            b AS (
+              SELECT c_custkey AS id,
+                     (c_custkey * 6151) % 10000 AS x0,
+                     (c_custkey * 3571) % 10000 AS y0,
+                     (c_custkey * 6151) % 10000
+                       + (c_custkey * 19) % 801 - 400 AS x1,
+                     (c_custkey * 3571) % 10000
+                       + (c_custkey * 23) % 801 - 400 AS y1
+            FROM customer
+            ),
+            d AS (
+              SELECT a.id AS a_id, b.id AS b_id,
+                     (a.x1-a.x0)*(b.y0-a.y0) - (a.y1-a.y0)*(b.x0-a.x0) AS d1,
+                     (a.x1-a.x0)*(b.y1-a.y0) - (a.y1-a.y0)*(b.x1-a.x0) AS d2,
+                     (b.x1-b.x0)*(a.y0-b.y0) - (b.y1-b.y0)*(a.x0-b.x0) AS d3,
+                     (b.x1-b.x0)*(a.y1-b.y0) - (b.y1-b.y0)*(a.x1-b.x0) AS d4
+              FROM a CROSS JOIN b
+            )
+            SELECT a_id, b_id FROM d
+            WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+              AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))
         """,
         # expression shapes/parenthesization mirror operators/ranking.py
         # exactly so doubles agree past the hash tolerance.
