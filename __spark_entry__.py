@@ -575,6 +575,16 @@ def q_morans_i(spark, sf_dir):
     return morans_i(pts, cell_deg=5.0)
 
 
+def q_bigram_lm_score(spark, sf_dir):
+    """CCNet-style char-bigram LM quality score (operators/langmodel.py):
+    model trained in one vocab-bounded aggregation, ln p computed once
+    per distinct bigram into a DECIMAL(38,12) broadcast dim, per-doc
+    scores as exact decimal sums — order- and engine-independent."""
+    from cartwright_spark.operators.langmodel import bigram_lm_score
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_score(docs)
+
+
 def q_segment_intersections(spark, sf_dir):
     """Exact segment-crossing join (spatial/segjoin.py): integer
     orientation tests (no epsilon), grid-cell candidate equi-join with
@@ -1606,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cluster": q_grid_cluster,
         "morans_i": q_morans_i,
         "segment_intersections": q_segment_intersections,
+        "bigram_lm_score": q_bigram_lm_score,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2088,6 +2099,36 @@ def oracle_sql() -> dict[str, str]:
                        '[A-Za-z]+|[0-9]+|[^ \\t\\n\\x0B\\f\\rA-Za-z0-9]'))
                      AS n_bpe_tokens
             FROM documents
+        """,
+        "bigram_lm_score": """
+            WITH occ AS (
+              SELECT doc_id, substring(t, CAST(i AS INT), 2) AS bg
+              FROM (SELECT doc_id, lower(text) AS t,
+                           unnest(range(1, length(text))) AS i
+                    FROM documents)
+            ),
+            bgc AS (SELECT bg, count(*) AS cnt FROM occ GROUP BY bg),
+            ctx AS (SELECT substr(bg, 1, 1) AS c1, sum(cnt) AS ctxn
+                    FROM bgc GROUP BY 1),
+            vf AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS v FROM bgc),
+            dim AS (
+              SELECT bg,
+                     CAST(ln(CAST(cnt + 1 AS DOUBLE)
+                             / CAST(ctxn + v AS DOUBLE))
+                          AS DECIMAL(38,12)) AS term
+              FROM bgc JOIN ctx ON substr(bgc.bg, 1, 1) = ctx.c1
+              CROSS JOIN vf
+            ),
+            agg AS (
+              SELECT o.doc_id, count(*) AS n_bigrams, sum(d.term) AS s
+              FROM occ o JOIN dim d USING (bg)
+              GROUP BY o.doc_id
+            )
+            SELECT doc_id, n_bigrams,
+                   CAST(s AS DOUBLE) AS logprob,
+                   (-CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+                     / CAST(0.6931471805599453 AS DOUBLE) AS bpc
+            FROM agg
         """,
         "text_quality_counts": """
             SELECT doc_id,

@@ -408,3 +408,62 @@ def test_gif_transparency_keeps_previous_screen():
     want = pal[f2].copy()
     want[:3] = pal[1]
     assert np.array_equal(out[1][1], want)
+
+
+# ---------------------------------------------------------------------------
+# Char-bigram LM quality scoring (operators/langmodel.py)
+# ---------------------------------------------------------------------------
+
+def test_bigram_lm_self_score_exact(spark):
+    """Hand-computed add-one model on a 2-doc corpus."""
+    import math
+
+    import pandas as pd
+
+    from cartwright_spark.operators.langmodel import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        pd.DataFrame([(1, "abab"), (2, "abc")], columns=["doc_id", "text"]))
+    # bigrams: doc1 ab,ba,ab ; doc2 ab,bc
+    # counts: ab=3 ba=1 bc=1 ; ctx: a=3 b=2 ; V = |{a,b,c}| = 3
+    p_ab = (3 + 1) / (3 + 3)
+    p_ba = (1 + 1) / (2 + 3)
+    p_bc = (1 + 1) / (2 + 3)
+    def q(x):  # decimal(38,12) quantization of the per-bigram term
+        from decimal import Decimal, ROUND_HALF_UP
+        return Decimal(repr(math.log(x))).quantize(
+            Decimal("1e-12"), rounding=ROUND_HALF_UP)
+    got = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    assert got[1]["n_bigrams"] == 3 and got[2]["n_bigrams"] == 2
+    exp1 = float(q(p_ab) * 2 + q(p_ba))
+    exp2 = float(q(p_ab) + q(p_bc))
+    assert abs(got[1]["logprob"] - exp1) < 1e-11
+    assert abs(got[2]["logprob"] - exp2) < 1e-11
+    assert abs(got[1]["bpc"] - (-exp1 / 3 / math.log(2))) < 1e-9
+
+
+def test_bigram_lm_short_doc_and_unseen_fallback(spark):
+    """0/1-char docs emit no rows (Spark sequence(1,0) is descending —
+    the array() short-circuit matters); scoring under a foreign model
+    falls back to ln((0+1)/(ctx+V)) for seen contexts, ln(1/V) else."""
+    import math
+
+    import pandas as pd
+
+    from cartwright_spark.operators.langmodel import (bigram_lm_score,
+                                                      train_bigram_lm)
+
+    train = spark.createDataFrame(
+        pd.DataFrame([(1, "abab")], columns=["doc_id", "text"]))
+    # model: ab=2 ba=1, ctx a=2 b=1, V=|{a,b}|=2
+    model = train_bigram_lm(train)
+    score = spark.createDataFrame(
+        pd.DataFrame([(10, "x"), (11, ""), (12, "az"), (13, "zz")],
+                     columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r for r in
+           bigram_lm_score(score, model=model).collect()}
+    assert 10 not in got and 11 not in got
+    # az: context 'a' seen (ctx=2), bigram unseen -> ln(1/(2+2))
+    assert abs(got[12]["logprob"] - math.log(1 / 4)) < 1e-11
+    # zz: context unseen -> ln(1/V) = ln(1/2)
+    assert abs(got[13]["logprob"] - math.log(1 / 2)) < 1e-11
