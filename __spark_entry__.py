@@ -585,6 +585,34 @@ def q_bigram_lm_score(spark, sf_dir):
     return bigram_lm_score(docs)
 
 
+# Point synthesis for the Gi* hotspot query — one string, two engines
+# (25% of orders land in a 10°x10° band so hot cells actually exist).
+_GISTAR_LAT = (
+    "CASE WHEN o_orderkey % 4 = 0 THEN"
+    " CAST((o_orderkey * 13) % 100 AS DOUBLE) / CAST(10.0 AS DOUBLE)"
+    " + CAST(40.0 AS DOUBLE)"
+    " ELSE CAST((o_orderkey * 37) % 1801 AS DOUBLE) / CAST(10.0 AS DOUBLE)"
+    " - CAST(90.0 AS DOUBLE) END")
+_GISTAR_LON = (
+    "CASE WHEN o_orderkey % 4 = 0 THEN"
+    " CAST((o_orderkey * 17) % 100 AS DOUBLE) / CAST(10.0 AS DOUBLE)"
+    " + CAST(10.0 AS DOUBLE)"
+    " ELSE CAST((o_orderkey * 73) % 3600 AS DOUBLE) / CAST(10.0 AS DOUBLE)"
+    " - CAST(180.0 AS DOUBLE) END")
+
+
+def q_gistar_hotspots(spark, sf_dir):
+    """Getis-Ord Gi* hot/cold-spot z-scores (spatial/autocorr.py
+    getis_ord_gistar): same grid-bounded rollup + 8-neighbour cell
+    equi-join as Moran's I, reduced 1-row stats broadcast, and the Gi*
+    float emitted from ONE expression generator into both engines."""
+    from cartwright_spark.spatial.autocorr import getis_ord_gistar
+    orders = _t(spark, sf_dir, "orders")
+    pts = orders.select(F.expr(_GISTAR_LAT).alias("lat"),
+                        F.expr(_GISTAR_LON).alias("lon"))
+    return getis_ord_gistar(pts, cell_deg=5.0)
+
+
 def q_segment_intersections(spark, sf_dir):
     """Exact segment-crossing join (spatial/segjoin.py): integer
     orientation tests (no epsilon), grid-cell candidate equi-join with
@@ -1617,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i": q_morans_i,
         "segment_intersections": q_segment_intersections,
         "bigram_lm_score": q_bigram_lm_score,
+        "gistar_hotspots": q_gistar_hotspots,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -1847,6 +1876,7 @@ def _url_normalize_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     from cartwright_spark.sources import gazetteers as gz
     from cartwright_spark.spatial.autocorr import (
+        gistar_sql as _gistar_sql,
         moran_global_sql as _moran_global_sql,
         moran_local_sql as _moran_local_sql,
     )
@@ -2412,6 +2442,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell_row, cell_col, x, deg, s,
                    {_moran_local_sql()} AS local_i,
                    {_moran_global_sql()} AS morans_i
+            FROM per_cell CROSS JOIN stats
+        """,
+        "gistar_hotspots": f"""
+            WITH pts AS (
+              SELECT {_GISTAR_LAT} AS lat, {_GISTAR_LON} AS lon
+              FROM orders
+            ),
+            cells AS (
+              SELECT CAST(floor((lat + CAST(90.0 AS DOUBLE))
+                                / CAST(5.0 AS DOUBLE)) AS BIGINT) AS cell_row,
+                     CAST(floor((lon + CAST(180.0 AS DOUBLE))
+                                / CAST(5.0 AS DOUBLE)) AS BIGINT) AS cell_col,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM pts GROUP BY 1, 2
+            ),
+            offs(dr, dc) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                                    (0,1),(1,-1),(1,0),(1,1)),
+            hits AS (
+              SELECT c.cell_row, c.cell_col,
+                     CAST(count(*) AS BIGINT) AS deg,
+                     CAST(sum(n.x) AS BIGINT) AS s
+              FROM cells c CROSS JOIN offs o
+              JOIN cells n ON n.cell_row = c.cell_row + o.dr
+                          AND n.cell_col = ((c.cell_col + o.dc) % 72 + 72) % 72
+              GROUP BY 1, 2
+            ),
+            per_cell AS (
+              SELECT c.cell_row, c.cell_col, c.x,
+                     COALESCE(h.deg, 0) AS deg, COALESCE(h.s, 0) AS s
+              FROM cells c LEFT JOIN hits h USING (cell_row, cell_col)
+            ),
+            stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM per_cell
+            )
+            SELECT cell_row, cell_col, x, deg, s,
+                   {_gistar_sql()} AS gi_star
             FROM per_cell CROSS JOIN stats
         """,
         # brute-force cross join with the SAME exact integer orientation

@@ -129,3 +129,40 @@ def morans_i(points: DataFrame, lat_col: str = "lat", lon_col: str = "lon",
             .select("cell_row", "cell_col", "x", "deg", "s",
                     F.expr(moran_local_sql()).alias("local_i"),
                     F.expr(moran_global_sql()).alias("morans_i")))
+
+
+def gistar_sql() -> str:
+    """Getis-Ord Gi* (Ord & Getis 1995) hot/cold-spot z-score per cell,
+    binary 8-neighbour + self weights, over the same exact BIGINT
+    inputs as Moran's I (per-cell x/deg/s, stats n_cells/sx/sxx):
+
+        Gi* = (s_i* - xbar*W_i) / (S * sqrt((n*W_i - W_i^2)/(n-1)))
+
+    with s_i* = s + x (self included), W_i = deg + 1, S the population
+    std-dev. One generator, two engines; NULL when n = 1 or S = 0."""
+    n = "CAST(n_cells AS DOUBLE)"
+    xbar = f"(CAST(sx AS DOUBLE) / {n})"
+    s2 = f"greatest(CAST(sxx AS DOUBLE) / {n} - {xbar} * {xbar}, CAST(0 AS DOUBLE))"
+    wi = "CAST(deg + 1 AS DOUBLE)"
+    num = f"(CAST(s + x AS DOUBLE) - {xbar} * {wi})"
+    den = (f"(sqrt({s2}) * sqrt(({n} * {wi} - {wi} * {wi})"
+           f" / CAST(nullif(n_cells - 1, 0) AS DOUBLE)))")
+    return f"({num} / nullif({den}, CAST(0 AS DOUBLE)))"
+
+
+def getis_ord_gistar(points: DataFrame, lat_col: str = "lat",
+                     lon_col: str = "lon",
+                     cell_deg: float = 5.0) -> DataFrame:
+    """Per-cell hotspot frame: (cell_row, cell_col, x, deg, s, gi_star).
+    Same scale shape as `morans_i` (see module docstring): one grid-
+    bounded rollup, one 8-way cell explode + equi-join, one 1-row stats
+    broadcast — nothing proportional to the corpus after step 1."""
+    per_cell = neighbour_stats(
+        cell_counts(points, lat_col, lon_col, cell_deg), cell_deg)
+    stats = per_cell.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    return (per_cell.crossJoin(F.broadcast(stats))
+            .select("cell_row", "cell_col", "x", "deg", "s",
+                    F.expr(gistar_sql()).alias("gi_star")))

@@ -98,3 +98,52 @@ def test_cell_counts_bounded_by_grid(spark):
     cells = cell_counts(_pts(spark, rows), cell_deg=30.0)
     assert cells.count() <= 6 * 12
     assert cells.agg(F.sum("x")).head()[0] == 3000
+
+
+# ---------------------------------------------------------------------------
+# Getis-Ord Gi* (getis_ord_gistar)
+# ---------------------------------------------------------------------------
+
+def test_gistar_hand_computed(spark):
+    """3 occupied cells: (0,0) x=4 and (0,1) x=2 adjacent, (5,5) x=1
+    isolated. n=3, xbar=7/3, S=sqrt(14)/3; both adjacent cells get
+    Gi* = 4/sqrt(14), the isolated one -4/sqrt(14)."""
+    import math
+
+    from cartwright_spark.spatial.autocorr import getis_ord_gistar
+
+    rows = ([(-88.0, -178.0)] * 4 + [(-88.0, -173.0)] * 2
+            + [(-63.0, -153.0)])
+    out = getis_ord_gistar(_pts(spark, rows), cell_deg=5.0).toPandas()
+    got = {(r.cell_row, r.cell_col): r.gi_star for r in out.itertuples()}
+    assert abs(got[(0, 0)] - 4 / math.sqrt(14)) < 1e-12
+    assert abs(got[(0, 1)] - 4 / math.sqrt(14)) < 1e-12
+    assert abs(got[(5, 5)] + 4 / math.sqrt(14)) < 1e-12
+
+
+def test_gistar_single_cell_is_null(spark):
+    """n_cells == 1: the (n-1) divisor is nullif-guarded, not NaN."""
+    from cartwright_spark.spatial.autocorr import getis_ord_gistar
+
+    out = getis_ord_gistar(_pts(spark, [(0.5, 0.5)] * 3),
+                           cell_deg=5.0).toPandas()
+    assert len(out) == 1 and out["gi_star"].isna().all()
+
+
+def test_gistar_hotspot_band_scores_high(spark):
+    """A dense band plus sparse background: the band's cells must carry
+    the top z-scores and clear the classic 1.96 hotspot threshold."""
+    from cartwright_spark.spatial.autocorr import getis_ord_gistar
+
+    rng = np.random.default_rng(7)
+    band = [(float(a), float(b))
+            for a, b in zip(rng.uniform(41, 49, 2000),
+                            rng.uniform(11, 19, 2000))]
+    bg = [(float(a), float(b))
+          for a, b in zip(rng.uniform(-89, 89, 2000),
+                          rng.uniform(-179, 179, 2000))]
+    out = getis_ord_gistar(_pts(spark, band + bg), cell_deg=5.0).toPandas()
+    hot = out[(out.cell_row >= 26) & (out.cell_row <= 27)
+              & (out.cell_col >= 38) & (out.cell_col <= 39)]
+    assert (hot["gi_star"] > 1.96).all()
+    assert out["gi_star"].max() == hot["gi_star"].max()
