@@ -613,6 +613,21 @@ def q_gistar_hotspots(spark, sf_dir):
     return getis_ord_gistar(pts, cell_deg=5.0)
 
 
+def q_kde_heatmap(spark, sf_dir):
+    """Kernel-density heatmap (spatial/kde.py): grid-bounded cell
+    rollup, bounded (2k+1)^2 offset explode of the CELL table, rational
+    kernel terms rounded to DECIMAL(38,12) and decimal-summed — the
+    density total is exact, associative, and engine-independent."""
+    from cartwright_spark.spatial.kde import kde_heatmap
+    cust = _t(spark, sf_dir, "customer")
+    pts = cust.select(
+        ((F.col("c_custkey") * 37 % 1801).cast("double") / 10.0 - 90.0)
+        .alias("lat"),
+        ((F.col("c_custkey") * 73 % 3600).cast("double") / 10.0 - 180.0)
+        .alias("lon"))
+    return kde_heatmap(pts, cell_deg=5.0, k=2)
+
+
 def q_segment_intersections(spark, sf_dir):
     """Exact segment-crossing join (spatial/segjoin.py): integer
     orientation tests (no epsilon), grid-cell candidate equi-join with
@@ -1646,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_intersections": q_segment_intersections,
         "bigram_lm_score": q_bigram_lm_score,
         "gistar_hotspots": q_gistar_hotspots,
+        "kde_heatmap": q_kde_heatmap,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -1875,6 +1891,7 @@ def _url_normalize_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from cartwright_spark.sources import gazetteers as gz
+    from cartwright_spark.spatial.kde import kde_term_sql as _kde_term_sql
     from cartwright_spark.spatial.autocorr import (
         gistar_sql as _gistar_sql,
         moran_global_sql as _moran_global_sql,
@@ -2482,6 +2499,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell_row, cell_col, x, deg, s,
                    {_gistar_sql()} AS gi_star
             FROM per_cell CROSS JOIN stats
+        """,
+        "kde_heatmap": f"""
+            WITH pts AS (
+              SELECT CAST((c_custkey * 37) % 1801 AS DOUBLE)
+                       / CAST(10.0 AS DOUBLE) - CAST(90.0 AS DOUBLE) AS lat,
+                     CAST((c_custkey * 73) % 3600 AS DOUBLE)
+                       / CAST(10.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon
+              FROM customer
+            ),
+            cells AS (
+              SELECT CAST(floor((lat + CAST(90.0 AS DOUBLE))
+                                / CAST(5.0 AS DOUBLE)) AS BIGINT) AS cell_row,
+                     CAST(floor((lon + CAST(180.0 AS DOUBLE))
+                                / CAST(5.0 AS DOUBLE)) AS BIGINT) AS cell_col,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM pts GROUP BY 1, 2
+            ),
+            probes AS (
+              SELECT x, r.dr, c.dc,
+                     cell_row + r.dr AS tr,
+                     ((cell_col + c.dc) % 72 + 72) % 72 AS tc
+              FROM cells, range(-2, 3) r(dr), range(-2, 3) c(dc)
+            )
+            SELECT tr AS cell_row, tc AS cell_col,
+                   CAST(count(*) AS BIGINT) AS n_src,
+                   CAST(sum({_kde_term_sql()}) AS DOUBLE) AS density
+            FROM probes
+            WHERE tr >= 0 AND tr <= 36
+            GROUP BY 1, 2
         """,
         # brute-force cross join with the SAME exact integer orientation
         # predicate as spatial/segjoin.py — no epsilon on either side.

@@ -147,3 +147,56 @@ def test_gistar_hotspot_band_scores_high(spark):
               & (out.cell_col >= 38) & (out.cell_col <= 39)]
     assert (hot["gi_star"] > 1.96).all()
     assert out["gi_star"].max() == hot["gi_star"].max()
+
+
+# ---------------------------------------------------------------------------
+# KDE heatmap (spatial/kde.py)
+# ---------------------------------------------------------------------------
+
+def _kde_q(num, den):
+    """DECIMAL(38,12) quantization of num/den, as the engine computes."""
+    from decimal import Decimal, ROUND_HALF_UP
+    return Decimal(repr(num / den)).quantize(
+        Decimal("1e-12"), rounding=ROUND_HALF_UP)
+
+
+def test_kde_single_source_k1(spark):
+    """One point in cell (0,0), k=1: row -1 clipped, col wraps to 71,
+    weights 1, 1/2, 1/3 by squared offset."""
+    from cartwright_spark.spatial.kde import kde_heatmap
+
+    out = kde_heatmap(_pts(spark, [(-88.0, -178.0)]),
+                      cell_deg=5.0, k=1).toPandas()
+    got = {(r.cell_row, r.cell_col): r.density for r in out.itertuples()}
+    assert set(got) == {(0, 0), (0, 1), (0, 71), (1, 0), (1, 1), (1, 71)}
+    assert got[(0, 0)] == 1.0
+    assert got[(0, 1)] == got[(0, 71)] == got[(1, 0)] == 0.5
+    assert abs(got[(1, 1)] - float(_kde_q(1, 3))) < 1e-15
+    assert abs(got[(1, 71)] - float(_kde_q(1, 3))) < 1e-15
+
+
+def test_kde_two_sources_sum_exact(spark):
+    """Cells (0,0) x=3 and (0,2) x=5 both reach (0,1) at distance 1:
+    density there is exactly 3/2 + 5/2 = 4.0 with n_src = 2."""
+    from cartwright_spark.spatial.kde import kde_heatmap
+
+    rows = [(-88.0, -178.0)] * 3 + [(-88.0, -168.0)] * 5
+    out = kde_heatmap(_pts(spark, rows), cell_deg=5.0, k=1).toPandas()
+    mid = out[(out.cell_row == 0) & (out.cell_col == 1)].iloc[0]
+    assert mid["n_src"] == 2 and mid["density"] == 4.0
+
+
+def test_kde_partition_layout_invariant(spark):
+    """Decimal terms make the density independent of partitioning."""
+    from cartwright_spark.spatial.kde import kde_heatmap
+
+    rng = np.random.default_rng(3)
+    rows = [(float(a), float(b))
+            for a, b in zip(rng.uniform(-89, 89, 4000),
+                            rng.uniform(-179, 179, 4000))]
+    pts = _pts(spark, rows)
+    a = kde_heatmap(pts.repartition(1), cell_deg=10.0, k=2).toPandas()
+    b = kde_heatmap(pts.repartition(37), cell_deg=10.0, k=2).toPandas()
+    ka = {(r.cell_row, r.cell_col): r.density for r in a.itertuples()}
+    kb = {(r.cell_row, r.cell_col): r.density for r in b.itertuples()}
+    assert ka == kb
