@@ -613,6 +613,35 @@ def q_gistar_hotspots(spark, sf_dir):
     return getis_ord_gistar(pts, cell_deg=5.0)
 
 
+# Coordinate synthesis for the trajectory query — one string, two
+# engines: per-user home base + small half-degree wander, with sparse
+# large jumps (every 11th/13th event) that force session breaks.
+_TRAJ_LAT = (
+    "CAST((user_id * 37) % 120 AS DOUBLE) - CAST(60.0 AS DOUBLE)"
+    " + CAST(event_id % 7 AS DOUBLE) * CAST(0.5 AS DOUBLE)"
+    " + CASE WHEN event_id % 11 = 0 THEN CAST(20.0 AS DOUBLE)"
+    " ELSE CAST(0.0 AS DOUBLE) END")
+_TRAJ_LON = (
+    "CAST((user_id * 73) % 300 AS DOUBLE) - CAST(150.0 AS DOUBLE)"
+    " + CAST(event_id % 5 AS DOUBLE) * CAST(0.5 AS DOUBLE)"
+    " + CASE WHEN event_id % 13 = 0 THEN CAST(25.0 AS DOUBLE)"
+    " ELSE CAST(0.0 AS DOUBLE) END")
+
+
+def q_trajectory_sessions(spark, sf_dir):
+    """Per-user stay-region segmentation (operators/trajectory.py):
+    one shuffle on user_id feeds the break-flag window AND the session
+    rollup; degree-space squared gaps keep the break flag exact in both
+    engines, centroids are DECIMAL(38,12) sums. Breaks on >10-degree
+    jumps or >7-day silences."""
+    from cartwright_spark.operators.trajectory import trajectory_sessions
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select("event_id", "user_id", "ts",
+                    F.expr(_TRAJ_LAT).alias("lat"),
+                    F.expr(_TRAJ_LON).alias("lon"))
+    return trajectory_sessions(pts, gap_deg=10.0, gap_s=604800)
+
+
 def q_kde_heatmap(spark, sf_dir):
     """Kernel-density heatmap (spatial/kde.py): grid-bounded cell
     rollup, bounded (2k+1)^2 offset explode of the CELL table, rational
@@ -1662,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_score": q_bigram_lm_score,
         "gistar_hotspots": q_gistar_hotspots,
         "kde_heatmap": q_kde_heatmap,
+        "trajectory_sessions": q_trajectory_sessions,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2499,6 +2529,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell_row, cell_col, x, deg, s,
                    {_gistar_sql()} AS gi_star
             FROM per_cell CROSS JOIN stats
+        """,
+        "trajectory_sessions": f"""
+            WITH pts AS (
+              SELECT event_id, user_id, ts,
+                     {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon
+              FROM events
+            ),
+            lagged AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us, lat, lon,
+                     lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt
+              FROM pts
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id)
+            ),
+            flagged AS (
+              SELECT user_id, event_id, us, lat, lon,
+                     CASE WHEN plat IS NULL THEN 1
+                          WHEN (lat - plat) * (lat - plat)
+                               + (lon - plon) * (lon - plon)
+                               > CAST(100.0 AS DOUBLE) THEN 1
+                          WHEN dt > 604800000000 THEN 1
+                          ELSE 0 END AS brk
+              FROM lagged
+            ),
+            sess AS (
+              SELECT user_id, us, lat, lon,
+                     CAST(sum(brk) OVER (PARTITION BY user_id
+                                         ORDER BY us, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   min(us) AS t_start_us, max(us) AS t_end_us,
+                   CAST(sum(CAST(lat AS DECIMAL(38,12))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS clat,
+                   CAST(sum(CAST(lon AS DECIMAL(38,12))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS clon
+            FROM sess
+            GROUP BY user_id, session_id
         """,
         "kde_heatmap": f"""
             WITH pts AS (

@@ -42,8 +42,9 @@ def _bigram_occurrences(docs: DataFrame, text_col: str = "text",
     """(id, bg): one row per character bigram of lower(text). The
     length guard matters: Spark's sequence(1, 0) is DESCENDING [1, 0],
     not empty, so 0/1-char docs must short-circuit to array()."""
-    lowered = docs.select(F.col(id_col).alias("__id"),
-                          F.lower(F.col(text_col)).alias("__t"))
+    from ..functions.partitioning import fan_out
+    lowered = fan_out(docs).select(F.col(id_col).alias("__id"),
+                                   F.lower(F.col(text_col)).alias("__t"))
     grams = F.expr(
         "CASE WHEN length(__t) > 1 THEN "
         "transform(sequence(1, length(__t) - 1), i -> substring(__t, i, 2)) "

@@ -1,0 +1,82 @@
+"""Trajectory segmentation: per-user stay-region sessions over an
+event stream with coordinates.
+
+Reference scope note: cartwright has no trajectory layer (its temporal
+work is per-column resolution classification, reference
+cartwright/time_resolution.py); this is engine scope from the brief's
+geospatial tier — the GeoLife-style "split a movement trace where the
+subject jumped or went quiet" primitive (Li et al., ACM GIS 2008)
+behind stay-point mining, feeding the same cell/tile rollups as the
+rest of the spatial layer.
+
+Semantics: order each user's events by (time, event_id); start a new
+session when
+  - it is the user's first event, or
+  - the squared coordinate gap to the previous event exceeds
+    `gap_deg`^2 (degree-space Euclidean — EXACT double arithmetic,
+    no transcendentals, so the break flag is bit-identical in any
+    engine; pass a haversine threshold instead if metric realism
+    matters more than oracle exactness), or
+  - the time gap exceeds `gap_s` seconds.
+Sessions then roll up to (user, session_id, n_points, t_start_us,
+t_end_us, clat, clon) with centroids computed as DECIMAL(38,12) sums
+(exact + associative — partition layout cannot reorder them) divided
+at the end.
+
+Scale shape (the 100 TB audit):
+  ONE shuffle on user_id feeds both the window pass and the session
+  rollup (the groupBy reuses the window's hash partitioning — no
+  second exchange); per-user traces are the unit of sequential work,
+  which is the right grain: a user's history fits a task, and hot
+  users are a J9 salting problem, not a plan problem.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+CENTROID_DECIMALS = 12
+
+
+def trajectory_sessions(events: DataFrame, user_col: str = "user_id",
+                        ts_col: str = "ts", lat_col: str = "lat",
+                        lon_col: str = "lon", order_col: str = "event_id",
+                        gap_deg: float = 10.0,
+                        gap_s: int = 2592000) -> DataFrame:
+    """-> (user, session_id, n_points, t_start_us, t_end_us, clat,
+    clon), session_id numbered 1.. per user in time order."""
+    dec = f"decimal(38,{CENTROID_DECIMALS})"
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (Window.partitionBy(user_col)
+         .orderBy(us.asc(), F.col(order_col).asc()))
+    dlat = F.col(lat_col) - F.lag(lat_col).over(w)
+    dlon = F.col(lon_col) - F.lag(lon_col).over(w)
+    dt = us - F.lag(us).over(w)
+    brk = F.when(F.lag(lat_col).over(w).isNull(), F.lit(1)).when(
+        (dlat * dlat + dlon * dlon > F.lit(float(gap_deg) ** 2))
+        | (dt > F.lit(int(gap_s) * 1_000_000)), F.lit(1)).otherwise(F.lit(0))
+    sid = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # NB: keep user_col un-aliased here — re-aliasing it would mint a
+    # new attribute and break alias-aware partitioning propagation, so
+    # the rollup would re-exchange on (user, session) instead of
+    # reusing the window's user hash partitioning (verified in the
+    # plan-gate test: exactly one hashpartitioning exchange).
+    tagged = events.select(
+        F.col(user_col), us.alias("__us"),
+        F.col(lat_col).alias("__lat"), F.col(lon_col).alias("__lon"),
+        sid.alias("session_id"))
+    agg = (tagged
+           .groupBy(user_col, "session_id")
+           .agg(F.count(F.lit(1)).alias("n_points"),
+                F.min("__us").alias("t_start_us"),
+                F.max("__us").alias("t_end_us"),
+                F.sum(F.col("__lat").cast(dec)).alias("__slat"),
+                F.sum(F.col("__lon").cast(dec)).alias("__slon")))
+    n = F.col("n_points").cast("double")
+    return agg.select(
+        F.col(user_col).alias("user_id"), "session_id", "n_points",
+        "t_start_us", "t_end_us",
+        (F.col("__slat").cast("double") / n).alias("clat"),
+        (F.col("__slon").cast("double") / n).alias("clon"))

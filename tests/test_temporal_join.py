@@ -246,3 +246,65 @@ def test_asof_bucketed_window_is_bucket_partitioned(spark):
                   if "windowspecdefinition" in l]
     # the row-grain carry window spec mentions __bkt as a partition key
     assert any("__bkt" in l and "__is_left" in l for l in spec_lines), plan
+
+
+# ---------------------------------------------------------------------------
+# Trajectory segmentation (operators/trajectory.py)
+# ---------------------------------------------------------------------------
+
+def _traj(spark, rows):
+    import pandas as pd
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                      "lat", "lon"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return spark.createDataFrame(pdf)
+
+
+def test_trajectory_sessions_hand_case(spark):
+    """One user: wander (no break), a 20-degree jump (spatial break),
+    then a long silence (temporal break) -> 3 sessions with exact
+    centroids and micro-second bounds."""
+    from cartwright_spark.operators.trajectory import trajectory_sessions
+
+    rows = [
+        (1, 7, "2024-01-01 00:00:00", 10.0, 20.0),
+        (2, 7, "2024-01-01 01:00:00", 10.5, 20.5),   # small wander
+        (3, 7, "2024-01-01 02:00:00", 30.5, 20.5),   # 20 deg jump
+        (4, 7, "2024-01-20 02:00:00", 30.5, 21.0),   # 19-day silence
+    ]
+    out = trajectory_sessions(_traj(spark, rows), gap_deg=10.0,
+                              gap_s=604800).toPandas()
+    out = out.sort_values("session_id").reset_index(drop=True)
+    assert list(out["session_id"]) == [1, 2, 3]
+    assert list(out["n_points"]) == [2, 1, 1]
+    assert out.loc[0, "clat"] == 10.25 and out.loc[0, "clon"] == 20.25
+    assert out.loc[1, "clat"] == 30.5
+    assert (out.loc[0, "t_end_us"] - out.loc[0, "t_start_us"]
+            == 3600 * 1_000_000)
+
+
+def test_trajectory_sessions_tie_break_and_users(spark):
+    """Equal timestamps order by event_id; users are independent."""
+    from cartwright_spark.operators.trajectory import trajectory_sessions
+
+    rows = [
+        (2, 1, "2024-01-01", 0.0, 50.0),   # same ts: event 1 precedes 2
+        (1, 1, "2024-01-01", 0.0, 0.0),    # so the 50-deg gap breaks at 2
+        (9, 2, "2024-01-01", 5.0, 5.0),
+    ]
+    out = trajectory_sessions(_traj(spark, rows), gap_deg=10.0,
+                              gap_s=604800).toPandas()
+    u1 = out[out.user_id == 1].sort_values("session_id")
+    assert list(u1["n_points"]) == [1, 1] and len(out[out.user_id == 2]) == 1
+
+
+def test_trajectory_sessions_single_shuffle(spark):
+    """The session rollup must reuse the window's user_id hash
+    partitioning: exactly ONE hashpartitioning exchange in the plan."""
+    from cartwright_spark.operators.trajectory import trajectory_sessions
+
+    rows = [(i, i % 3, "2024-01-01", float(i % 5), 0.0)
+            for i in range(1, 31)]
+    plan = trajectory_sessions(_traj(spark, rows))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("hashpartitioning(user_id") == 1, plan
