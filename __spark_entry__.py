@@ -628,6 +628,22 @@ _TRAJ_LON = (
     " ELSE CAST(0.0 AS DOUBLE) END")
 
 
+def q_trend_hotspots(spark, sf_dir):
+    """Mann-Kendall emerging-hotspot trend (spatial/trend.py): per-cell
+    daily counts (grid x span bounded), bin-pair self-join on the cell
+    key (bounded fan-out), integer-exact S / tie / n aggregates, and
+    the z statistic from ONE generator expression in both engines."""
+    from cartwright_spark.spatial.trend import mann_kendall_trend
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "ts",
+        ((F.col("event_id") * 37 % 1801).cast("double") / 10.0 - 90.0)
+        .alias("lat"),
+        ((F.col("event_id") * 73 % 3600).cast("double") / 10.0 - 180.0)
+        .alias("lon"))
+    return mann_kendall_trend(pts, cell_deg=10.0)
+
+
 def q_trajectory_sessions(spark, sf_dir):
     """Per-user stay-region segmentation (operators/trajectory.py):
     one shuffle on user_id feeds the break-flag window AND the session
@@ -1692,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gistar_hotspots": q_gistar_hotspots,
         "kde_heatmap": q_kde_heatmap,
         "trajectory_sessions": q_trajectory_sessions,
+        "trend_hotspots": q_trend_hotspots,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -1922,6 +1939,7 @@ def _url_normalize_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     from cartwright_spark.sources import gazetteers as gz
     from cartwright_spark.spatial.kde import kde_term_sql as _kde_term_sql
+    from cartwright_spark.spatial.trend import mk_z_sql as _mk_z_sql
     from cartwright_spark.spatial.autocorr import (
         gistar_sql as _gistar_sql,
         moran_global_sql as _moran_global_sql,
@@ -2529,6 +2547,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell_row, cell_col, x, deg, s,
                    {_gistar_sql()} AS gi_star
             FROM per_cell CROSS JOIN stats
+        """,
+        "trend_hotspots": f"""
+            WITH pts AS (
+              SELECT ts,
+                     CAST((event_id * 37) % 1801 AS DOUBLE)
+                       / CAST(10.0 AS DOUBLE) - CAST(90.0 AS DOUBLE) AS lat,
+                     CAST((event_id * 73) % 3600 AS DOUBLE)
+                       / CAST(10.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon
+              FROM events
+            ),
+            cm AS (
+              SELECT CAST(floor((lat + CAST(90.0 AS DOUBLE))
+                                / CAST(10.0 AS DOUBLE)) AS BIGINT) AS cell_row,
+                     CAST(floor((lon + CAST(180.0 AS DOUBLE))
+                                / CAST(10.0 AS DOUBLE)) AS BIGINT) AS cell_col,
+                     epoch_us(ts) // 86400000000 AS mbin,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM pts GROUP BY 1, 2, 3
+            ),
+            s AS (
+              SELECT a.cell_row, a.cell_col,
+                     CAST(sum(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT)
+                       AS s_stat
+              FROM cm a JOIN cm b USING (cell_row, cell_col)
+              WHERE a.mbin < b.mbin
+              GROUP BY 1, 2
+            ),
+            tg AS (
+              SELECT cell_row, cell_col, x, CAST(count(*) AS BIGINT) AS t
+              FROM cm GROUP BY 1, 2, 3
+            ),
+            ties AS (
+              SELECT cell_row, cell_col,
+                     CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                       AS tie_term,
+                     CAST(sum(t) AS BIGINT) AS n_bins
+              FROM tg GROUP BY 1, 2
+            ),
+            per_cell AS (
+              SELECT t.cell_row, t.cell_col, t.n_bins,
+                     CAST(COALESCE(s.s_stat, 0) AS BIGINT) AS s_stat,
+                     t.tie_term
+              FROM ties t LEFT JOIN s USING (cell_row, cell_col)
+            )
+            SELECT cell_row, cell_col, n_bins, s_stat, tie_term,
+                   {_mk_z_sql()} AS mk_z
+            FROM per_cell
         """,
         "trajectory_sessions": f"""
             WITH pts AS (

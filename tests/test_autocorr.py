@@ -200,3 +200,57 @@ def test_kde_partition_layout_invariant(spark):
     ka = {(r.cell_row, r.cell_col): r.density for r in a.itertuples()}
     kb = {(r.cell_row, r.cell_col): r.density for r in b.itertuples()}
     assert ka == kb
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall emerging-hotspot trend (spatial/trend.py)
+# ---------------------------------------------------------------------------
+
+def _traj_pts(spark, rows):
+    import pandas as pd
+    pdf = pd.DataFrame(rows, columns=["ts", "lat", "lon"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return spark.createDataFrame(pdf)
+
+
+def test_mann_kendall_rising_and_falling(spark):
+    """Cell A: daily counts 1,2,3 -> S=3, no ties, var=11/3,
+    z=2/sqrt(11/3). Cell B: 5,3,1 -> S=-3, z=-2/sqrt(11/3)."""
+    import math
+
+    from cartwright_spark.spatial.trend import mann_kendall_trend
+
+    rows = []
+    for day, n in [("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 3)]:
+        rows += [(day, 5.0, 5.0)] * n          # cell A
+    for day, n in [("2024-01-01", 5), ("2024-01-02", 3), ("2024-01-03", 1)]:
+        rows += [(day, 5.0, 55.0)] * n         # cell B
+    out = mann_kendall_trend(_traj_pts(spark, rows),
+                             cell_deg=10.0).toPandas()
+    got = {(r.cell_row, r.cell_col): r for r in out.itertuples()}
+    a, b = got[(9, 18)], got[(9, 23)]
+    z = 2 / math.sqrt(11 / 3)
+    assert a.s_stat == 3 and a.tie_term == 0 and a.n_bins == 3
+    assert abs(a.mk_z - z) < 1e-12
+    assert b.s_stat == -3 and abs(b.mk_z + z) < 1e-12
+
+
+def test_mann_kendall_all_tied_is_null(spark):
+    """Counts 2,2: S=0 and the tie term cancels var -> mk_z NULL."""
+    from cartwright_spark.spatial.trend import mann_kendall_trend
+
+    rows = ([("2024-01-01", 5.0, 5.0)] * 2 + [("2024-01-02", 5.0, 5.0)] * 2)
+    out = mann_kendall_trend(_traj_pts(spark, rows),
+                             cell_deg=10.0).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["s_stat"] == 0 and r["tie_term"] == 18 and r["n_bins"] == 2
+    assert out["mk_z"].isna().all()
+
+
+def test_mann_kendall_single_bin_is_null(spark):
+    from cartwright_spark.spatial.trend import mann_kendall_trend
+
+    out = mann_kendall_trend(_traj_pts(spark, [("2024-01-01", 5.0, 5.0)]),
+                             cell_deg=10.0).toPandas()
+    assert len(out) == 1 and out["mk_z"].isna().all()
