@@ -628,6 +628,21 @@ _TRAJ_LON = (
     " ELSE CAST(0.0 AS DOUBLE) END")
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """Multi-resolution tile rollup (spatial/tiles.py tile_pyramid):
+    ONE corpus shuffle at z_max, coarser zooms from an ancestor explode
+    of the grid-bounded tile table (tx >> k), never re-shuffling the
+    points per zoom."""
+    from cartwright_spark.spatial.tiles import tile_pyramid
+    part = _t(spark, sf_dir, "part")
+    pts = part.select(
+        ((F.col("p_partkey") * 37 % 1701).cast("double") / 10.0 - 85.0)
+        .alias("lat"),
+        ((F.col("p_partkey") * 73 % 3600).cast("double") / 10.0 - 180.0)
+        .alias("lon"))
+    return tile_pyramid(pts, z_max=6)
+
+
 def q_trend_hotspots(spark, sf_dir):
     """Mann-Kendall emerging-hotspot trend (spatial/trend.py): per-cell
     daily counts (grid x span bounded), bin-pair self-join on the cell
@@ -1709,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kde_heatmap": q_kde_heatmap,
         "trajectory_sessions": q_trajectory_sessions,
         "trend_hotspots": q_trend_hotspots,
+        "tile_pyramid": q_tile_pyramid,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2547,6 +2563,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell_row, cell_col, x, deg, s,
                    {_gistar_sql()} AS gi_star
             FROM per_cell CROSS JOIN stats
+        """,
+        "tile_pyramid": """
+            WITH pts AS (
+              SELECT CAST((p_partkey * 37) % 1701 AS DOUBLE)
+                       / CAST(10.0 AS DOUBLE) - CAST(85.0 AS DOUBLE) AS lat,
+                     CAST((p_partkey * 73) % 3600 AS DOUBLE)
+                       / CAST(10.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon
+              FROM part
+            ),
+            base AS (
+              SELECT CAST(least(greatest(floor((lon + 180.0) / 360.0 * 64),
+                                         0), 63) AS BIGINT) AS tx,
+                     CAST(least(greatest(floor((1.0 - ln(tan(radians(
+                         least(greatest(lat, -85.05112878), 85.05112878)))
+                         + 1.0 / cos(radians(least(greatest(lat,
+                         -85.05112878), 85.05112878)))) / pi())
+                         / 2.0 * 64), 0), 63) AS BIGINT) AS ty,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM pts GROUP BY 1, 2
+            )
+            SELECT CAST(6 - k AS BIGINT) AS z,
+                   tx // (1 << k) AS tile_x,
+                   ty // (1 << k) AS tile_y,
+                   CAST(sum(n) AS BIGINT) AS n_points
+            FROM base, range(0, 7) t(k)
+            GROUP BY 1, 2, 3
         """,
         "trend_hotspots": f"""
             WITH pts AS (

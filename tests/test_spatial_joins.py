@@ -885,3 +885,48 @@ def test_radius_join_planet_scale_radius_and_fine_level_guard(spark):
     # planning a quadratic per-row cell explode
     with pytest.raises(ValueError, match="too fine"):
         within_distance_join(qdf, sdf, 1_000_000.0, level=14)
+
+
+# ---------------------------------------------------------------------------
+# Tile pyramid rollup (spatial/tiles.py tile_pyramid)
+# ---------------------------------------------------------------------------
+
+def test_tile_pyramid_invariants(spark):
+    """Every zoom conserves total mass; z=0 is the single root tile;
+    each parent's count equals the sum of its children."""
+    import numpy as np
+    import pandas as pd
+
+    from cartwright_spark.spatial.tiles import tile_pyramid
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "lat": rng.uniform(-80, 80, 5000),
+        "lon": rng.uniform(-179, 179, 5000)})
+    out = tile_pyramid(spark.createDataFrame(pdf), z_max=5).toPandas()
+    for z in range(6):
+        assert out[out.z == z]["n_points"].sum() == 5000, z
+    root = out[out.z == 0]
+    assert len(root) == 1 and root.iloc[0]["n_points"] == 5000
+    assert root.iloc[0]["tile_x"] == 0 and root.iloc[0]["tile_y"] == 0
+    kids = out[out.z == 5].copy()
+    kids["px"], kids["py"] = kids.tile_x // 2, kids.tile_y // 2
+    rolled = (kids.groupby(["px", "py"])["n_points"].sum()
+              .reset_index().sort_values(["px", "py"]).reset_index(drop=True))
+    parents = (out[out.z == 4][["tile_x", "tile_y", "n_points"]]
+               .sort_values(["tile_x", "tile_y"]).reset_index(drop=True))
+    assert list(rolled["n_points"]) == list(parents["n_points"])
+
+
+def test_tile_pyramid_single_corpus_shuffle(spark):
+    """The points are shuffled once (the z_max rollup); the per-zoom
+    rollup re-shuffles only the exploded tile table — so exactly two
+    hashpartitioning exchanges in the whole plan."""
+    import pandas as pd
+
+    from cartwright_spark.spatial.tiles import tile_pyramid
+
+    pdf = pd.DataFrame({"lat": [1.0, 2.0], "lon": [3.0, 4.0]})
+    plan = tile_pyramid(spark.createDataFrame(pdf), z_max=3)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
