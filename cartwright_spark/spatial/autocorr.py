@@ -157,8 +157,16 @@ def getis_ord_gistar(points: DataFrame, lat_col: str = "lat",
     Same scale shape as `morans_i` (see module docstring): one grid-
     bounded rollup, one 8-way cell explode + equi-join, one 1-row stats
     broadcast — nothing proportional to the corpus after step 1."""
-    per_cell = neighbour_stats(
+    return gistar_from_cells(
         cell_counts(points, lat_col, lon_col, cell_deg), cell_deg)
+
+
+def gistar_from_cells(cells: DataFrame, cell_deg: float = 5.0) -> DataFrame:
+    """Gi* from an existing (cell_row, cell_col, x) rollup — the
+    incremental-maintenance entry point: per-batch cell counts are
+    algebraically mergeable (sum by cell), and everything downstream of
+    the counts is grid-bounded recomputation."""
+    per_cell = neighbour_stats(cells, cell_deg)
     stats = per_cell.agg(
         F.count(F.lit(1)).alias("n_cells"),
         F.sum("x").alias("sx"),

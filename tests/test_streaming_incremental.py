@@ -101,3 +101,51 @@ def test_incremental_hll_sketch_equals_batch(spark, tmp_path):
     est_merged = {r["grp"]: r["est"]
                   for r in agg.select("grp", est.alias("est")).collect()}
     assert est_merged == est_direct
+
+
+def test_incremental_grid_rollups_equal_batch(spark, tmp_path):
+    """Algebraic mergeability x incremental micro-batches for the grid
+    layer: per-batch cell counts committed per increment, summed by
+    cell across all increments, feed gistar_from_cells / the pyramid
+    ancestor rollup — and the results are IDENTICAL to one-pass
+    getis_ord_gistar / tile_pyramid over the full data. This is the
+    incremental-maintenance contract: a 100 TB heatmap/hotspot surface
+    stays current by rolling up only new crawl files and re-deriving
+    the grid-bounded statistics."""
+    from cartwright_spark.spatial.autocorr import (cell_counts,
+                                                   getis_ord_gistar,
+                                                   gistar_from_cells)
+    cat = Catalog(str(tmp_path / "igrid"))
+    full = spark.range(9_000).select(
+        ((F.col("id") * 37 % 1801).cast("double") / 10.0 - 90.0)
+        .alias("lat"),
+        ((F.col("id") * 73 % 3600).cast("double") / 10.0 - 180.0)
+        .alias("lon"),
+        F.col("id"))
+    batches = [full.where(F.col("id") < 3_000),
+               full.where((F.col("id") >= 3_000) & (F.col("id") < 6_000)),
+               full.where(F.col("id") >= 6_000)]
+
+    def cc(df):
+        return cell_counts(df, cell_deg=10.0)
+
+    for b in batches:
+        cat.write_table(b.repartition(3), "pts_src", stage="src")
+        assert incremental_stage(spark, cat, "pts_src", "cells", cc) \
+            is not None
+
+    parts = [cat.load_table(spark, "cells", s["snapshot_id"])
+             for s in cat.snapshots("cells")]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    merged = (merged.groupBy("cell_row", "cell_col")
+              .agg(F.sum("x").alias("x")))
+
+    direct = getis_ord_gistar(full, cell_deg=10.0).collect()
+    incr = gistar_from_cells(merged, cell_deg=10.0).collect()
+    key = lambda r: (r["cell_row"], r["cell_col"])
+    assert ({key(r): (r["x"], r["deg"], r["s"], r["gi_star"])
+             for r in incr}
+            == {key(r): (r["x"], r["deg"], r["s"], r["gi_star"])
+                for r in direct})
