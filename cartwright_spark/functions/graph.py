@@ -196,8 +196,31 @@ def _pagerank_round(e: DataFrame, nodes: DataFrame, ranks: DataFrame,
                         + F.col("dang") / n)).alias("rank")))
 
 
+def _union_find_min(pairs) -> dict:
+    """Driver-side union-find over (a, b) int pairs; returns
+    node -> component-minimum for every node that appears."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:        # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent)}
+
+
 def grid_cluster(points: DataFrame, lat: str = "lat", lon: str = "lon",
-                 cell_deg: float = 5.0, max_iter: int = 25) -> DataFrame:
+                 cell_deg: float = 5.0, max_iter: int = 25,
+                 driver_threshold: int = 100_000) -> DataFrame:
     """Density-grid spatial clustering: snap points to an integer
     lat/lon cell, link occupied cells that are 8-neighbor adjacent, and
     label each point with its cell cluster (DBSCAN's grid approximation
@@ -212,7 +235,17 @@ def grid_cluster(points: DataFrame, lat: str = "lat", lon: str = "lon",
     how many points, so a 10^12-point corpus clusters over at most a few
     million cell nodes. The final label join back to points is an
     equi-join on cell_id (dense urban cells are hot keys — AQE skew-join
-    splits them)."""
+    splits them).
+
+    When the OCCUPIED-cell count is at metadata scale
+    (<= driver_threshold, counted first — the same guarded-collect
+    pattern as the exact-cosine small-n form), the cell graph's
+    union-find runs on the driver instead of paying ~0.7 s/round of
+    fixed job overhead per large-star/small-star alternation: at 5
+    degrees the whole planet is <= 2,592 cells, and the distributed CC
+    spent its wall on round latency, not data. Result-identical
+    (cluster_id = component-min cell_id either way); the distributed
+    path remains for fine grids past the threshold."""
     ix = F.floor((F.col(lat) + 90.0) / cell_deg).cast("long")
     iy = F.floor((F.col(lon) + 180.0) / cell_deg).cast("long")
     pts = points.withColumn("cell_id", ix * 100000 + iy)
@@ -229,6 +262,25 @@ def grid_cluster(points: DataFrame, lat: str = "lat", lon: str = "lon",
                   ).alias("off"))
     cand = props.select("src", (F.col("src") + F.col("off")).alias("dst"))
     edges = cand.join(cells.withColumnRenamed("cell_id", "dst"), "dst")
+
+    if cells.count() <= driver_threshold:
+        # metadata-scale cell graph: edge list is <= 4x the cell count
+        comp_map = _union_find_min(
+            (r["src"], r["dst"]) for r in edges.collect())
+        spark = points.sparkSession
+        if comp_map:
+            comp = F.broadcast(spark.createDataFrame(
+                [(int(k), int(v)) for k, v in comp_map.items()],
+                "id long, component long"))
+            labels = (cells.join(comp, cells["cell_id"] == comp["id"],
+                                 "left")
+                      .select("cell_id",
+                              F.coalesce("component", "cell_id")
+                              .alias("cluster_id")))
+        else:
+            labels = cells.select(
+                "cell_id", F.col("cell_id").alias("cluster_id"))
+        return pts.join(F.broadcast(labels), "cell_id")
 
     comp = connected_components(edges, "src", "dst", max_iter=max_iter)
     labels = (cells.join(comp, cells["cell_id"] == comp["id"], "left")

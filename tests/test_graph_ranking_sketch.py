@@ -663,3 +663,28 @@ def test_bloom_bitmaps_mergeable(spark):
                                     bloom_build(b, "k", m))]
     direct = bloom_build(a.unionByName(b), "k", m)
     assert merged == direct
+
+
+def test_grid_cluster_driver_and_distributed_paths_identical(spark):
+    """The guarded driver union-find (cells <= threshold) and the
+    distributed CC path must label identically: cluster_id = min
+    cell_id of the blob either way."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(23)
+    pdf = pd.DataFrame({
+        "lat": np.concatenate([rng.uniform(10, 14, 300),
+                               rng.uniform(40, 41, 200),
+                               rng.uniform(-60, -59, 1)]),
+        "lon": np.concatenate([rng.uniform(10, 14, 300),
+                               rng.uniform(40, 41, 200),
+                               rng.uniform(100, 101, 1)])})
+    df = spark.createDataFrame(pdf)
+    a = grid_cluster(df, cell_deg=1.0, driver_threshold=100_000).collect()
+    b = grid_cluster(df, cell_deg=1.0, driver_threshold=0).collect()
+    ka = sorted((r["lat"], r["lon"], r["cell_id"], r["cluster_id"])
+                for r in a)
+    kb = sorted((r["lat"], r["lon"], r["cell_id"], r["cluster_id"])
+                for r in b)
+    assert ka == kb
