@@ -54,6 +54,13 @@ def kde_heatmap(points: DataFrame, lat_col: str = "lat",
     kernel sum surfaced as double."""
     ncols = int(round(360.0 / float(cell_deg)))
     nrows = int(round(180.0 / float(cell_deg)))
+    if 2 * k + 1 > ncols:
+        # with fewer columns than the stencil width, longitude wrap
+        # would route one source to the same target via two offsets
+        # (double-counting its mass) — reject rather than silently skew
+        raise ValueError(
+            f"kde_heatmap: stencil 2*k+1={2 * k + 1} exceeds the "
+            f"{ncols}-column grid at cell_deg={cell_deg}")
     cells = cell_counts(points, lat_col, lon_col, cell_deg)
     offs = [(dr, dc) for dr in range(-k, k + 1) for dc in range(-k, k + 1)]
     off_arr = "array(" + ",".join(

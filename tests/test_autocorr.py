@@ -254,3 +254,14 @@ def test_mann_kendall_single_bin_is_null(spark):
     out = mann_kendall_trend(_traj_pts(spark, [("2024-01-01", 5.0, 5.0)]),
                              cell_deg=10.0).toPandas()
     assert len(out) == 1 and out["mk_z"].isna().all()
+
+
+def test_kde_rejects_stencil_wider_than_grid(spark):
+    """cell_deg=90 -> 4 columns; k=2's 5-wide stencil would wrap one
+    source onto the same target twice — must raise, not double-count."""
+    import pytest
+
+    from cartwright_spark.spatial.kde import kde_heatmap
+
+    with pytest.raises(ValueError, match="stencil"):
+        kde_heatmap(_pts(spark, [(0.5, 0.5)]), cell_deg=90.0, k=2)
