@@ -55,6 +55,9 @@ CONTRACT_BENCH_QUERIES = (
     "polygon_measures", "triangle_lcc", "exact_quantiles",
     "geohash_encode", "grouped_quantile", "multimodal_gif_frames",
     "warc_records", "robots_filter", "bloom_semijoin",
+    "morans_i", "segment_intersections", "bigram_lm_score",
+    "gistar_hotspots", "kde_heatmap", "trajectory_sessions",
+    "trend_hotspots", "tile_pyramid",
 )
 
 

@@ -207,9 +207,30 @@ def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
         fail_after_parts=fail_after_parts)
     summary["stages"]["tile_counts"] = {"rows": tile_snap["row_count"], "reused": reused}
 
+    # Gi* hot/cold-spot surface over the tile rollup — the second-wave
+    # grid statistic composed into the checkpointed pipeline. Input is
+    # the GRID-BOUNDED tile table (never the pages), so the stage is
+    # near-free at any corpus size; tile columns wrap at 2^zoom, which
+    # neighbour_stats expresses as cell_deg = 360/2^zoom.
+    def build_hotspots():
+        from cartwright_spark.spatial.autocorr import gistar_from_cells
+        tiles = cat.load_table(spark, "tile_counts",
+                               tile_snap["snapshot_id"])
+        cells = tiles.select(F.col("tile_y").alias("cell_row"),
+                             F.col("tile_x").alias("cell_col"),
+                             F.col("n_points").alias("x"))
+        out = gistar_from_cells(cells, cell_deg=360.0 / (1 << zoom))
+        return (out.withColumnRenamed("cell_row", "tile_y")
+                .withColumnRenamed("cell_col", "tile_x"))
+    hot_snap, reused = _stage(
+        cat, "hotspots", f"hotspots:v1:parent={tile_snap['snapshot_id']}",
+        tile_snap, build_hotspots, inject_fail=inject_fail,
+        fail_after_parts=fail_after_parts)
+    summary["stages"]["hotspots"] = {"rows": hot_snap["row_count"], "reused": reused}
+
     summary["wall_sec"] = time.perf_counter() - t_start
     summary["docs_per_sec"] = n_pages / summary["wall_sec"]
-    summary["lineage_depth"] = len(cat.lineage("tile_counts"))
+    summary["lineage_depth"] = len(cat.lineage("hotspots"))
     return summary
 
 

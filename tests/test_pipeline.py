@@ -81,9 +81,10 @@ def test_pipeline_resume_and_lineage(spark, tmp_path):
     assert s3["stages"]["extracted"]["reused"]
     assert not s3["stages"]["cells"]["reused"]
     cat = Catalog(wd)
-    chain = cat.lineage("tile_counts")
+    chain = cat.lineage("hotspots")
     assert [c["table"] for c in chain] == [
-        "tile_counts", "cells", "detections", "extracted", "pages"]
+        "hotspots", "tile_counts", "cells", "detections", "extracted",
+        "pages"]
     # per-file lineage present
     assert all(f["rows"] >= 0 for c in chain for f in c["files"])
 
@@ -330,3 +331,26 @@ def test_warc_records_distributed(spark):
     row = out[(out.blob_id == 3) & (out.rec_idx == 2)].iloc[0]
     assert row["url"] == "https://b3/r2"
     assert bytes(row["payload"]) == b"body-3-2"
+
+
+def test_hotspot_stage_matches_direct_gistar(spark, tmp_path):
+    """The pipeline's hotspot surface equals gistar_from_cells run
+    directly on the committed tile table, and hot tiles score high."""
+    from cartwright_spark.spatial.autocorr import gistar_from_cells
+    wd = str(tmp_path / "hotspot_eq")
+    s = run_pipeline(spark, wd, n_pages=500, zoom=8)
+    assert s["stages"]["hotspots"]["rows"] > 0
+    cat = Catalog(wd)
+    tiles = cat.load_table(spark, "tile_counts")
+    direct = gistar_from_cells(
+        tiles.select(F.col("tile_y").alias("cell_row"),
+                     F.col("tile_x").alias("cell_col"),
+                     F.col("n_points").alias("x")),
+        cell_deg=360.0 / 256).collect()
+    stored = cat.load_table(spark, "hotspots").collect()
+    key = lambda r: (r[0], r[1])
+    assert ({(r["cell_row"], r["cell_col"]): r["gi_star"] for r in direct}
+            == {(r["tile_y"], r["tile_x"]): r["gi_star"] for r in stored})
+    # the 3 planted hot boxes must dominate the z-scores
+    top = sorted(stored, key=lambda r: -(r["gi_star"] or -9e9))[:3]
+    assert all((r["gi_star"] or 0) > 1.96 for r in top)
