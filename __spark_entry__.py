@@ -659,6 +659,23 @@ def q_trend_hotspots(spark, sf_dir):
     return mann_kendall_trend(pts, cell_deg=10.0)
 
 
+def q_sen_slope(spark, sf_dir):
+    """Theil-Sen trend slope per cell (spatial/trend.py
+    theil_sen_slope): bounded bin-pair slopes as single exact IEEE
+    divisions of BIGINT counts; median = the LOWER order statistic at
+    rank (n+1) DIV 2, a selected value no engine can interpolate
+    differently. Same point synthesis as trend_hotspots."""
+    from cartwright_spark.spatial.trend import theil_sen_slope
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "ts",
+        ((F.col("event_id") * 37 % 1801).cast("double") / 10.0 - 90.0)
+        .alias("lat"),
+        ((F.col("event_id") * 73 % 3600).cast("double") / 10.0 - 180.0)
+        .alias("lon"))
+    return theil_sen_slope(pts, cell_deg=10.0)
+
+
 def q_trajectory_sessions(spark, sf_dir):
     """Per-user stay-region segmentation (operators/trajectory.py):
     one shuffle on user_id feeds the break-flag window AND the session
@@ -1725,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectory_sessions": q_trajectory_sessions,
         "trend_hotspots": q_trend_hotspots,
         "tile_pyramid": q_tile_pyramid,
+        "sen_slope": q_sen_slope,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2589,6 +2607,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) AS BIGINT) AS n_points
             FROM base, range(0, 7) t(k)
             GROUP BY 1, 2, 3
+        """,
+        "sen_slope": """
+            WITH pts AS (
+              SELECT ts,
+                     CAST((event_id * 37) % 1801 AS DOUBLE)
+                       / CAST(10.0 AS DOUBLE) - CAST(90.0 AS DOUBLE) AS lat,
+                     CAST((event_id * 73) % 3600 AS DOUBLE)
+                       / CAST(10.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon
+              FROM events
+            ),
+            cm AS (
+              SELECT CAST(floor((lat + CAST(90.0 AS DOUBLE))
+                                / CAST(10.0 AS DOUBLE)) AS BIGINT) AS cell_row,
+                     CAST(floor((lon + CAST(180.0 AS DOUBLE))
+                                / CAST(10.0 AS DOUBLE)) AS BIGINT) AS cell_col,
+                     epoch_us(ts) // 86400000000 AS mbin,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM pts GROUP BY 1, 2, 3
+            ),
+            pairs AS (
+              SELECT a.cell_row, a.cell_col,
+                     CAST(b.x - a.x AS DOUBLE)
+                       / CAST(b.mbin - a.mbin AS DOUBLE) AS slope
+              FROM cm a JOIN cm b USING (cell_row, cell_col)
+              WHERE a.mbin < b.mbin
+            ),
+            ranked AS (
+              SELECT cell_row, cell_col, slope,
+                     row_number() OVER (PARTITION BY cell_row, cell_col
+                                        ORDER BY slope) AS rk,
+                     CAST(count(*) OVER (PARTITION BY cell_row, cell_col)
+                          AS BIGINT) AS n_pairs
+              FROM pairs
+            )
+            SELECT cell_row, cell_col, n_pairs, slope AS sen_slope
+            FROM ranked
+            WHERE rk = (n_pairs + 1) // 2
         """,
         "trend_hotspots": f"""
             WITH pts AS (

@@ -100,3 +100,47 @@ def mann_kendall_trend(points: DataFrame, lat_col: str = "lat",
                         F.col("tie_term").cast("bigint").alias("tie_term")))
     return per_cell.select("cell_row", "cell_col", "n_bins", "s_stat",
                            "tie_term", F.expr(mk_z_sql()).alias("mk_z"))
+
+
+def theil_sen_slope(points: DataFrame, lat_col: str = "lat",
+                    lon_col: str = "lon", ts_col: str = "ts",
+                    cell_deg: float = 5.0,
+                    bin_us: int = 86_400_000_000) -> DataFrame:
+    """Theil-Sen trend slope per cell: the median of pairwise slopes
+    (x_j - x_i) / (m_j - m_i) over the cell's time-binned counts — the
+    magnitude companion to `mann_kendall_trend`'s significance (Theil
+    1950 / Sen 1968), robust to a 29% outlier fraction.
+
+    Exactness contract: each slope is ONE IEEE division of exact
+    BIGINTs (bit-identical in any engine), and the median is the LOWER
+    order statistic at rank (n+1) DIV 2 — a selected VALUE, not an
+    interpolation, so engines cannot disagree at even counts the way
+    a + (b-a)*0.5 vs (a+b)/2 float formulas can.
+
+    Scale shape: same as mann_kendall_trend — the corpus is touched by
+    one grid-bounded rollup; the pair table is a bounded bin-pair
+    self-join on the CELL key; the rank window partitions by cell over
+    that bounded table. -> (cell_row, cell_col, n_pairs, sen_slope)."""
+    from pyspark.sql import Window
+    cm = cell_time_counts(points, lat_col, lon_col, ts_col, cell_deg,
+                          bin_us)
+    a = cm.select("cell_row", "cell_col",
+                  F.col("mbin").alias("m1"), F.col("x").alias("x1"))
+    b = cm.select("cell_row", "cell_col",
+                  F.col("mbin").alias("m2"), F.col("x").alias("x2"))
+    pairs = (a.join(b, ["cell_row", "cell_col"])
+             .where(F.col("m1") < F.col("m2"))
+             .select("cell_row", "cell_col",
+                     ((F.col("x2") - F.col("x1")).cast("double")
+                      / (F.col("m2") - F.col("m1")).cast("double"))
+                     .alias("slope")))
+    w = Window.partitionBy("cell_row", "cell_col").orderBy("slope")
+    ranked = pairs.select(
+        "cell_row", "cell_col", "slope",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("cell_row", "cell_col")).alias("n_pairs"))
+    return (ranked
+            .where(F.expr("rk = (n_pairs + 1) DIV 2"))
+            .select("cell_row", "cell_col", "n_pairs",
+                    F.col("slope").alias("sen_slope")))

@@ -265,3 +265,31 @@ def test_kde_rejects_stencil_wider_than_grid(spark):
 
     with pytest.raises(ValueError, match="stencil"):
         kde_heatmap(_pts(spark, [(0.5, 0.5)]), cell_deg=90.0, k=2)
+
+
+def test_theil_sen_hand_cases(spark):
+    """Counts 1,2,4 over days 0-2: slopes {1, 1.5, 2} -> median 1.5.
+    Counts 1,2,4,8 over days 0-3: six slopes sorted
+    [1, 1.5, 2, 7/3, 3, 4] -> lower median (rank 3) = 2.0."""
+    from cartwright_spark.spatial.trend import theil_sen_slope
+
+    rows = []
+    for day, n in [("2024-01-01", 1), ("2024-01-02", 2),
+                   ("2024-01-03", 4)]:
+        rows += [(day, 5.0, 5.0)] * n              # cell (9, 18)
+    for day, n in [("2024-01-01", 1), ("2024-01-02", 2),
+                   ("2024-01-03", 4), ("2024-01-04", 8)]:
+        rows += [(day, 5.0, 55.0)] * n             # cell (9, 23)
+    out = theil_sen_slope(_traj_pts(spark, rows), cell_deg=10.0).toPandas()
+    got = {(r.cell_row, r.cell_col): r for r in out.itertuples()}
+    assert got[(9, 18)].n_pairs == 3 and got[(9, 18)].sen_slope == 1.5
+    assert got[(9, 23)].n_pairs == 6 and got[(9, 23)].sen_slope == 2.0
+
+
+def test_theil_sen_single_bin_empty(spark):
+    """One bin -> no pairs -> the cell is absent (no slope exists)."""
+    from cartwright_spark.spatial.trend import theil_sen_slope
+
+    out = theil_sen_slope(_traj_pts(spark, [("2024-01-01", 5.0, 5.0)]),
+                          cell_deg=10.0).toPandas()
+    assert len(out) == 0
