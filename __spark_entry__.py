@@ -676,6 +676,67 @@ def q_sen_slope(spark, sf_dir):
     return theil_sen_slope(pts, cell_deg=10.0)
 
 
+# Trajectory-session oracle SQL as a module constant: the od_matrix
+# oracle composes it as a subquery (one definition, two consumers).
+_TRAJ_SESSIONS_SQL = f"""
+            WITH pts AS (
+              SELECT event_id, user_id, ts,
+                     {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon
+              FROM events
+            ),
+            lagged AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us, lat, lon,
+                     lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt
+              FROM pts
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id)
+            ),
+            flagged AS (
+              SELECT user_id, event_id, us, lat, lon,
+                     CASE WHEN plat IS NULL THEN 1
+                          WHEN (lat - plat) * (lat - plat)
+                               + (lon - plon) * (lon - plon)
+                               > CAST(100.0 AS DOUBLE) THEN 1
+                          WHEN dt > 604800000000 THEN 1
+                          ELSE 0 END AS brk
+              FROM lagged
+            ),
+            sess AS (
+              SELECT user_id, us, lat, lon,
+                     CAST(sum(brk) OVER (PARTITION BY user_id
+                                         ORDER BY us, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   min(us) AS t_start_us, max(us) AS t_end_us,
+                   CAST(sum(CAST(lat AS DECIMAL(38,12))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS clat,
+                   CAST(sum(CAST(lon AS DECIMAL(38,12))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS clon
+            FROM sess
+            GROUP BY user_id, session_id
+"""
+
+
+def q_od_matrix(spark, sf_dir):
+    """Origin-destination matrix (operators/trajectory.py od_matrix):
+    stay-region sessions -> centroid cells -> per-user consecutive
+    transitions -> (origin, destination) trip counts. Composes the
+    trajectory layer; output bounded by occupied-cells squared."""
+    from cartwright_spark.operators.trajectory import (od_matrix,
+                                                       trajectory_sessions)
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select("event_id", "user_id", "ts",
+                    F.expr(_TRAJ_LAT).alias("lat"),
+                    F.expr(_TRAJ_LON).alias("lon"))
+    sess = trajectory_sessions(pts, gap_deg=10.0, gap_s=604800)
+    return od_matrix(sess, cell_deg=10.0)
+
+
 def q_trajectory_sessions(spark, sf_dir):
     """Per-user stay-region segmentation (operators/trajectory.py):
     one shuffle on user_id feeds the break-flag window AND the session
@@ -1743,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_hotspots": q_trend_hotspots,
         "tile_pyramid": q_tile_pyramid,
         "sen_slope": q_sen_slope,
+        "od_matrix": q_od_matrix,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2692,47 +2754,30 @@ def oracle_sql() -> dict[str, str]:
                    {_mk_z_sql()} AS mk_z
             FROM per_cell
         """,
-        "trajectory_sessions": f"""
-            WITH pts AS (
-              SELECT event_id, user_id, ts,
-                     {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon
-              FROM events
+        "trajectory_sessions": _TRAJ_SESSIONS_SQL,
+        "od_matrix": f"""
+            WITH cells AS (
+              SELECT user_id, session_id,
+                     CAST(floor((clat + CAST(90.0 AS DOUBLE))
+                                / CAST(10.0 AS DOUBLE)) AS BIGINT)
+                       AS d_row,
+                     CAST(floor((clon + CAST(180.0 AS DOUBLE))
+                                / CAST(10.0 AS DOUBLE)) AS BIGINT)
+                       AS d_col
+              FROM ({_TRAJ_SESSIONS_SQL}) s
             ),
-            lagged AS (
-              SELECT user_id, event_id, epoch_us(ts) AS us, lat, lon,
-                     lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
-                     epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt
-              FROM pts
-              WINDOW w AS (PARTITION BY user_id
-                           ORDER BY epoch_us(ts), event_id)
-            ),
-            flagged AS (
-              SELECT user_id, event_id, us, lat, lon,
-                     CASE WHEN plat IS NULL THEN 1
-                          WHEN (lat - plat) * (lat - plat)
-                               + (lon - plon) * (lon - plon)
-                               > CAST(100.0 AS DOUBLE) THEN 1
-                          WHEN dt > 604800000000 THEN 1
-                          ELSE 0 END AS brk
-              FROM lagged
-            ),
-            sess AS (
-              SELECT user_id, us, lat, lon,
-                     CAST(sum(brk) OVER (PARTITION BY user_id
-                                         ORDER BY us, event_id
-                                         ROWS UNBOUNDED PRECEDING)
-                          AS BIGINT) AS session_id
-              FROM flagged
+            trans AS (
+              SELECT lag(d_row) OVER w AS o_row,
+                     lag(d_col) OVER w AS o_col,
+                     d_row, d_col
+              FROM cells
+              WINDOW w AS (PARTITION BY user_id ORDER BY session_id)
             )
-            SELECT user_id, session_id,
-                   CAST(count(*) AS BIGINT) AS n_points,
-                   min(us) AS t_start_us, max(us) AS t_end_us,
-                   CAST(sum(CAST(lat AS DECIMAL(38,12))) AS DOUBLE)
-                     / CAST(count(*) AS DOUBLE) AS clat,
-                   CAST(sum(CAST(lon AS DECIMAL(38,12))) AS DOUBLE)
-                     / CAST(count(*) AS DOUBLE) AS clon
-            FROM sess
-            GROUP BY user_id, session_id
+            SELECT o_row, o_col, d_row, d_col,
+                   CAST(count(*) AS BIGINT) AS n_trips
+            FROM trans
+            WHERE o_row IS NOT NULL
+            GROUP BY 1, 2, 3, 4
         """,
         "kde_heatmap": f"""
             WITH pts AS (

@@ -80,3 +80,34 @@ def trajectory_sessions(events: DataFrame, user_col: str = "user_id",
         "t_start_us", "t_end_us",
         (F.col("__slat").cast("double") / n).alias("clat"),
         (F.col("__slon").cast("double") / n).alias("clon"))
+
+
+def od_matrix(sessions: DataFrame, cell_deg: float = 10.0) -> DataFrame:
+    """Origin-destination matrix over the output of
+    `trajectory_sessions`: snap each session's centroid to a grid cell,
+    take per-user consecutive session transitions (session_id order),
+    and roll up trip counts per (origin, destination) cell pair —
+    including self-transitions (a return to the same stay region).
+
+    Determinism: centroids are exact (decimal sums / count), so the
+    floor-to-cell snap and the transition pairs are engine-exact.
+
+    Scale shape: ONE shuffle on user_id for the lag window (sessions
+    are already per-user rows — orders of magnitude smaller than the
+    event corpus), then one partial-agg'd rollup whose output is
+    bounded by (occupied cells)^2. -> (o_row, o_col, d_row, d_col,
+    n_trips)."""
+    oc_r = F.floor((F.col("clat") + F.lit(90.0)) / F.lit(float(cell_deg)))
+    oc_c = F.floor((F.col("clon") + F.lit(180.0)) / F.lit(float(cell_deg)))
+    cells = sessions.select(
+        "user_id", "session_id",
+        oc_r.cast("bigint").alias("d_row"),
+        oc_c.cast("bigint").alias("d_col"))
+    w = Window.partitionBy("user_id").orderBy("session_id")
+    trans = cells.select(
+        F.lag("d_row").over(w).alias("o_row"),
+        F.lag("d_col").over(w).alias("o_col"),
+        "d_row", "d_col")
+    return (trans.where(F.col("o_row").isNotNull())
+            .groupBy("o_row", "o_col", "d_row", "d_col")
+            .agg(F.count(F.lit(1)).alias("n_trips")))

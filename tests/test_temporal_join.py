@@ -308,3 +308,24 @@ def test_trajectory_sessions_single_shuffle(spark):
     plan = trajectory_sessions(_traj(spark, rows))._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_od_matrix_hand_case(spark):
+    """User 7 visits cells A -> A -> B -> A (4 sessions): transitions
+    A->A, A->B, B->A, one each. Sessions forced apart by time gaps."""
+    from cartwright_spark.operators.trajectory import (od_matrix,
+                                                       trajectory_sessions)
+
+    rows = [
+        (1, 7, "2024-01-01", 5.0, 5.0),     # session 1, cell (9, 18)
+        (2, 7, "2024-02-01", 5.5, 5.5),     # session 2, same cell
+        (3, 7, "2024-03-01", 5.0, 55.0),    # session 3, cell (9, 23)
+        (4, 7, "2024-04-01", 5.0, 5.0),     # session 4, back to (9, 18)
+    ]
+    sess = trajectory_sessions(_traj(spark, rows), gap_deg=10.0,
+                               gap_s=604800)
+    out = od_matrix(sess, cell_deg=10.0).collect()
+    got = {(r["o_row"], r["o_col"], r["d_row"], r["d_col"]): r["n_trips"]
+           for r in out}
+    assert got == {(9, 18, 9, 18): 1, (9, 18, 9, 23): 1,
+                   (9, 23, 9, 18): 1}
