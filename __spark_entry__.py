@@ -722,6 +722,22 @@ _TRAJ_SESSIONS_SQL = f"""
 """
 
 
+def q_colocation_lift(spark, sf_dir):
+    """Category-pair spatial association (spatial/colocation.py):
+    distinct (cell, category) rollup bounded by grid x categories,
+    cell-key pair join with bounded fan-out, exact integer counts, one
+    generator for the lift division. Categories = event_type."""
+    from cartwright_spark.spatial.colocation import colocation_lift
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_type").alias("category"),
+        ((F.col("event_id") * 37 % 1801).cast("double") / 10.0 - 90.0)
+        .alias("lat"),
+        ((F.col("event_id") * 73 % 3600).cast("double") / 10.0 - 180.0)
+        .alias("lon"))
+    return colocation_lift(pts, cell_deg=10.0)
+
+
 def q_od_matrix(spark, sf_dir):
     """Origin-destination matrix (operators/trajectory.py od_matrix):
     stay-region sessions -> centroid cells -> per-user consecutive
@@ -1805,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": q_tile_pyramid,
         "sen_slope": q_sen_slope,
         "od_matrix": q_od_matrix,
+        "colocation_lift": q_colocation_lift,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2034,6 +2051,7 @@ def _url_normalize_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from cartwright_spark.sources import gazetteers as gz
+    from cartwright_spark.spatial.colocation import lift_sql as _lift_sql
     from cartwright_spark.spatial.kde import kde_term_sql as _kde_term_sql
     from cartwright_spark.spatial.trend import mk_z_sql as _mk_z_sql
     from cartwright_spark.spatial.autocorr import (
@@ -2669,6 +2687,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) AS BIGINT) AS n_points
             FROM base, range(0, 7) t(k)
             GROUP BY 1, 2, 3
+        """,
+        "colocation_lift": f"""
+            WITH pts AS (
+              SELECT event_type AS cat,
+                     CAST((event_id * 37) % 1801 AS DOUBLE)
+                       / CAST(10.0 AS DOUBLE) - CAST(90.0 AS DOUBLE) AS lat,
+                     CAST((event_id * 73) % 3600 AS DOUBLE)
+                       / CAST(10.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon
+              FROM events
+            ),
+            cellcat AS (
+              SELECT DISTINCT
+                     CAST(floor((lat + CAST(90.0 AS DOUBLE))
+                                / CAST(10.0 AS DOUBLE)) AS BIGINT) AS cell_row,
+                     CAST(floor((lon + CAST(180.0 AS DOUBLE))
+                                / CAST(10.0 AS DOUBLE)) AS BIGINT) AS cell_col,
+                     cat
+              FROM pts
+            ),
+            pairboth AS (
+              SELECT a.cat AS cat_a, b.cat AS cat_b,
+                     CAST(count(*) AS BIGINT) AS n_both
+              FROM cellcat a
+              JOIN cellcat b USING (cell_row, cell_col)
+              WHERE a.cat < b.cat
+              GROUP BY 1, 2
+            ),
+            per_cat AS (
+              SELECT cat, CAST(count(*) AS BIGINT) AS n
+              FROM cellcat GROUP BY 1
+            ),
+            total AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_cells
+              FROM (SELECT DISTINCT cell_row, cell_col FROM cellcat)
+            )
+            SELECT cat_a, cat_b, n_both, n_a, n_b, n_cells,
+                   {_lift_sql()} AS lift
+            FROM (
+              SELECT cat_a, cat_b, n_both,
+                     pa.n AS n_a, pb.n AS n_b, n_cells
+              FROM pairboth
+              JOIN per_cat pa ON pa.cat = pairboth.cat_a
+              JOIN per_cat pb ON pb.cat = pairboth.cat_b
+              CROSS JOIN total
+            ) t
         """,
         "sen_slope": """
             WITH pts AS (

@@ -1,0 +1,71 @@
+"""Colocation mining: category-pair spatial association (lift) over
+grid cells.
+
+Reference scope note: cartwright has no co-occurrence layer (its geo
+work stops at per-column classification); this is engine scope from
+the brief's geospatial tier — the participation/lift core of spatial
+colocation pattern mining (Shekhar & Huang, SSTD 2001) over the same
+cell rollups the tiling layer produces: "do categories A and B occur
+in the same places more often than independence predicts?"
+
+Statistic, over the set of OCCUPIED cells (cells with >= 1 point):
+
+    lift(a, b) = (N_ab * N_cells) / (N_a * N_b)
+
+with N_a = cells containing a, N_ab = cells containing both, N_cells =
+all occupied cells. Every input is an EXACT BIGINT count; lift is one
+deterministic double division — engine-exact.
+
+Scale shape (the 100 TB audit):
+  1. points -> distinct (cell, category): one partial-agg'd shuffle,
+     output bounded by grid x |categories|.
+  2. pair join on the CELL key over that bounded table: fan-out
+     C(|categories present|, 2) per cell — bounded, never the corpus.
+  3. per-category totals and the occupied-cell count are grid-bounded
+     aggregates broadcast back onto the pair rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def lift_sql() -> str:
+    """lift over exact BIGINT columns n_both / n_a / n_b / n_cells —
+    one generator, two engines."""
+    return ("(CAST(n_both AS DOUBLE) * CAST(n_cells AS DOUBLE))"
+            " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))")
+
+
+def colocation_lift(points: DataFrame, cat_col: str = "category",
+                    lat_col: str = "lat", lon_col: str = "lon",
+                    cell_deg: float = 5.0) -> DataFrame:
+    """-> (cat_a, cat_b, n_both, n_a, n_b, n_cells, lift) for every
+    unordered category pair that shares at least one cell."""
+    r = F.floor((F.col(lat_col) + F.lit(90.0)) / F.lit(float(cell_deg)))
+    c = F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(float(cell_deg)))
+    cellcat = (points
+               .select(r.cast("bigint").alias("cell_row"),
+                       c.cast("bigint").alias("cell_col"),
+                       F.col(cat_col).alias("cat"))
+               .distinct())
+    a = cellcat.select("cell_row", "cell_col", F.col("cat").alias("cat_a"))
+    b = cellcat.select("cell_row", "cell_col", F.col("cat").alias("cat_b"))
+    both = (a.join(b, ["cell_row", "cell_col"])
+            .where(F.col("cat_a") < F.col("cat_b"))
+            .groupBy("cat_a", "cat_b")
+            .agg(F.count(F.lit(1)).alias("n_both")))
+    per_cat = cellcat.groupBy("cat").agg(F.count(F.lit(1)).alias("n"))
+    total = (cellcat.select("cell_row", "cell_col").distinct()
+             .agg(F.count(F.lit(1)).alias("n_cells")))
+    return (both
+            .join(F.broadcast(per_cat.select(F.col("cat").alias("cat_a"),
+                                             F.col("n").alias("n_a"))),
+                  "cat_a")
+            .join(F.broadcast(per_cat.select(F.col("cat").alias("cat_b"),
+                                             F.col("n").alias("n_b"))),
+                  "cat_b")
+            .crossJoin(F.broadcast(total))
+            .select("cat_a", "cat_b", "n_both", "n_a", "n_b", "n_cells",
+                    F.expr(lift_sql()).alias("lift")))

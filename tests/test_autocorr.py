@@ -293,3 +293,30 @@ def test_theil_sen_single_bin_empty(spark):
     out = theil_sen_slope(_traj_pts(spark, [("2024-01-01", 5.0, 5.0)]),
                           cell_deg=10.0).toPandas()
     assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# Colocation lift (spatial/colocation.py)
+# ---------------------------------------------------------------------------
+
+def test_colocation_lift_hand_case(spark):
+    """4 occupied cells; A in {1,2,3}, B in {1,2}, C in {4}.
+    lift(A,B) = (2*4)/(3*2) = 4/3; (A,C) and (B,C) never co-occur."""
+    import pandas as pd
+
+    from cartwright_spark.spatial.colocation import colocation_lift
+
+    cellpts = {1: (-88.0, -178.0), 2: (-88.0, -168.0),
+               3: (-88.0, -158.0), 4: (-88.0, -148.0)}
+    rows = [("A", *cellpts[1]), ("A", *cellpts[2]), ("A", *cellpts[3]),
+            ("B", *cellpts[1]), ("B", *cellpts[2]),
+            ("C", *cellpts[4]),
+            ("A", *cellpts[1])]          # duplicate presence ignored
+    pdf = pd.DataFrame(rows, columns=["category", "lat", "lon"])
+    out = colocation_lift(spark.createDataFrame(pdf),
+                          cell_deg=10.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["cat_a"], r["cat_b"]) == ("A", "B")
+    assert (r["n_both"], r["n_a"], r["n_b"], r["n_cells"]) == (2, 3, 2, 4)
+    assert abs(r["lift"] - 8 / 6) < 1e-15
