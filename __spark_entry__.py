@@ -722,6 +722,34 @@ _TRAJ_SESSIONS_SQL = f"""
 """
 
 
+def q_knox_spacetime(spark, sf_dir):
+    """Knox space-time interaction (spatial/colocation.py
+    knox_statistic): one (cell, day) corpus rollup; X/S/T/P pair
+    counts as exact BIGINT sums of c*(c-1) DIV 2; ratio from one
+    generator. Half the synthesized points take their latitude band
+    from their DAY (real interaction), half are independent."""
+    from cartwright_spark.spatial.colocation import knox_statistic
+    ev = _t(spark, sf_dir, "events")
+    day = "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+    pts = ev.select(
+        "ts",
+        F.expr(
+            f"CASE WHEN event_id % 2 = 0 THEN"
+            f" CAST(({day}) % 18 AS DOUBLE) * CAST(10.0 AS DOUBLE)"
+            f" - CAST(85.0 AS DOUBLE)"
+            f" ELSE CAST((event_id * 37) % 1801 AS DOUBLE)"
+            f" / CAST(10.0 AS DOUBLE) - CAST(90.0 AS DOUBLE) END"
+        ).alias("lat"),
+        F.expr(
+            f"CASE WHEN event_id % 2 = 0 THEN"
+            f" CAST(({day}) % 36 AS DOUBLE) * CAST(10.0 AS DOUBLE)"
+            f" - CAST(175.0 AS DOUBLE)"
+            f" ELSE CAST((event_id * 73) % 3600 AS DOUBLE)"
+            f" / CAST(10.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) END"
+        ).alias("lon"))
+    return knox_statistic(pts, cell_deg=10.0)
+
+
 def q_colocation_lift(spark, sf_dir):
     """Category-pair spatial association (spatial/colocation.py):
     distinct (cell, category) rollup bounded by grid x categories,
@@ -1822,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sen_slope": q_sen_slope,
         "od_matrix": q_od_matrix,
         "colocation_lift": q_colocation_lift,
+        "knox_spacetime": q_knox_spacetime,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2051,7 +2080,10 @@ def _url_normalize_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from cartwright_spark.sources import gazetteers as gz
-    from cartwright_spark.spatial.colocation import lift_sql as _lift_sql
+    from cartwright_spark.spatial.colocation import (
+        knox_sql as _knox_sql,
+        lift_sql as _lift_sql,
+    )
     from cartwright_spark.spatial.kde import kde_term_sql as _kde_term_sql
     from cartwright_spark.spatial.trend import mk_z_sql as _mk_z_sql
     from cartwright_spark.spatial.autocorr import (
@@ -2687,6 +2719,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) AS BIGINT) AS n_points
             FROM base, range(0, 7) t(k)
             GROUP BY 1, 2, 3
+        """,
+        "knox_spacetime": f"""
+            WITH pts AS (
+              SELECT CASE WHEN event_id % 2 = 0 THEN
+                       CAST((epoch_us(ts) // 86400000000) % 18 AS DOUBLE)
+                         * CAST(10.0 AS DOUBLE) - CAST(85.0 AS DOUBLE)
+                     ELSE CAST((event_id * 37) % 1801 AS DOUBLE)
+                         / CAST(10.0 AS DOUBLE) - CAST(90.0 AS DOUBLE)
+                     END AS lat,
+                     CASE WHEN event_id % 2 = 0 THEN
+                       CAST((epoch_us(ts) // 86400000000) % 36 AS DOUBLE)
+                         * CAST(10.0 AS DOUBLE) - CAST(175.0 AS DOUBLE)
+                     ELSE CAST((event_id * 73) % 3600 AS DOUBLE)
+                         / CAST(10.0 AS DOUBLE) - CAST(180.0 AS DOUBLE)
+                     END AS lon,
+                     ts
+              FROM events
+            ),
+            cm AS (
+              SELECT CAST(floor((lat + CAST(90.0 AS DOUBLE))
+                                / CAST(10.0 AS DOUBLE)) AS BIGINT) AS cell_row,
+                     CAST(floor((lon + CAST(180.0 AS DOUBLE))
+                                / CAST(10.0 AS DOUBLE)) AS BIGINT) AS cell_col,
+                     epoch_us(ts) // 86400000000 AS mbin,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM pts GROUP BY 1, 2, 3
+            ),
+            xr AS (SELECT CAST(sum(x * (x - 1) // 2) AS BIGINT) AS x_pairs,
+                          CAST(sum(x) AS BIGINT) AS n FROM cm),
+            sr AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS s_pairs
+                   FROM (SELECT sum(x) AS c FROM cm
+                         GROUP BY cell_row, cell_col)),
+            tr AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS t_pairs
+                   FROM (SELECT sum(x) AS c FROM cm GROUP BY mbin))
+            SELECT n, CAST(n * (n - 1) // 2 AS BIGINT) AS p_pairs,
+                   x_pairs, s_pairs, t_pairs, {_knox_sql()} AS knox_ratio
+            FROM (SELECT n, x_pairs, s_pairs, t_pairs,
+                         CAST(n * (n - 1) // 2 AS BIGINT) AS p_pairs
+                  FROM xr CROSS JOIN sr CROSS JOIN tr) q
         """,
         "colocation_lift": f"""
             WITH pts AS (

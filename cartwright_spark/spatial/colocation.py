@@ -69,3 +69,50 @@ def colocation_lift(points: DataFrame, cat_col: str = "category",
             .crossJoin(F.broadcast(total))
             .select("cat_a", "cat_b", "n_both", "n_a", "n_b", "n_cells",
                     F.expr(lift_sql()).alias("lift")))
+
+
+def knox_sql() -> str:
+    """Knox space-time interaction ratio over exact BIGINT pair counts
+    x_pairs / s_pairs / t_pairs / p_pairs — one generator, two engines:
+
+        knox = x_pairs / (s_pairs * t_pairs / p_pairs)
+
+    NULL when either marginal has no close pairs."""
+    return ("(CAST(x_pairs AS DOUBLE) * CAST(p_pairs AS DOUBLE))"
+            " / nullif(CAST(s_pairs AS DOUBLE) * CAST(t_pairs AS DOUBLE),"
+            " CAST(0 AS DOUBLE))")
+
+
+def knox_statistic(points: DataFrame, lat_col: str = "lat",
+                   lon_col: str = "lon", ts_col: str = "ts",
+                   cell_deg: float = 5.0,
+                   bin_us: int = 86_400_000_000) -> DataFrame:
+    """Knox test for space-time clustering (Knox 1964): do events that
+    happen in the same PLACE (grid cell) also happen at the same TIME
+    (day bin) more often than the marginals predict?
+
+    X = pairs sharing (cell, bin); S = pairs sharing cell; T = pairs
+    sharing bin; P = all pairs. Each is an EXACT BIGINT sum of
+    c*(c-1) DIV 2 over a rollup — and S, T, n all DERIVE from the one
+    (cell, bin) corpus rollup, so the corpus is shuffled exactly once;
+    everything downstream is grid x span bounded. -> one row
+    (n, p_pairs, x_pairs, s_pairs, t_pairs, knox_ratio)."""
+    from .trend import cell_time_counts
+    cm = cell_time_counts(points, lat_col, lon_col, ts_col, cell_deg,
+                          bin_us)
+
+    def pairs(col):
+        return F.sum(F.expr(f"{col} * ({col} - 1) DIV 2")).cast("bigint")
+
+    x = cm.agg(pairs("x").alias("x_pairs"),
+               F.sum("x").cast("bigint").alias("n"))
+    s = (cm.groupBy("cell_row", "cell_col")
+         .agg(F.sum("x").alias("c"))
+         .agg(pairs("c").alias("s_pairs")))
+    t = (cm.groupBy("mbin").agg(F.sum("x").alias("c"))
+         .agg(pairs("c").alias("t_pairs")))
+    row = (x.crossJoin(F.broadcast(s)).crossJoin(F.broadcast(t))
+           .withColumn("p_pairs",
+                       F.expr("n * (n - 1) DIV 2").cast("bigint")))
+    return row.select("n", "p_pairs", "x_pairs", "s_pairs", "t_pairs",
+                      F.expr(knox_sql()).alias("knox_ratio"))

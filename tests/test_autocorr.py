@@ -320,3 +320,42 @@ def test_colocation_lift_hand_case(spark):
     assert (r["cat_a"], r["cat_b"]) == ("A", "B")
     assert (r["n_both"], r["n_a"], r["n_b"], r["n_cells"]) == (2, 3, 2, 4)
     assert abs(r["lift"] - 8 / 6) < 1e-15
+
+
+def test_knox_hand_case(spark):
+    """4 points, 2 cells x 2 days: cell A holds both day-1 points and
+    one day-2 point; cell B one day-2 point. X = C(2,2 grouping) ->
+    (A,d1)=2 gives 1 pair; S = C(3,2)=3; T = C(2,2)+C(2,2)=2;
+    P = C(4,2)=6 -> knox = 1*6/(3*2) = 1.0."""
+    from cartwright_spark.spatial.colocation import knox_statistic
+
+    rows = [("2024-01-01", 5.0, 5.0), ("2024-01-01", 5.5, 5.5),
+            ("2024-01-02", 5.0, 5.0), ("2024-01-02", 5.0, 55.0)]
+    out = knox_statistic(_traj_pts(spark, rows), cell_deg=10.0).collect()
+    r = out[0]
+    assert (r["n"], r["p_pairs"], r["x_pairs"], r["s_pairs"],
+            r["t_pairs"]) == (4, 6, 1, 3, 2)
+    assert r["knox_ratio"] == 1.0
+
+
+def test_knox_detects_interaction(spark):
+    """Perfect interaction (each day has its own cell) vs independence
+    (every (cell, day) combination equally filled): the first scores
+    well above 1, the second near 1 (S*T/P is the asymptotic
+    expectation — at n=12 the balanced layout gives exactly
+    12*66/900 = 0.88)."""
+    from cartwright_spark.spatial.colocation import knox_statistic
+
+    inter = []
+    for d, day in enumerate(["2024-01-01", "2024-01-02", "2024-01-03"]):
+        inter += [(day, 5.0, 5.0 + 10.0 * d)] * 5
+    r1 = knox_statistic(_traj_pts(spark, inter), cell_deg=10.0).collect()[0]
+    assert r1["knox_ratio"] > 2.0
+
+    indep = []
+    for day in ["2024-01-01", "2024-01-02"]:
+        for c in range(2):
+            indep += [(day, 5.0, 5.0 + 10.0 * c)] * 3
+    r2 = knox_statistic(_traj_pts(spark, indep), cell_deg=10.0).collect()[0]
+    assert abs(r2["knox_ratio"] - 12 * 66 / 900) < 1e-12
+    assert r1["knox_ratio"] > 2.5 * r2["knox_ratio"]
