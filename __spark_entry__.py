@@ -722,6 +722,22 @@ _TRAJ_SESSIONS_SQL = f"""
 """
 
 
+def q_idw_surface(spark, sf_dir):
+    """IDW value-surface interpolation (spatial/kde.py
+    idw_interpolate): per-cell decimal-exact sample means, bounded
+    offset explode, rational kernel weights with DECIMAL(38,12) term
+    rounding in BOTH the numerator and denominator sums."""
+    from cartwright_spark.spatial.kde import idw_interpolate
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "value",
+        ((F.col("event_id") * 37 % 1801).cast("double") / 10.0 - 90.0)
+        .alias("lat"),
+        ((F.col("event_id") * 73 % 3600).cast("double") / 10.0 - 180.0)
+        .alias("lon"))
+    return idw_interpolate(pts, "value", cell_deg=10.0, k=2)
+
+
 def q_knox_spacetime(spark, sf_dir):
     """Knox space-time interaction (spatial/colocation.py
     knox_statistic): one (cell, day) corpus rollup; X/S/T/P pair
@@ -1851,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_matrix": q_od_matrix,
         "colocation_lift": q_colocation_lift,
         "knox_spacetime": q_knox_spacetime,
+        "idw_surface": q_idw_surface,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2719,6 +2736,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) AS BIGINT) AS n_points
             FROM base, range(0, 7) t(k)
             GROUP BY 1, 2, 3
+        """,
+        "idw_surface": """
+            WITH pts AS (
+              SELECT value,
+                     CAST((event_id * 37) % 1801 AS DOUBLE)
+                       / CAST(10.0 AS DOUBLE) - CAST(90.0 AS DOUBLE) AS lat,
+                     CAST((event_id * 73) % 3600 AS DOUBLE)
+                       / CAST(10.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon
+              FROM events
+            ),
+            cells AS (
+              SELECT CAST(floor((lat + CAST(90.0 AS DOUBLE))
+                                / CAST(10.0 AS DOUBLE)) AS BIGINT) AS cell_row,
+                     CAST(floor((lon + CAST(180.0 AS DOUBLE))
+                                / CAST(10.0 AS DOUBLE)) AS BIGINT) AS cell_col,
+                     CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS mv
+              FROM pts GROUP BY 1, 2
+            ),
+            probes AS (
+              SELECT mv, r.dr, c.dc,
+                     cell_row + r.dr AS tr,
+                     ((cell_col + c.dc) % 36 + 36) % 36 AS tc
+              FROM cells, range(-2, 3) r(dr), range(-2, 3) c(dc)
+            )
+            SELECT tr AS cell_row, tc AS cell_col,
+                   CAST(count(*) AS BIGINT) AS n_src,
+                   CAST(sum(CAST(mv / CAST(1 + dr * dr + dc * dc AS DOUBLE)
+                                 AS DECIMAL(38,12))) AS DOUBLE)
+                     / CAST(sum(CAST(CAST(1 AS DOUBLE)
+                                     / CAST(1 + dr * dr + dc * dc AS DOUBLE)
+                                 AS DECIMAL(38,12))) AS DOUBLE) AS est
+            FROM probes
+            WHERE tr >= 0 AND tr <= 18
+            GROUP BY 1, 2
         """,
         "knox_spacetime": f"""
             WITH pts AS (

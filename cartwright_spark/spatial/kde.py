@@ -81,3 +81,63 @@ def kde_heatmap(points: DataFrame, lat_col: str = "lat",
                 F.sum(F.expr(kde_term_sql())).alias("__d")))
     return agg.select("cell_row", "cell_col", "n_src",
                       F.col("__d").cast("double").alias("density"))
+
+
+def idw_interpolate(samples: DataFrame, value_col: str,
+                    lat_col: str = "lat", lon_col: str = "lon",
+                    cell_deg: float = 5.0, k: int = 2) -> DataFrame:
+    """Inverse-distance-weighted interpolation of a sampled field onto
+    the grid: samples roll up to per-cell means (exact decimal
+    sum/count), then every cell within k rings of a sampled cell gets
+
+        est(t) = sum_c mean_v(c) * w(c,t) / sum_c w(c,t),
+        w = 1 / (1 + dr^2 + dc^2)
+
+    — the value-surface sibling of `kde_heatmap` (same bounded offset
+    explode, same rational kernel, same DECIMAL(38,12) term rounding so
+    both sums are exact and layout-independent).
+    -> (cell_row, cell_col, n_src, est)."""
+    ncols = int(round(360.0 / float(cell_deg)))
+    nrows = int(round(180.0 / float(cell_deg)))
+    if 2 * k + 1 > ncols:
+        raise ValueError(
+            f"idw_interpolate: stencil 2*k+1={2 * k + 1} exceeds the "
+            f"{ncols}-column grid at cell_deg={cell_deg}")
+    dec = f"decimal(38,{KDE_DECIMALS})"
+    r = F.floor((F.col(lat_col) + F.lit(90.0)) / F.lit(float(cell_deg)))
+    c = F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(float(cell_deg)))
+    cells = (samples
+             .select(r.cast("bigint").alias("cell_row"),
+                     c.cast("bigint").alias("cell_col"),
+                     F.col(value_col).cast(dec).alias("__v"))
+             .groupBy("cell_row", "cell_col")
+             .agg((F.sum("__v").cast("double")
+                   / F.count(F.lit(1)).cast("double")).alias("mv")))
+    offs = [(dr, dc) for dr in range(-k, k + 1) for dc in range(-k, k + 1)]
+    off_arr = "array(" + ",".join(
+        f"named_struct('dr', {dr}L, 'dc', {dc}L)" for dr, dc in offs) + ")"
+    probes = (cells
+              .select("cell_row", "cell_col", "mv",
+                      F.explode(F.expr(off_arr)).alias("o"))
+              .select("mv", F.col("o.dr").alias("dr"),
+                      F.col("o.dc").alias("dc"),
+                      (F.col("cell_row") + F.col("o.dr")).alias("tr"),
+                      F.expr(f"((cell_col + o.dc) % {ncols} + {ncols})"
+                             f" % {ncols}").alias("tc"))
+              .where((F.col("tr") >= 0) & (F.col("tr") <= nrows)))
+    wterm = ("CAST(CAST(1 AS DOUBLE)"
+             " / CAST(1 + dr * dr + dc * dc AS DOUBLE)"
+             f" AS DECIMAL(38,{KDE_DECIMALS}))")
+    vterm = ("CAST(mv"
+             " / CAST(1 + dr * dr + dc * dc AS DOUBLE)"
+             f" AS DECIMAL(38,{KDE_DECIMALS}))")
+    agg = (probes
+           .groupBy(F.col("tr").alias("cell_row"),
+                    F.col("tc").alias("cell_col"))
+           .agg(F.count(F.lit(1)).alias("n_src"),
+                F.sum(F.expr(vterm)).alias("__num"),
+                F.sum(F.expr(wterm)).alias("__den")))
+    return agg.select(
+        "cell_row", "cell_col", "n_src",
+        (F.col("__num").cast("double") / F.col("__den").cast("double"))
+        .alias("est"))

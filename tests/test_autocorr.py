@@ -359,3 +359,39 @@ def test_knox_detects_interaction(spark):
     r2 = knox_statistic(_traj_pts(spark, indep), cell_deg=10.0).collect()[0]
     assert abs(r2["knox_ratio"] - 12 * 66 / 900) < 1e-12
     assert r1["knox_ratio"] > 2.5 * r2["knox_ratio"]
+
+
+def test_idw_hand_case(spark):
+    """One sampled cell (value mean 6.0 from samples 4 and 8), k=1:
+    every reached cell estimates ~6.0 (single source -> est = mv up to
+    the 1e-12 decimal quantization of num and den: the corner weight
+    1/3 rounds, so 2.0/0.333333333333 = 6.000000000006)."""
+    import pandas as pd
+
+    from cartwright_spark.spatial.kde import idw_interpolate
+
+    pdf = pd.DataFrame({"lat": [-88.0, -88.0], "lon": [-178.0, -178.0],
+                        "value": [4.0, 8.0]})
+    out = idw_interpolate(spark.createDataFrame(pdf), "value",
+                          cell_deg=5.0, k=1).toPandas()
+    assert len(out) == 6 and ((out["est"] - 6.0).abs() < 1e-9).all()
+
+
+def test_idw_two_sources_weighted(spark):
+    """Cells (0,0)=10.0 and (0,2)=20.0, k=2: target (0,1) sees both at
+    distance 1 (w=1/2 each) -> est = 15.0 exactly; each sampled cell
+    also sees the other at d^2=4 (w=1/5)."""
+    import pandas as pd
+
+    from cartwright_spark.spatial.kde import idw_interpolate
+
+    pdf = pd.DataFrame({
+        "lat": [-88.0, -88.0], "lon": [-178.0, -168.0],
+        "value": [10.0, 20.0]})
+    out = idw_interpolate(spark.createDataFrame(pdf), "value",
+                          cell_deg=5.0, k=2).toPandas()
+    mid = out[(out.cell_row == 0) & (out.cell_col == 1)].iloc[0]
+    assert mid["n_src"] == 2 and mid["est"] == 15.0
+    corner = out[(out.cell_row == 0) & (out.cell_col == 0)].iloc[0]
+    # the sampled cell itself: w(self)=1 vs w(other)=1/5 (d^2=4)
+    assert abs(corner["est"] - (10.0 + 20.0 / 5) / (1 + 1 / 5)) < 1e-11
