@@ -722,6 +722,21 @@ _TRAJ_SESSIONS_SQL = f"""
 """
 
 
+def q_ripley_k(spark, sf_dir):
+    """Ripley's K point-pattern function, grid form (spatial/autocorr.py
+    ripley_k): per-ring ordered pair counts from one bounded offset
+    explode of the cell table, exact BIGINT cumulation, one division
+    per radius for K_hat."""
+    from cartwright_spark.spatial.autocorr import ripley_k
+    cust = _t(spark, sf_dir, "customer")
+    pts = cust.select(
+        ((F.col("c_custkey") * 37 % 1801).cast("double") / 10.0 - 90.0)
+        .alias("lat"),
+        ((F.col("c_custkey") * 73 % 3600).cast("double") / 10.0 - 180.0)
+        .alias("lon"))
+    return ripley_k(pts, cell_deg=10.0, k=3)
+
+
 def q_idw_surface(spark, sf_dir):
     """IDW value-surface interpolation (spatial/kde.py
     idw_interpolate): per-cell decimal-exact sample means, bounded
@@ -1868,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colocation_lift": q_colocation_lift,
         "knox_spacetime": q_knox_spacetime,
         "idw_surface": q_idw_surface,
+        "ripley_k": q_ripley_k,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2736,6 +2752,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) AS BIGINT) AS n_points
             FROM base, range(0, 7) t(k)
             GROUP BY 1, 2, 3
+        """,
+        "ripley_k": """
+            WITH pts AS (
+              SELECT CAST((c_custkey * 37) % 1801 AS DOUBLE)
+                       / CAST(10.0 AS DOUBLE) - CAST(90.0 AS DOUBLE) AS lat,
+                     CAST((c_custkey * 73) % 3600 AS DOUBLE)
+                       / CAST(10.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon
+              FROM customer
+            ),
+            cells AS (
+              SELECT CAST(floor((lat + CAST(90.0 AS DOUBLE))
+                                / CAST(10.0 AS DOUBLE)) AS BIGINT) AS cell_row,
+                     CAST(floor((lon + CAST(180.0 AS DOUBLE))
+                                / CAST(10.0 AS DOUBLE)) AS BIGINT) AS cell_col,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM pts GROUP BY 1, 2
+            ),
+            offs AS (
+              SELECT r.dr, c.dc FROM range(-3, 4) r(dr), range(-3, 4) c(dc)
+              WHERE r.dr * r.dr + c.dc * c.dc <= 9
+            ),
+            rings AS (
+              SELECT o.dr * o.dr + o.dc * o.dc AS d2,
+                     CAST(sum(CASE WHEN o.dr = 0 AND o.dc = 0
+                              THEN c.x * (n.x - 1)
+                              ELSE c.x * n.x END) AS BIGINT) AS pairs_at
+              FROM cells c CROSS JOIN offs o
+              JOIN cells n ON n.cell_row = c.cell_row + o.dr
+                          AND n.cell_col = ((c.cell_col + o.dc) % 36 + 36) % 36
+              GROUP BY 1
+            ),
+            cum AS (
+              SELECT d2, pairs_at,
+                     CAST(sum(pairs_at) OVER (ORDER BY d2
+                                              ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS cum_pairs
+              FROM rings
+            ),
+            n1 AS (SELECT CAST(sum(x) AS BIGINT) AS n FROM cells)
+            SELECT d2, pairs_at, cum_pairs,
+                   CAST(648.0 AS DOUBLE) * CAST(cum_pairs AS DOUBLE)
+                     / nullif(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE),
+                              CAST(0 AS DOUBLE)) AS k_hat
+            FROM cum CROSS JOIN n1
         """,
         "idw_surface": """
             WITH pts AS (

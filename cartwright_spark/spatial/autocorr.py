@@ -174,3 +174,68 @@ def gistar_from_cells(cells: DataFrame, cell_deg: float = 5.0) -> DataFrame:
     return (per_cell.crossJoin(F.broadcast(stats))
             .select("cell_row", "cell_col", "x", "deg", "s",
                     F.expr(gistar_sql()).alias("gi_star")))
+
+
+def ripley_k(points: DataFrame, lat_col: str = "lat",
+             lon_col: str = "lon", cell_deg: float = 5.0,
+             k: int = 3) -> DataFrame:
+    """Ripley's K function, grid approximation (Ripley 1976): for each
+    squared cell distance d2 <= k^2, count ORDERED point pairs whose
+    cells differ by an offset of that length, cumulate over growing
+    radius, and normalize by grid area over n(n-1):
+
+        K_hat(d2) = (n_rows * n_cols / (n * (n-1))) * cum_pairs(d2)
+
+    Pair counts come from the CELL table: for each offset (dr, dc) in
+    the stencil, sum over cells of x(c) * x(c + offset) — and x*(x-1)
+    at offset zero (no self-pairs). All counts are EXACT BIGINTs; the
+    K values are one double division each.
+
+    Scale shape: one corpus rollup to cells, one (2k+1)^2-bounded
+    offset explode + equi-join of the CELL table, one ring rollup
+    bounded by the number of distinct d2 values, and a tiny cumulative
+    window. -> (d2, pairs_at, cum_pairs, k_hat) ordered by d2."""
+    from pyspark.sql import Window
+    ncols = int(round(360.0 / float(cell_deg)))
+    nrows = int(round(180.0 / float(cell_deg)))
+    if 2 * k + 1 > ncols:
+        raise ValueError(
+            f"ripley_k: stencil 2*k+1={2 * k + 1} exceeds the "
+            f"{ncols}-column grid at cell_deg={cell_deg}")
+    cells = cell_counts(points, lat_col, lon_col, cell_deg)
+    offs = [(dr, dc) for dr in range(-k, k + 1) for dc in range(-k, k + 1)
+            if dr * dr + dc * dc <= k * k]
+    off_arr = "array(" + ",".join(
+        f"named_struct('dr', {dr}L, 'dc', {dc}L)" for dr, dc in offs) + ")"
+    probes = (cells
+              .select("cell_row", "cell_col", "x",
+                      F.explode(F.expr(off_arr)).alias("o"))
+              .select("x",
+                      (F.col("o.dr") * F.col("o.dr")
+                       + F.col("o.dc") * F.col("o.dc")).alias("d2"),
+                      (F.col("cell_row") + F.col("o.dr")).alias("nr"),
+                      F.expr(f"((cell_col + o.dc) % {ncols} + {ncols})"
+                             f" % {ncols}").alias("nc")))
+    nbr = cells.select(F.col("cell_row").alias("nr"),
+                       F.col("cell_col").alias("nc"),
+                       F.col("x").alias("nx"))
+    rings = (probes.join(nbr, ["nr", "nc"])
+             .groupBy("d2")
+             .agg(F.sum(F.when(F.col("d2") == 0,
+                               F.col("x") * (F.col("nx") - 1))
+                        .otherwise(F.col("x") * F.col("nx")))
+                  .cast("bigint").alias("pairs_at")))
+    n1 = cells.agg(F.sum("x").cast("bigint").alias("n"))
+    w = Window.orderBy("d2").rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)
+    cum = rings.select("d2", "pairs_at",
+                       F.sum("pairs_at").over(w).cast("bigint")
+                       .alias("cum_pairs"))
+    area = float(nrows * ncols)
+    return (cum.crossJoin(F.broadcast(n1))
+            .select("d2", "pairs_at", "cum_pairs",
+                    F.expr(f"CAST({area} AS DOUBLE)"
+                           " * CAST(cum_pairs AS DOUBLE)"
+                           " / nullif(CAST(n AS DOUBLE)"
+                           " * CAST(n - 1 AS DOUBLE), CAST(0 AS DOUBLE))")
+                    .alias("k_hat")))

@@ -395,3 +395,41 @@ def test_idw_two_sources_weighted(spark):
     corner = out[(out.cell_row == 0) & (out.cell_col == 0)].iloc[0]
     # the sampled cell itself: w(self)=1 vs w(other)=1/5 (d^2=4)
     assert abs(corner["est"] - (10.0 + 20.0 / 5) / (1 + 1 / 5)) < 1e-11
+
+
+def test_ripley_k_hand_case(spark):
+    """2 points in one cell + 1 point two columns away (d2=4), 10-deg
+    grid (648 cells): d2=0 ordered pairs = 2 (the co-cell pair both
+    ways), d2=4 pairs = 4 (2x1 both directions x ordered), K_hat
+    cumulates with area/(n(n-1)) = 648/6 normalization."""
+    from cartwright_spark.spatial.autocorr import ripley_k
+
+    rows = [(-85.0, -175.0), (-85.0, -175.0), (-85.0, -155.0)]
+    out = ripley_k(_pts(spark, rows), cell_deg=10.0, k=3).toPandas()
+    got = {int(r.d2): r for r in out.itertuples()}
+    assert got[0].pairs_at == 2 and got[0].cum_pairs == 2
+    assert got[4].pairs_at == 4 and got[4].cum_pairs == 6
+    assert abs(got[0].k_hat - 648 * 2 / 6) < 1e-12
+    assert abs(got[4].k_hat - 648.0) < 1e-12
+    # rings with no pairs are absent; cum still monotone over present rings
+    assert list(out.sort_values("d2")["cum_pairs"]) == \
+        sorted(out["cum_pairs"])
+
+
+def test_ripley_k_uniform_vs_clustered(spark):
+    """K_hat at small radius is far larger for a clustered pattern than
+    for a near-uniform one (the classic K-function diagnostic)."""
+    from cartwright_spark.spatial.autocorr import ripley_k
+
+    rng = np.random.default_rng(5)
+    uni = [(float(a), float(b))
+           for a, b in zip(rng.uniform(-85, 85, 2000),
+                           rng.uniform(-175, 175, 2000))]
+    clu = [(float(a), float(b))
+           for a, b in zip(rng.uniform(0, 9, 2000),
+                           rng.uniform(0, 9, 2000))]
+    ku = ripley_k(_pts(spark, uni), cell_deg=10.0, k=2).toPandas()
+    kc = ripley_k(_pts(spark, clu), cell_deg=10.0, k=2).toPandas()
+    k0u = ku[ku.d2 == 0]["k_hat"].iloc[0]
+    k0c = kc[kc.d2 == 0]["k_hat"].iloc[0]
+    assert k0c > 50 * k0u
