@@ -753,6 +753,30 @@ def q_idw_surface(spark, sf_dir):
     return idw_interpolate(pts, "value", cell_deg=10.0, k=2)
 
 
+def q_snap_segments(spark, sf_dir):
+    """Nearest-segment snap join (spatial/mapmatch.py
+    snap_to_segments): padded-bbox cell candidates for the segment dim,
+    one cell per point, exact BIGINT radius gate, min(struct) argmin;
+    dist2/t from the shared snap_sql kernel so both engines round
+    identically."""
+    from cartwright_spark.spatial.mapmatch import snap_to_segments
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_custkey") * 131 % 20000).alias("px"),
+        (F.col("c_custkey") * 197 % 20000).alias("py"))
+    segs = supp.select(
+        F.col("s_suppkey").alias("id"),
+        (F.col("s_suppkey") * 211 % 20000).alias("x0"),
+        (F.col("s_suppkey") * 157 % 20000).alias("y0"),
+        (F.col("s_suppkey") * 211 % 20000
+         + F.col("s_suppkey") % 200 - 100).alias("x1"),
+        (F.col("s_suppkey") * 157 % 20000
+         + F.col("s_suppkey") * 7 % 200 - 100).alias("y1"))
+    return snap_to_segments(pts, segs, radius=500)
+
+
 def q_knox_spacetime(spark, sf_dir):
     """Knox space-time interaction (spatial/colocation.py
     knox_statistic): one (cell, day) corpus rollup; X/S/T/P pair
@@ -1884,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knox_spacetime": q_knox_spacetime,
         "idw_surface": q_idw_surface,
         "ripley_k": q_ripley_k,
+        "snap_segments": q_snap_segments,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2118,6 +2143,7 @@ def oracle_sql() -> dict[str, str]:
         lift_sql as _lift_sql,
     )
     from cartwright_spark.spatial.kde import kde_term_sql as _kde_term_sql
+    from cartwright_spark.spatial.mapmatch import snap_sql as _snap_sql
     from cartwright_spark.spatial.trend import mk_z_sql as _mk_z_sql
     from cartwright_spark.spatial.autocorr import (
         gistar_sql as _gistar_sql,
@@ -2125,7 +2151,44 @@ def oracle_sql() -> dict[str, str]:
         moran_local_sql as _moran_local_sql,
     )
     iso3_values = ", ".join(f"('{c}')" for c in sorted(gz.iso3_set()))
+    _sk = _snap_sql()
     return {
+        "snap_segments": f"""
+            WITH pts AS (
+              SELECT c_custkey AS point_id,
+                     (c_custkey * 131) % 20000 AS px,
+                     (c_custkey * 197) % 20000 AS py
+              FROM customer
+            ),
+            segs AS (
+              SELECT s_suppkey AS seg_id,
+                     (s_suppkey * 211) % 20000 AS x0,
+                     (s_suppkey * 157) % 20000 AS y0,
+                     (s_suppkey * 211) % 20000 + s_suppkey % 200 - 100 AS x1,
+                     (s_suppkey * 157) % 20000
+                       + (s_suppkey * 7) % 200 - 100 AS y1
+              FROM supplier
+            ),
+            cand AS (
+              SELECT point_id, seg_id,
+                     {_sk['a']} AS snap_a,
+                     {_sk['b']} AS snap_b,
+                     {_sk['t']} AS t
+              FROM pts CROSS JOIN segs
+            ),
+            gated AS (
+              SELECT point_id, seg_id, {_sk['dist2']} AS dist2, t
+              FROM cand
+              WHERE snap_a <= CAST(500 AS BIGINT) * 500 * snap_b
+            ),
+            ranked AS (
+              SELECT point_id, seg_id, dist2, t,
+                     row_number() OVER (PARTITION BY point_id
+                                        ORDER BY dist2, seg_id) AS rn
+              FROM gated
+            )
+            SELECT point_id, seg_id, dist2, t FROM ranked WHERE rn = 1
+        """,
         "cms_freq": """
             WITH sk AS (
               SELECT r.rw,
