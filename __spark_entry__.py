@@ -777,6 +777,22 @@ def q_snap_segments(spark, sf_dir):
     return snap_to_segments(pts, segs, radius=500)
 
 
+def q_burst_detect(spark, sf_dir):
+    """Temporal burst detection (operators/burst.py detect_bursts):
+    one (key, hour-bin) corpus rollup, per-key exact integer moments
+    over the FULL span (empty bins included), z from the shared
+    burst_sql generator. Hour 7 carries an injected spike (every
+    11th event) over the uniform 48-hour background."""
+    from cartwright_spark.operators.burst import detect_bursts
+    ev = _t(spark, sf_dir, "events")
+    synth = ev.select(
+        "event_type",
+        F.expr("timestamp_micros((CASE WHEN event_id % 11 = 0 THEN 7"
+               " ELSE event_id % 48 END) * 3600000000)").alias("ts"))
+    return detect_bursts(synth, "ts", "event_type",
+                         bin_micros=3_600_000_000, z_thresh=3.0)
+
+
 def q_knox_spacetime(spark, sf_dir):
     """Knox space-time interaction (spatial/colocation.py
     knox_statistic): one (cell, day) corpus rollup; X/S/T/P pair
@@ -1909,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_surface": q_idw_surface,
         "ripley_k": q_ripley_k,
         "snap_segments": q_snap_segments,
+        "burst_detect": q_burst_detect,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2144,6 +2161,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from cartwright_spark.spatial.kde import kde_term_sql as _kde_term_sql
     from cartwright_spark.spatial.mapmatch import snap_sql as _snap_sql
+    from cartwright_spark.operators.burst import burst_sql as _burst_sql
     from cartwright_spark.spatial.trend import mk_z_sql as _mk_z_sql
     from cartwright_spark.spatial.autocorr import (
         gistar_sql as _gistar_sql,
@@ -2153,6 +2171,31 @@ def oracle_sql() -> dict[str, str]:
     iso3_values = ", ".join(f"('{c}')" for c in sorted(gz.iso3_set()))
     _sk = _snap_sql()
     return {
+        "burst_detect": f"""
+            WITH e AS (
+              SELECT event_type AS key,
+                     CAST(CASE WHEN event_id % 11 = 0 THEN 7
+                          ELSE event_id % 48 END AS BIGINT) AS bin
+              FROM events
+            ),
+            bins AS (
+              SELECT key, bin, CAST(count(*) AS BIGINT) AS c
+              FROM e GROUP BY 1, 2
+            ),
+            mom AS (
+              SELECT key,
+                     CAST(max(bin) - min(bin) + 1 AS BIGINT) AS n_bins,
+                     CAST(sum(c) AS BIGINT) AS s1,
+                     CAST(sum(c * c) AS BIGINT) AS s2
+              FROM bins GROUP BY 1
+            ),
+            scored AS (
+              SELECT key, bin, c, {_burst_sql()} AS z
+              FROM bins JOIN mom USING (key)
+            )
+            SELECT key, bin, c, z FROM scored
+            WHERE z >= CAST(3.0 AS DOUBLE)
+        """,
         "snap_segments": f"""
             WITH pts AS (
               SELECT c_custkey AS point_id,
