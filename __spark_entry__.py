@@ -821,6 +821,25 @@ def q_knox_spacetime(spark, sf_dir):
     return knox_statistic(pts, cell_deg=10.0)
 
 
+def q_dbscan_labels(spark, sf_dir):
+    """DBSCAN core/border/noise labelling (spatial/dbscan.py
+    dbscan_label): eps-pitch grid candidate join (left point one cell,
+    right copy 3x3 explode), exact BIGINT ball test, map-side-combining
+    neighbour count, core-only second pass for borders. 70% of points
+    sit in 5 dense blobs, the rest scatter over the full extent."""
+    from cartwright_spark.spatial.dbscan import dbscan_label
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("long")
+    blob = k % 10 < 7
+    pts = cust.select(
+        k.alias("id"),
+        F.when(blob, (k % 5) * 5000 + (k * 13) % 160)
+        .otherwise((k * 131) % 25000).cast("long").alias("px"),
+        F.when(blob, (k % 5) * 4000 + (k * 29) % 160)
+        .otherwise((k * 197) % 25000).cast("long").alias("py"))
+    return dbscan_label(pts, eps=120, min_pts=8)
+
+
 def q_colocation_lift(spark, sf_dir):
     """Category-pair spatial association (spatial/colocation.py):
     distinct (cell, category) rollup bounded by grid x categories,
@@ -1926,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley_k": q_ripley_k,
         "snap_segments": q_snap_segments,
         "burst_detect": q_burst_detect,
+        "dbscan_labels": q_dbscan_labels,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2171,6 +2191,41 @@ def oracle_sql() -> dict[str, str]:
     iso3_values = ", ".join(f"('{c}')" for c in sorted(gz.iso3_set()))
     _sk = _snap_sql()
     return {
+        "dbscan_labels": """
+            WITH pts AS (
+              SELECT CAST(c_custkey AS BIGINT) AS id,
+                     CAST(CASE WHEN c_custkey % 10 < 7
+                          THEN (c_custkey % 5) * 5000 + (c_custkey * 13) % 160
+                          ELSE (c_custkey * 131) % 25000 END AS BIGINT) AS px,
+                     CAST(CASE WHEN c_custkey % 10 < 7
+                          THEN (c_custkey % 5) * 4000 + (c_custkey * 29) % 160
+                          ELSE (c_custkey * 197) % 25000 END AS BIGINT) AS py
+              FROM customer
+            ),
+            nbr AS (
+              SELECT a.id, CAST(count(*) AS BIGINT) AS n_nbrs
+              FROM pts a JOIN pts b
+                ON (a.px - b.px) * (a.px - b.px)
+                   + (a.py - b.py) * (a.py - b.py) <= 14400
+              GROUP BY a.id
+            ),
+            flags AS (
+              SELECT id, n_nbrs, n_nbrs >= 8 AS is_core FROM nbr
+            ),
+            border AS (
+              SELECT DISTINCT a.id
+              FROM pts a
+              JOIN flags fa ON fa.id = a.id AND NOT fa.is_core
+              JOIN pts b ON (a.px - b.px) * (a.px - b.px)
+                            + (a.py - b.py) * (a.py - b.py) <= 14400
+              JOIN flags fb ON fb.id = b.id AND fb.is_core
+            )
+            SELECT f.id, f.n_nbrs,
+                   CASE WHEN f.is_core THEN 'core'
+                        WHEN bo.id IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS label
+            FROM flags f LEFT JOIN border bo ON bo.id = f.id
+        """,
         "burst_detect": f"""
             WITH e AS (
               SELECT event_type AS key,

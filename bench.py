@@ -57,7 +57,9 @@ CONTRACT_BENCH_QUERIES = (
     "warc_records", "robots_filter", "bloom_semijoin",
     "morans_i", "segment_intersections", "bigram_lm_score",
     "gistar_hotspots", "kde_heatmap", "trajectory_sessions",
-    "trend_hotspots", "tile_pyramid", "sen_slope", "od_matrix", "colocation_lift", "knox_spacetime", "idw_surface",
+    "trend_hotspots", "tile_pyramid", "sen_slope", "od_matrix",
+    "colocation_lift", "knox_spacetime", "idw_surface",
+    "ripley_k", "snap_segments", "burst_detect", "dbscan_labels",
 )
 
 
