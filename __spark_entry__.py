@@ -840,6 +840,20 @@ def q_dbscan_labels(spark, sf_dir):
     return dbscan_label(pts, eps=120, min_pts=8)
 
 
+def q_heading_octants(spark, sf_dir):
+    """Per-user movement-direction histogram (operators/trajectory.py
+    heading_octants): lag window over (ts, event_id), EXACT integer
+    45-degree sector classification from the shared octant_sql
+    generator (no atan2), one user shuffle reused by the rollup."""
+    from cartwright_spark.operators.trajectory import heading_octants
+    ev = _t(spark, sf_dir, "events")
+    synth = ev.select(
+        "user_id", "ts", "event_id",
+        ((F.col("event_id").cast("long") * 131) % 20000).alias("px"),
+        ((F.col("event_id").cast("long") * 197) % 20000).alias("py"))
+    return heading_octants(synth)
+
+
 def q_colocation_lift(spark, sf_dir):
     """Category-pair spatial association (spatial/colocation.py):
     distinct (cell, category) rollup bounded by grid x categories,
@@ -1946,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_segments": q_snap_segments,
         "burst_detect": q_burst_detect,
         "dbscan_labels": q_dbscan_labels,
+        "heading_octants": q_heading_octants,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2188,9 +2203,39 @@ def oracle_sql() -> dict[str, str]:
         moran_global_sql as _moran_global_sql,
         moran_local_sql as _moran_local_sql,
     )
+    from cartwright_spark.operators.trajectory import (
+        octant_sql as _octant_sql_fn,
+    )
     iso3_values = ", ".join(f"('{c}')" for c in sorted(gz.iso3_set()))
     _sk = _snap_sql()
+    _octant_sql = _octant_sql_fn()
     return {
+        "heading_octants": f"""
+            WITH pts AS (
+              SELECT user_id, epoch_us(ts) AS us, event_id,
+                     CAST((event_id * 131) % 20000 AS BIGINT) AS px,
+                     CAST((event_id * 197) % 20000 AS BIGINT) AS py
+              FROM events
+            ),
+            lagged AS (
+              SELECT user_id,
+                     px - lag(px) OVER (PARTITION BY user_id
+                                        ORDER BY us, event_id) AS dx,
+                     py - lag(py) OVER (PARTITION BY user_id
+                                        ORDER BY us, event_id) AS dy
+              FROM pts
+            ),
+            moves AS (
+              SELECT user_id, {_octant_sql} AS octant,
+                     abs(dx) + abs(dy) AS l1
+              FROM lagged WHERE dx IS NOT NULL
+            )
+            SELECT user_id AS user, octant,
+                   CAST(count(*) AS BIGINT) AS n_moves,
+                   CAST(sum(l1) AS BIGINT) AS l1_total
+            FROM moves WHERE octant IS NOT NULL
+            GROUP BY 1, 2
+        """,
         "dbscan_labels": """
             WITH pts AS (
               SELECT CAST(c_custkey AS BIGINT) AS id,

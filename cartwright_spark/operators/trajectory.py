@@ -111,3 +111,54 @@ def od_matrix(sessions: DataFrame, cell_deg: float = 10.0) -> DataFrame:
     return (trans.where(F.col("o_row").isNotNull())
             .groupBy("o_row", "o_col", "d_row", "d_col")
             .agg(F.count(F.lit(1)).alias("n_trips")))
+
+
+def octant_sql(dx: str = "dx", dy: str = "dy") -> str:
+    """45-degree heading sector (0=E ... 7=SE, counter-clockwise) of an
+    integer move vector — pure sign/magnitude comparisons, no atan2, so
+    the classification is EXACT and bit-identical in any engine.
+    Sector k covers [k*45, (k+1)*45) degrees; a zero move is NULL.
+    """
+    ax, ay = f"abs({dx})", f"abs({dy})"
+    return (f"CASE"
+            f" WHEN {dx} > 0 AND {dy} >= 0 AND {ay} < {ax} THEN 0"
+            f" WHEN {dx} > 0 AND {dy} > 0 AND {ay} >= {ax} THEN 1"
+            f" WHEN {dy} > 0 AND {dx} <= 0 AND {ax} < {ay} THEN 2"
+            f" WHEN {dy} > 0 AND {dx} < 0 AND {ax} >= {ay} THEN 3"
+            f" WHEN {dx} < 0 AND {dy} <= 0 AND {ay} < {ax} THEN 4"
+            f" WHEN {dx} < 0 AND {dy} < 0 AND {ay} >= {ax} THEN 5"
+            f" WHEN {dy} < 0 AND {dx} >= 0 AND {ax} < {ay} THEN 6"
+            f" WHEN {dy} < 0 AND {dx} > 0 AND {ax} >= {ay} THEN 7"
+            f" END")
+
+
+def heading_octants(events: DataFrame, user_col: str = "user_id",
+                    ts_col: str = "ts", x_col: str = "px",
+                    y_col: str = "py",
+                    order_col: str = "event_id") -> DataFrame:
+    """Per-user movement-direction histogram over BIGINT planar
+    coordinates: -> (user, octant, n_moves, l1_total).
+
+    Consecutive events per user (ordered by time then ``order_col``)
+    form move vectors (dx, dy); each non-zero move lands in one of 8
+    exact 45-degree sectors (``octant_sql``). ``l1_total`` is the
+    exact BIGINT sum of |dx|+|dy| per sector — a taxicab path length.
+
+    Scale shape: ONE shuffle on the user key feeds the lag window, and
+    the (user, octant) rollup reuses that hash partitioning (group keys
+    are a superset of the partitioning key — no second exchange);
+    map-side combine collapses each user's moves before any exchange
+    the plan might still need. Zero floats end-to-end.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (Window.partitionBy(user_col)
+         .orderBy(us.asc(), F.col(order_col).asc()))
+    moved = (events
+             .withColumn("dx", F.col(x_col) - F.lag(x_col).over(w))
+             .withColumn("dy", F.col(y_col) - F.lag(y_col).over(w))
+             .withColumn("octant", F.expr(octant_sql()))
+             .where(F.col("octant").isNotNull()))
+    return (moved.groupBy(F.col(user_col).alias("user"), "octant")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_moves"),
+                 F.sum(F.abs(F.col("dx")) + F.abs(F.col("dy")))
+                 .cast("bigint").alias("l1_total")))

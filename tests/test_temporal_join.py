@@ -329,3 +329,57 @@ def test_od_matrix_hand_case(spark):
            for r in out}
     assert got == {(9, 18, 9, 18): 1, (9, 18, 9, 23): 1,
                    (9, 23, 9, 18): 1}
+
+
+def _moves_df(spark, rows):
+    """rows = [(user, seconds, px, py)] -> events frame."""
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s),
+          int(x), int(y), i)
+         for i, (u, s, x, y) in enumerate(rows)],
+        "user_id string, ts timestamp, px long, py long, event_id long")
+
+
+def test_heading_octants_compass_sweep(spark):
+    """All 8 axis/diagonal directions land in their sector; the 45-,
+    135-, 225-, 315-degree diagonals belong to the HIGHER sector
+    (half-open [k*45, (k+1)*45))."""
+    from cartwright_spark.operators.trajectory import heading_octants
+    path = [(0, 0), (5, 0),    # E    -> 0
+            (8, 3),            # NE   -> 1 (45 boundary)
+            (8, 9),            # N    -> 2
+            (5, 12),           # NW   -> 3 (135 boundary)
+            (-1, 12),          # W    -> 4
+            (-4, 9),           # SW   -> 5 (225 boundary)
+            (-4, 3),           # S    -> 6
+            (1, -2)]           # SE   -> 7 (315 boundary)
+    rows = [("u", i, x, y) for i, (x, y) in enumerate(path)]
+    out = {r.octant: r for r in
+           heading_octants(_moves_df(spark, rows)).collect()}
+    assert sorted(out) == [0, 1, 2, 3, 4, 5, 6, 7]
+    assert all(out[k].n_moves == 1 for k in out)
+    # l1 lengths: E 5, NE 6, N 6, NW 6, W 6, SW 6, S 6, SE 10
+    assert out[0].l1_total == 5 and out[7].l1_total == 10
+
+
+def test_heading_octants_zero_move_and_counts(spark):
+    from cartwright_spark.operators.trajectory import heading_octants
+    rows = [("a", 0, 0, 0), ("a", 1, 3, 1),   # oct 0
+            ("a", 2, 3, 1),                   # zero move: dropped
+            ("a", 3, 6, 2),                   # oct 0 again
+            ("b", 0, 0, 0)]                   # single event: no move
+    out = heading_octants(_moves_df(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.user, r.octant, r.n_moves, r.l1_total) == ("a", 0, 2, 8)
+
+
+def test_heading_octants_single_exchange(spark):
+    """The (user, octant) rollup reuses the window's user hash
+    partitioning — exactly one exchange in the plan."""
+    from cartwright_spark.operators.trajectory import heading_octants
+    rows = [("u%d" % (i % 3), i, (i * 7) % 50, (i * 11) % 50)
+            for i in range(60)]
+    plan = heading_octants(_moves_df(spark, rows).repartition(6)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
