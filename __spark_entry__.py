@@ -854,6 +854,21 @@ def q_heading_octants(spark, sf_dir):
     return heading_octants(synth)
 
 
+def q_std_ellipse(spark, sf_dir):
+    """Standard deviational ellipse per event_type (spatial/measures.py
+    std_ellipse): exact BIGINT moment rollup (one shuffle, map-side
+    combine), derived doubles from the shared sde_sql generator using
+    only IEEE-exact ops (no atan2 — orientation is the exact integer
+    tan(2*theta) pair)."""
+    from cartwright_spark.spatial.measures import std_ellipse
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_type").alias("grp"),
+        ((F.col("event_id").cast("long") * 131) % 20000).alias("px"),
+        ((F.col("event_id").cast("long") * 197) % 20000).alias("py"))
+    return std_ellipse(pts)
+
+
 def q_colocation_lift(spark, sf_dir):
     """Category-pair spatial association (spatial/colocation.py):
     distinct (cell, category) rollup bounded by grid x categories,
@@ -1961,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_detect": q_burst_detect,
         "dbscan_labels": q_dbscan_labels,
         "heading_octants": q_heading_octants,
+        "std_ellipse": q_std_ellipse,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2207,9 +2223,45 @@ def oracle_sql() -> dict[str, str]:
         octant_sql as _octant_sql_fn,
     )
     iso3_values = ", ".join(f"('{c}')" for c in sorted(gz.iso3_set()))
+    from cartwright_spark.spatial.measures import sde_sql as _sde_sql_fn
     _sk = _snap_sql()
     _octant_sql = _octant_sql_fn()
+    _sde = _sde_sql_fn()
     return {
+        "std_ellipse": f"""
+            WITH pts AS (
+              SELECT event_type AS grp,
+                     CAST((event_id * 131) % 20000 AS BIGINT) AS px,
+                     CAST((event_id * 197) % 20000 AS BIGINT) AS py
+              FROM events
+            ),
+            mom AS (
+              SELECT grp,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(px) AS BIGINT) AS sx,
+                     CAST(sum(py) AS BIGINT) AS sy,
+                     CAST(sum(px * px) AS BIGINT) AS sxx,
+                     CAST(sum(py * py) AS BIGINT) AS syy,
+                     CAST(sum(px * py) AS BIGINT) AS sxy
+              FROM pts GROUP BY 1
+            ),
+            cm AS (
+              SELECT grp, n, sx, sy,
+                     n * sxx - sx * sx AS na,
+                     n * syy - sy * sy AS nb,
+                     n * sxy - sx * sy AS nc
+              FROM mom
+            )
+            SELECT grp, n,
+                   {_sde['cx']} AS cx, {_sde['cy']} AS cy,
+                   {_sde['var_x']} AS var_x, {_sde['var_y']} AS var_y,
+                   {_sde['cov_xy']} AS cov_xy,
+                   {_sde['sigma_major']} AS sigma_major,
+                   {_sde['sigma_minor']} AS sigma_minor,
+                   CAST(2 * nc AS BIGINT) AS orient_num,
+                   CAST(na - nb AS BIGINT) AS orient_den
+            FROM cm
+        """,
         "heading_octants": f"""
             WITH pts AS (
               SELECT user_id, epoch_us(ts) AS us, event_id,

@@ -105,3 +105,68 @@ def test_geohash_sql_mirror(spark):
         f"SELECT {geohash_sql('lat', 'lon', 7)} AS gh FROM p"
     ).fetchdf()["gh"]
     assert (got.to_numpy() == want.to_numpy()).all()
+
+
+def _sde_pts(spark, rows):
+    return spark.createDataFrame(
+        [(g, int(x), int(y)) for g, x, y in rows],
+        "grp string, px long, py long")
+
+
+def test_std_ellipse_axis_aligned(spark):
+    """Cross of points (+-4,0),(0,+-2): variances a^2/2, b^2/2, zero
+    covariance, axes sqrt(8)/sqrt(2), orientation 2theta = 0."""
+    from cartwright_spark.spatial.measures import std_ellipse
+    rows = [("g", 4, 0), ("g", -4, 0), ("g", 0, 2), ("g", 0, -2)]
+    r = std_ellipse(_sde_pts(spark, rows)).collect()[0]
+    assert r.n == 4 and r.cx == 0.0 and r.cy == 0.0
+    assert r.var_x == 8.0 and r.var_y == 2.0 and r.cov_xy == 0.0
+    assert r.sigma_major == 8.0 ** 0.5 and r.sigma_minor == 2.0 ** 0.5
+    assert r.orient_num == 0 and r.orient_den == 96
+
+
+def test_std_ellipse_degenerate_diagonal(spark):
+    """Perfect 45-degree line: minor axis exactly 0, orientation pair
+    (positive, 0) -> 2theta = 90 degrees."""
+    from cartwright_spark.spatial.measures import std_ellipse
+    rows = [("g", i, i) for i in range(4)]
+    r = std_ellipse(_sde_pts(spark, rows)).collect()[0]
+    assert r.sigma_minor == 0.0
+    assert r.cov_xy == 1.25
+    assert r.orient_num == 40 and r.orient_den == 0
+    assert abs(r.sigma_major - 2.5 ** 0.5) < 1e-12
+
+
+def test_std_ellipse_numpy_parity_multi_group(spark):
+    """200 deterministic points in 3 groups vs numpy population
+    covariance eigen-decomposition."""
+    import numpy as np
+    from cartwright_spark.spatial.measures import std_ellipse
+    k = np.arange(200)
+    g = (k % 3).astype(str)
+    x = (k * 37 % 101).astype(np.int64) - 50
+    y = ((k * 61 + k * k * 7) % 97).astype(np.int64) - 48
+    df = _sde_pts(spark, list(zip(g, x, y)))
+    out = {r.grp: r for r in std_ellipse(df).collect()}
+    for grp in "012":
+        m = g == grp
+        xv, yv = x[m].astype(float), y[m].astype(float)
+        cov = np.cov(np.stack([xv, yv]), bias=True)
+        lam = np.linalg.eigvalsh(cov)
+        r = out[grp]
+        assert abs(r.cx - xv.mean()) < 1e-9
+        assert abs(r.var_x - cov[0, 0]) < 1e-9
+        assert abs(r.cov_xy - cov[0, 1]) < 1e-9
+        assert abs(r.sigma_major - np.sqrt(lam[1])) < 1e-9
+        assert abs(r.sigma_minor - np.sqrt(lam[0])) < 1e-9
+
+
+def test_std_ellipse_layout_invariance(spark):
+    """Bit-identical doubles regardless of partitioning (integer
+    moments are exact; derived ops are IEEE-exact)."""
+    from cartwright_spark.spatial.measures import std_ellipse
+    rows = [("g", (i * 13) % 40 - 20, (i * 29) % 40 - 20)
+            for i in range(50)]
+    a = std_ellipse(_sde_pts(spark, rows)).collect()[0]
+    b = std_ellipse(_sde_pts(spark, rows).repartition(11)).collect()[0]
+    assert tuple(a) == tuple(b)
