@@ -869,6 +869,17 @@ def q_std_ellipse(spark, sf_dir):
     return std_ellipse(pts)
 
 
+def q_inverted_index(spark, sf_dir):
+    """Inverted index build (operators/ranking.py inverted_index):
+    explode -> map-side-deduped distinct pairs (one corpus shuffle),
+    algebraic df counts, posting lists collected ONLY for terms passing
+    the df<=cap gate (stop-word suppression bounds the collect state by
+    construction); postings emitted as canonical sorted CSV."""
+    from cartwright_spark.operators.ranking import inverted_index
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, min_df=2, max_postings=50)
+
+
 def q_colocation_lift(spark, sf_dir):
     """Category-pair spatial association (spatial/colocation.py):
     distinct (cell, category) rollup bounded by grid x categories,
@@ -1977,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_labels": q_dbscan_labels,
         "heading_octants": q_heading_octants,
         "std_ellipse": q_std_ellipse,
+        "inverted_index": q_inverted_index,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2228,6 +2240,30 @@ def oracle_sql() -> dict[str, str]:
     _octant_sql = _octant_sql_fn()
     _sde = _sde_sql_fn()
     return {
+        "inverted_index": """
+            WITH pairs AS (
+              SELECT DISTINCT doc_id AS doc, w.term
+              FROM documents,
+                   unnest(string_split_regex(lower(text), '\\s+'))
+                     AS w(term)
+              WHERE w.term <> ''
+            ),
+            stats AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM pairs GROUP BY 1
+              HAVING count(*) >= 2
+            ),
+            posts AS (
+              SELECT p.term,
+                     string_agg(CAST(p.doc AS VARCHAR), ','
+                                ORDER BY p.doc) AS postings
+              FROM pairs p JOIN stats s
+                ON s.term = p.term AND s.df <= 50
+              GROUP BY 1
+            )
+            SELECT s.term, s.df, po.postings
+            FROM stats s LEFT JOIN posts po ON po.term = s.term
+        """,
         "std_ellipse": f"""
             WITH pts AS (
               SELECT event_type AS grp,

@@ -122,3 +122,51 @@ def hashed_linear_score(docs: DataFrame, dim: int = 1024,
             .withColumn("prob",
                         1.0 / (1.0 + F.exp(-(F.col("raw")
                                              / F.col("n_tokens"))))))
+
+
+def inverted_index(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", min_df: int = 1,
+                   max_postings: int = 10000) -> DataFrame:
+    """Inverted index build: -> (term, df, postings) where df = exact
+    distinct-document frequency and postings = the comma-joined sorted
+    doc-id list, or NULL for terms with df > ``max_postings``
+    (stop-word posting suppression — df stays exact).
+
+    Terms are the same lowercase whitespace words bm25_scores uses, so
+    the index and the scorer agree on vocabulary. Postings are emitted
+    as a canonical string (sorted, comma-joined) rather than an array —
+    engine-portable and hashable.
+
+    Scale shape (the 100 TB audit):
+      1. explode -> distinct(term, doc) — ONE corpus shuffle; within-doc
+         repeats collapse in the map-side partial dedup, so the exchange
+         carries the deduped pair set, not the token stream.
+      2. df = groupBy(term) count over pairs — algebraic, map-side
+         combine absorbs stop-word skew before the exchange.
+      3. postings only for terms passing the df gates: pairs join the
+         kept-term dim on term, then sort_array(collect_list) groupBy
+         term REUSES the join's hash(term) partitioning (no 4th
+         exchange). The collect state is bounded by ``max_postings`` BY
+         CONSTRUCTION (gated before the collect, not after), so a
+         stop-word can never accumulate an unbounded list.
+    """
+    min_df = int(min_df)
+    max_postings = int(max_postings)
+    if max_postings < min_df:
+        raise ValueError("inverted_index: max_postings < min_df leaves "
+                         "no term eligible for postings")
+    pairs = (docs
+             .select(F.col(id_col).alias("doc"),
+                     F.explode(_words(text_col)).alias("term"))
+             .distinct())
+    stats = (pairs.groupBy("term")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+             .where(F.col("df") >= F.lit(min_df)))
+    kept = stats.where(F.col("df") <= F.lit(max_postings))
+    postings = (pairs.join(kept.select("term"), "term")
+                .groupBy("term")
+                .agg(F.concat_ws(",", F.transform(
+                    F.sort_array(F.collect_list("doc")),
+                    lambda d: d.cast("string"))).alias("postings")))
+    return (stats.join(postings, "term", "left")
+            .select("term", "df", "postings"))

@@ -688,3 +688,43 @@ def test_grid_cluster_driver_and_distributed_paths_identical(spark):
     kb = sorted((r["lat"], r["lon"], r["cell_id"], r["cluster_id"])
                 for r in b)
     assert ka == kb
+
+
+def _docs4(spark):
+    return spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog ran"),
+         (3, "the cat ran ran"), (4, "lonely")],
+        "doc_id long, text string")
+
+
+def test_inverted_index_df_and_postings(spark):
+    from cartwright_spark.operators.ranking import inverted_index
+    out = {r.term: r for r in inverted_index(_docs4(spark)).collect()}
+    assert out["the"].df == 3 and out["the"].postings == "1,2,3"
+    assert out["cat"].df == 2 and out["cat"].postings == "1,3"
+    assert out["ran"].df == 2 and out["ran"].postings == "2,3"  # dedup in doc 3
+    assert out["lonely"].df == 1 and out["lonely"].postings == "4"
+    assert len(out) == 6  # the cat sat dog ran lonely
+
+
+def test_inverted_index_min_df_and_posting_cap(spark):
+    from cartwright_spark.operators.ranking import inverted_index
+    out = {r.term: r for r in
+           inverted_index(_docs4(spark), min_df=2, max_postings=2).collect()}
+    assert sorted(out) == ["cat", "ran", "the"]
+    assert out["the"].df == 3 and out["the"].postings is None  # suppressed
+    assert out["cat"].postings == "1,3"
+
+
+def test_inverted_index_cap_gates_before_collect(spark):
+    """The plan joins pairs to the df-gated term dim BEFORE the
+    collect_list — a stop-word never reaches the collect state."""
+    from cartwright_spark.operators.ranking import inverted_index
+    with pytest.raises(ValueError):
+        inverted_index(_docs4(spark), min_df=3, max_postings=2)
+    plan = inverted_index(_docs4(spark), max_postings=2) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    # the collect_list aggregate must sit ABOVE the df<=cap join (its
+    # child subtree prints after it), i.e. the gate runs pre-collect
+    i_collect = plan.index("collect_list")
+    assert "Join" in plan[i_collect:], plan
