@@ -880,6 +880,23 @@ def q_inverted_index(spark, sf_dir):
     return inverted_index(docs, min_df=2, max_postings=50)
 
 
+def q_grid_bfs_hops(spark, sf_dir):
+    """Multi-source BFS hop distance over the occupied-cell graph
+    (functions/graph.py grid_bfs_hops): one corpus rollup folds the
+    seed flag, then grid-bounded frontier expansion (guarded driver
+    path at metadata scale, distributed loop past it — parity-tested).
+    Oracle is a DuckDB RECURSIVE CTE over the same cell graph."""
+    from cartwright_spark.functions.graph import grid_bfs_hops
+    cust = _t(spark, sf_dir, "customer")
+    pts = cust.select(
+        ((F.col("c_custkey") * 37 % 1801).cast("double") / 10.0 - 90.0)
+        .alias("lat"),
+        ((F.col("c_custkey") * 73 % 3600).cast("double") / 10.0 - 180.0)
+        .alias("lon"),
+        (F.col("c_custkey") % 97 == 0).alias("is_seed"))
+    return grid_bfs_hops(pts, cell_deg=10.0, max_hops=8)
+
+
 def q_colocation_lift(spark, sf_dir):
     """Category-pair spatial association (spatial/colocation.py):
     distinct (cell, category) rollup bounded by grid x categories,
@@ -1989,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heading_octants": q_heading_octants,
         "std_ellipse": q_std_ellipse,
         "inverted_index": q_inverted_index,
+        "grid_bfs_hops": q_grid_bfs_hops,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2240,6 +2258,37 @@ def oracle_sql() -> dict[str, str]:
     _octant_sql = _octant_sql_fn()
     _sde = _sde_sql_fn()
     return {
+        "grid_bfs_hops": """
+            WITH RECURSIVE pts AS (
+              SELECT CAST((c_custkey * 37) % 1801 AS DOUBLE)
+                       / CAST(10.0 AS DOUBLE) - CAST(90.0 AS DOUBLE) AS lat,
+                     CAST((c_custkey * 73) % 3600 AS DOUBLE)
+                       / CAST(10.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon,
+                     c_custkey % 97 = 0 AS is_seed
+              FROM customer
+            ),
+            cells AS (
+              SELECT CAST(floor((lat + CAST(90.0 AS DOUBLE))
+                                / CAST(10.0 AS DOUBLE)) AS BIGINT) * 100000
+                     + CAST(floor((lon + CAST(180.0 AS DOUBLE))
+                                  / CAST(10.0 AS DOUBLE)) AS BIGINT)
+                       AS cell_id,
+                     max(CASE WHEN is_seed THEN 1 ELSE 0 END) AS s
+              FROM pts GROUP BY 1
+            ),
+            r AS (
+              SELECT cell_id, CAST(0 AS BIGINT) AS hops
+              FROM cells WHERE s = 1
+              UNION
+              SELECT c.cell_id, r.hops + 1
+              FROM r JOIN cells c
+                ON c.cell_id IN (r.cell_id + 1, r.cell_id - 1,
+                                 r.cell_id + 100000, r.cell_id - 100000)
+              WHERE r.hops < 8
+            )
+            SELECT cell_id, CAST(min(hops) AS BIGINT) AS hops
+            FROM r GROUP BY 1
+        """,
         "inverted_index": """
             WITH pairs AS (
               SELECT DISTINCT doc_id AS doc, w.term

@@ -60,7 +60,7 @@ CONTRACT_BENCH_QUERIES = (
     "trend_hotspots", "tile_pyramid", "sen_slope", "od_matrix",
     "colocation_lift", "knox_spacetime", "idw_surface",
     "ripley_k", "snap_segments", "burst_detect", "dbscan_labels",
-    "heading_octants", "std_ellipse", "inverted_index",
+    "heading_octants", "std_ellipse", "inverted_index", "grid_bfs_hops",
 )
 
 

@@ -353,3 +353,83 @@ def triangle_counts(edges: DataFrame, src: str = "src",
             .withColumn("triangles",
                         F.coalesce("triangles", F.lit(0)))
             .select("id", "degree", "triangles", lcc.alias("lcc")))
+
+
+def grid_bfs_hops(points: DataFrame, lat: str = "lat", lon: str = "lon",
+                  cell_deg: float = 5.0, seed_col: str = "is_seed",
+                  max_hops: int = 10,
+                  driver_threshold: int = 100_000) -> DataFrame:
+    """Multi-source BFS hop distance over the occupied-cell grid graph:
+    -> (cell_id, hops) for every occupied cell reachable within
+    ``max_hops`` 4-neighbour steps of any SEED cell (a cell seeds the
+    search when any of its points has ``seed_col`` true); ``hops`` is
+    the exact minimum hop count (seeds = 0).
+
+    The "distance to the nearest depot/POI over the road-served grid"
+    primitive — iterative frontier expansion, the BFS sibling of
+    grid_cluster's connected components. Cell packing and (non-)wrap
+    convention match grid_cluster exactly (cell_id = ix*100000 + iy).
+
+    Scale shape: the corpus is touched ONCE (groupBy cell with map-side
+    combine folds the seed flag via max); every BFS round runs over
+    OCCUPIED CELLS only — grid-bounded regardless of corpus size. At
+    metadata scale (<= driver_threshold occupied cells, counted first)
+    the BFS runs on the driver — the distributed loop pays ~0.7 s/round
+    of job latency on a box, which dominates sub-100k-node graphs (the
+    measured grid_cluster finding). The distributed path (frontier
+    expand -> occupied equi-join -> anti-join visited, plan truncated
+    per round with an eager localCheckpoint) remains for fine grids.
+    Result-identical either way.
+    """
+    max_hops = int(max_hops)
+    if max_hops < 0:
+        raise ValueError("grid_bfs_hops: max_hops must be >= 0")
+    ix = F.floor((F.col(lat) + 90.0) / cell_deg).cast("long")
+    iy = F.floor((F.col(lon) + 180.0) / cell_deg).cast("long")
+    pts = points.withColumn("cell_id", ix * 100000 + iy)
+    cells = (pts.groupBy("cell_id")
+             .agg(F.max(F.col(seed_col).cast("int")).alias("s"))
+             .localCheckpoint(eager=True))
+    spark = points.sparkSession
+    offs = (1, -1, 100000, -100000)
+
+    if cells.count() <= driver_threshold:
+        rows = cells.collect()
+        occupied = {r["cell_id"] for r in rows}
+        dist = {r["cell_id"]: 0 for r in rows if r["s"]}
+        frontier = list(dist)
+        for h in range(1, max_hops + 1):
+            nxt = []
+            for c in frontier:
+                for o in offs:
+                    n = c + o
+                    if n in occupied and n not in dist:
+                        dist[n] = h
+                        nxt.append(n)
+            if not nxt:
+                break
+            frontier = nxt
+        return spark.createDataFrame(
+            [(int(c), int(h)) for c, h in dist.items()],
+            "cell_id long, hops long")
+
+    occupied = cells.select("cell_id")
+    dist = (cells.where(F.col("s") == 1)
+            .select("cell_id", F.lit(0).cast("long").alias("hops"))
+            .localCheckpoint(eager=True))
+    frontier = dist.select("cell_id")
+    for h in range(1, max_hops + 1):
+        nxt = (frontier
+               .select(F.explode(F.array(
+                   *[F.col("cell_id") + F.lit(o) for o in offs]))
+                   .alias("cell_id"))
+               .distinct()
+               .join(occupied, "cell_id")
+               .join(dist, "cell_id", "left_anti")
+               .select("cell_id", F.lit(h).cast("long").alias("hops"))
+               .localCheckpoint(eager=True))
+        if nxt.rdd.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("cell_id")
+    return dist

@@ -728,3 +728,52 @@ def test_inverted_index_cap_gates_before_collect(spark):
     # child subtree prints after it), i.e. the gate runs pre-collect
     i_collect = plan.index("collect_list")
     assert "Join" in plan[i_collect:], plan
+
+
+def _grid_pts(spark, cells_with_seed):
+    """cells_with_seed = [(ix, iy, is_seed)] -> one point per entry at
+    the 5-degree cell's interior."""
+    rows = [(-90.0 + 5.0 * ix + 2.0, -180.0 + 5.0 * iy + 2.0, bool(s))
+            for ix, iy, s in cells_with_seed]
+    return spark.createDataFrame(rows, "lat double, lon double, is_seed boolean")
+
+
+def test_grid_bfs_line_and_unreachable(spark):
+    from cartwright_spark.functions.graph import grid_bfs_hops
+    # a 4-cell east-west line seeded at the west end, plus a far blob
+    pts = _grid_pts(spark, [(10, 4, True), (10, 5, False), (10, 6, False),
+                            (10, 7, False), (3, 30, False)])
+    out = {r.cell_id: r.hops for r in grid_bfs_hops(pts).collect()}
+    assert out == {10 * 100000 + 4: 0, 10 * 100000 + 5: 1,
+                   10 * 100000 + 6: 2, 10 * 100000 + 7: 3}
+
+
+def test_grid_bfs_max_hops_and_min_over_two_seeds(spark):
+    from cartwright_spark.functions.graph import grid_bfs_hops
+    # seeds at both ends of a 5-cell line: middle cell is 2 from both
+    pts = _grid_pts(spark, [(8, 10, True), (8, 11, False), (8, 12, False),
+                            (8, 13, False), (8, 14, True)])
+    out = {r.cell_id - 800000: r.hops
+           for r in grid_bfs_hops(pts, max_hops=1).collect()}
+    assert out == {10: 0, 14: 0, 11: 1, 13: 1}
+    out2 = {r.cell_id - 800000: r.hops for r in grid_bfs_hops(pts).collect()}
+    assert out2[12] == 2
+
+
+def test_grid_bfs_driver_vs_distributed_parity(spark):
+    from cartwright_spark.functions.graph import grid_bfs_hops
+    import random
+    rng = random.Random(7)
+    cells = [(rng.randrange(6, 16), rng.randrange(4, 14), i % 9 == 0)
+             for i in range(60)]
+    pts = _grid_pts(spark, cells)
+    a = sorted(map(tuple, grid_bfs_hops(pts, max_hops=6).collect()))
+    b = sorted(map(tuple, grid_bfs_hops(pts, max_hops=6,
+                                        driver_threshold=0).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_grid_bfs_no_seeds_empty(spark):
+    from cartwright_spark.functions.graph import grid_bfs_hops
+    pts = _grid_pts(spark, [(10, 4, False), (10, 5, False)])
+    assert grid_bfs_hops(pts).count() == 0
