@@ -897,6 +897,21 @@ def q_grid_bfs_hops(spark, sf_dir):
     return grid_bfs_hops(pts, cell_deg=10.0, max_hops=8)
 
 
+def q_pareto_front(spark, sf_dir):
+    """2-D skyline per language (operators/skyline.py pareto_front):
+    the O(n log n) dominance sweep as ONE window — sort (x DESC,
+    y DESC, id), keep rows whose y beats the running preceding max.
+    x = document length, y = a deterministic synthetic utility score."""
+    from cartwright_spark.operators.skyline import pareto_front
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("lang").alias("grp"),
+        F.col("doc_id").alias("id"),
+        F.col("n_chars").cast("long").alias("x"),
+        ((F.col("doc_id") * 7919) % 1000).cast("long").alias("y"))
+    return pareto_front(scored)
+
+
 def q_colocation_lift(spark, sf_dir):
     """Category-pair spatial association (spatial/colocation.py):
     distinct (cell, category) rollup bounded by grid x categories,
@@ -2007,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "std_ellipse": q_std_ellipse,
         "inverted_index": q_inverted_index,
         "grid_bfs_hops": q_grid_bfs_hops,
+        "pareto_front": q_pareto_front,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2258,6 +2274,24 @@ def oracle_sql() -> dict[str, str]:
     _octant_sql = _octant_sql_fn()
     _sde = _sde_sql_fn()
     return {
+        "pareto_front": """
+            WITH scored AS (
+              SELECT lang AS grp, doc_id AS id,
+                     CAST(n_chars AS BIGINT) AS x,
+                     CAST((doc_id * 7919) % 1000 AS BIGINT) AS y
+              FROM documents
+            ),
+            swept AS (
+              SELECT grp, id, x, y,
+                     max(y) OVER (PARTITION BY grp
+                                  ORDER BY x DESC, y DESC, id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS by
+              FROM scored
+            )
+            SELECT grp, id, x, y FROM swept
+            WHERE by IS NULL OR y > by
+        """,
         "grid_bfs_hops": """
             WITH RECURSIVE pts AS (
               SELECT CAST((c_custkey * 37) % 1801 AS DOUBLE)

@@ -198,3 +198,62 @@ def test_weighted_sample_leans_toward_heavy_weights(spark):
            weighted_sample(df, "w", 100, "doc_id", salt="t3").collect()]
     heavy = sum(1 for i in got if i < 1000)
     assert heavy > 85  # 100:1 odds; uniform draw would give ~50
+
+
+# ------------------------------------------------------------- skyline
+
+def _sky(spark, rows):
+    return spark.createDataFrame(
+        [("g", i, int(x), int(y)) for i, (x, y) in enumerate(rows)],
+        "grp string, id long, x long, y long")
+
+
+def test_pareto_front_hand_case(spark):
+    """Staircase front survives; interior and weakly-dominated points
+    drop."""
+    from cartwright_spark.operators.skyline import pareto_front
+    rows = [(10, 1), (8, 5), (5, 8), (1, 10),   # the front
+            (7, 4),                              # dominated by (8,5)
+            (8, 4),                              # dominated by (8,5) (tie x)
+            (5, 5),                              # dominated by (8,5)/(5,8)
+            (1, 1)]                              # dominated by everything
+    out = sorted((r.x, r.y) for r in
+                 pareto_front(_sky(spark, rows)).collect())
+    assert out == [(1, 10), (5, 8), (8, 5), (10, 1)]
+
+
+def test_pareto_front_duplicates_keep_one(spark):
+    from cartwright_spark.operators.skyline import pareto_front
+    rows = [(5, 5), (5, 5), (3, 7)]
+    out = pareto_front(_sky(spark, rows)).collect()
+    assert sorted((r.x, r.y) for r in out) == [(3, 7), (5, 5)]
+    # deterministic survivor: the lowest id among the duplicates
+    assert {r.id for r in out} == {0, 2}
+
+
+def test_pareto_front_brute_parity_groups(spark):
+    """400 deterministic points in 3 groups vs the O(n^2) dominance
+    definition."""
+    from cartwright_spark.operators.skyline import pareto_front
+    import numpy as np
+    k = np.arange(400)
+    g = (k % 3).astype(str)
+    x = (k * 37 % 53).astype(int)
+    y = (k * 61 % 47).astype(int)
+    df = spark.createDataFrame(
+        [(str(gi), int(i), int(xi), int(yi))
+         for i, (gi, xi, yi) in enumerate(zip(g, x, y))],
+        "grp string, id long, x long, y long")
+    got = {(r.grp, r.x, r.y) for r in pareto_front(df).collect()}
+    want = set()
+    seen = set()
+    for grp in "012":
+        m = g == grp
+        pts = list(zip(x[m], y[m]))
+        for (xi, yi) in pts:
+            dominated = any((xj >= xi and yj >= yi and (xj > xi or yj > yi))
+                            for xj, yj in pts)
+            if not dominated and (grp, xi, yi) not in seen:
+                want.add((grp, xi, yi))
+                seen.add((grp, xi, yi))
+    assert got == want
