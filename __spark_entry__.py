@@ -912,6 +912,20 @@ def q_pareto_front(spark, sf_dir):
     return pareto_front(scored)
 
 
+def q_term_cooccurrence(spark, sf_dir):
+    """Term-pair collocation mining (operators/textstats.py
+    term_cooccurrence): df-gated vocabulary, rarest-16-per-doc cap
+    (deterministic), checkpointed capped table feeding the doc
+    self-join, lift = exact-count division (no log). The synthetic
+    corpus has a ~31-term vocabulary with corpus-scale dfs, so the
+    stop-word gate is left wide open here (it is unit-tested); the
+    per-doc cap still bounds the quadratic step."""
+    from cartwright_spark.operators.textstats import term_cooccurrence
+    docs = _t(spark, sf_dir, "documents")
+    return term_cooccurrence(docs, min_df=2, max_df=1_000_000_000,
+                             max_terms_per_doc=16, min_pair=2)
+
+
 def q_colocation_lift(spark, sf_dir):
     """Category-pair spatial association (spatial/colocation.py):
     distinct (cell, category) rollup bounded by grid x categories,
@@ -2023,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "grid_bfs_hops": q_grid_bfs_hops,
         "pareto_front": q_pareto_front,
+        "term_cooccurrence": q_term_cooccurrence,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2274,6 +2289,44 @@ def oracle_sql() -> dict[str, str]:
     _octant_sql = _octant_sql_fn()
     _sde = _sde_sql_fn()
     return {
+        "term_cooccurrence": """
+            WITH pairs AS (
+              SELECT DISTINCT doc_id AS doc, w.term
+              FROM documents,
+                   unnest(string_split_regex(lower(text), '\\s+'))
+                     AS w(term)
+              WHERE w.term <> ''
+            ),
+            vocab AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM pairs GROUP BY 1
+              HAVING count(*) BETWEEN 2 AND 1000000000
+            ),
+            capped AS (
+              SELECT doc, term, df FROM (
+                SELECT p.doc, p.term, v.df,
+                       row_number() OVER (PARTITION BY p.doc
+                                          ORDER BY v.df, p.term) AS rn
+                FROM pairs p JOIN vocab v USING (term)
+              ) WHERE rn <= 16
+            ),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+                  FROM documents),
+            co AS (
+              SELECT a.term AS term_a, b.term AS term_b,
+                     CAST(count(*) AS BIGINT) AS c_ab,
+                     a.df AS df_a, b.df AS df_b
+              FROM capped a JOIN capped b
+                ON a.doc = b.doc AND a.term < b.term
+              GROUP BY 1, 2, 4, 5
+              HAVING count(*) >= 2
+            )
+            SELECT term_a, term_b, c_ab, df_a, df_b,
+                   CAST(c_ab AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                     / (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE))
+                     AS lift
+            FROM co CROSS JOIN n
+        """,
         "pareto_front": """
             WITH scored AS (
               SELECT lang AS grp, doc_id AS id,

@@ -203,3 +203,77 @@ def fingerprint(df: DataFrame, text_col: str = "text",
             .withColumn("fp_min_gram",
                         F.coalesce("fp_min_gram", F.lit(0).cast("long")))
             .select(id_col, "fp_min_gram", "fp_doc"))
+
+
+def term_cooccurrence(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", min_df: int = 2,
+                      max_df: int = 1000, max_terms_per_doc: int = 64,
+                      min_pair: int = 2) -> DataFrame:
+    """Term-pair collocation mining: -> (term_a, term_b, c_ab, df_a,
+    df_b, lift) for lexicographically-ordered content-word pairs that
+    co-occur in >= ``min_pair`` documents. lift = the association ratio
+    P(a,b) / (P(a) P(b)) = c_ab * n_docs / (df_a * df_b) — the textual
+    sibling of spatial/colocation.py's cell-based lift, one division of
+    exact BIGINT counts (no log, so both engines round identically).
+
+    Vocabulary gates: only terms with min_df <= df <= max_df pair up
+    (stop words and hapaxes never enter the quadratic step), and each
+    document contributes at most its ``max_terms_per_doc`` RAREST kept
+    terms (ties broken by term — deterministic, oracle-expressible), so
+    per-doc pair fan-out is capped at m*(m-1)/2 BY CONSTRUCTION.
+
+    Scale shape (the 100 TB audit): distinct (doc, term) pairs = ONE
+    corpus shuffle with map-side dedup; df counts are algebraic over
+    the deduped pairs (stop-word skew absorbed pre-exchange); the
+    capped table is CHECKPOINTED before the doc self-join so the whole
+    tokenize/dedup/vocab subtree runs exactly once (the join's two
+    reads re-shuffle only the m-rows-per-doc capped table); the final
+    (a, b) rollup's key space is bounded by the vocab gates, and its
+    partial agg collapses pairs map-side.
+    """
+    min_df, max_df = int(min_df), int(max_df)
+    m = int(max_terms_per_doc)
+    if not (1 <= min_df <= max_df):
+        raise ValueError("term_cooccurrence: need 1 <= min_df <= max_df")
+    if m < 2:
+        raise ValueError("term_cooccurrence: max_terms_per_doc < 2 "
+                         "admits no pairs")
+    from pyspark.sql import Window as W
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                     lambda w: w != "")
+    pairs = (docs.select(F.col(id_col).alias("doc"),
+                         F.explode(words).alias("term"))
+             .distinct())
+    vocab = (pairs.groupBy("term")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+             .where((F.col("df") >= min_df) & (F.col("df") <= max_df)))
+    kept = pairs.join(vocab, "term")
+    # localCheckpoint: the self-join below reads `capped` twice — without
+    # materialization Spark re-plans the whole subtree per side (measured:
+    # 6 exchanges instead of 3) because the aliased subplans don't
+    # canonicalize to a ReusedExchange. The checkpoint preserves the
+    # window's hash(doc) partitioning, so the join adds NO exchange.
+    capped = (kept.withColumn(
+        "rn", F.row_number().over(
+            W.partitionBy("doc").orderBy(F.col("df").asc(),
+                                         F.col("term").asc())))
+        .where(F.col("rn") <= m)
+        .select("doc", "term", "df")
+        .localCheckpoint(eager=True))
+    a = capped.select("doc", F.col("term").alias("term_a"),
+                      F.col("df").alias("df_a"))
+    b = capped.select("doc", F.col("term").alias("term_b"),
+                      F.col("df").alias("df_b"))
+    co = (a.join(b, "doc")
+          .where(F.col("term_a") < F.col("term_b"))
+          .groupBy("term_a", "term_b", "df_a", "df_b")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+          .where(F.col("c_ab") >= F.lit(int(min_pair))))
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (co.crossJoin(F.broadcast(n_docs))
+            .select("term_a", "term_b", "c_ab", "df_a", "df_b",
+                    (F.col("c_ab").cast("double")
+                     * F.col("n_docs").cast("double")
+                     / (F.col("df_a").cast("double")
+                        * F.col("df_b").cast("double"))).alias("lift")))

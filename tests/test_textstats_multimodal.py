@@ -467,3 +467,80 @@ def test_bigram_lm_short_doc_and_unseen_fallback(spark):
     assert abs(got[12]["logprob"] - math.log(1 / 4)) < 1e-11
     # zz: context unseen -> ln(1/V) = ln(1/2)
     assert abs(got[13]["logprob"] - math.log(1 / 2)) < 1e-11
+
+
+# -------------------------------------------------- term co-occurrence
+
+def _co_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_term_cooccurrence_hand_counts_and_lift(spark):
+    from cartwright_spark.operators.textstats import term_cooccurrence
+    texts = ["spark sql engine", "spark sql", "spark engine",
+             "engine sql spark", "noise only"]
+    out = {(r.term_a, r.term_b): r for r in term_cooccurrence(
+        _co_docs(spark, texts), min_df=2, max_df=10,
+        min_pair=2).collect()}
+    # dfs: spark 4, sql 3, engine 3; pairs: (spark,sql) 3, (engine,spark) 3,
+    # (engine,sql) 2
+    r = out[("spark", "sql")]
+    assert (r.c_ab, r.df_a, r.df_b) == (3, 4, 3)
+    assert r.lift == 3.0 * 5.0 / (4.0 * 3.0)
+    assert out[("engine", "sql")].c_ab == 2
+    assert ("noise", "only") not in out          # df=1 terms gated
+
+
+def test_term_cooccurrence_in_doc_repeats_count_once(spark):
+    from cartwright_spark.operators.textstats import term_cooccurrence
+    texts = ["a b a b a b", "b a"]
+    out = term_cooccurrence(_co_docs(spark, texts), min_df=1,
+                            max_df=10, min_pair=1).collect()
+    assert len(out) == 1
+    assert (out[0].term_a, out[0].term_b, out[0].c_ab) == ("a", "b", 2)
+
+
+def test_term_cooccurrence_rarest_cap_is_deterministic(spark):
+    """With max_terms_per_doc=2 only the two RAREST terms of each doc
+    pair up (ties by term)."""
+    from cartwright_spark.operators.textstats import term_cooccurrence
+    # common appears in all 3 docs; rare1/rare2 in one each
+    texts = ["common rare1 rare2", "common filler", "common filler"]
+    out = {(r.term_a, r.term_b): r.c_ab for r in term_cooccurrence(
+        _co_docs(spark, texts), min_df=1, max_df=10,
+        max_terms_per_doc=2, min_pair=1).collect()}
+    # doc0 keeps rare1, rare2 (df=1 < common's 3): pair (rare1, rare2)
+    # docs 1-2 keep filler (df=2) + common (df=3): pair (common, filler) x2
+    assert out == {("rare1", "rare2"): 1, ("common", "filler"): 2}
+
+
+def test_term_cooccurrence_single_capped_computation(spark):
+    """`capped` is checkpointed, so the doc self-join reads ONE
+    materialized table (no re-planned subtree per side): the executed
+    plan has zero doc-hash exchanges above the scan — the join reuses
+    the checkpoint's window partitioning."""
+    from cartwright_spark.operators.textstats import term_cooccurrence
+    df = term_cooccurrence(_co_docs(spark, ["a b c", "b c d", "c d e"]),
+                           min_df=1, max_df=10, min_pair=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # no term exchange and no (doc, term) dedup exchange in the final
+    # plan — the whole vocabulary/dedup subtree ran ONCE at checkpoint
+    # time; only the capped table's own doc-join exchanges remain
+    import re
+    # the (doc, term) dedup exchange and the vocab term exchange are
+    # gone from the final plan (they ran once, at checkpoint time) —
+    # the only term-keyed exchange left is the final pair rollup's
+    assert not re.search(r"Exchange hashpartitioning\(doc#\d+L, term", plan)
+    assert not re.search(r"Exchange hashpartitioning\(term#", plan), plan
+    assert plan.count("Exchange hashpartitioning(doc") <= 2, plan
+
+
+def test_term_cooccurrence_guards(spark):
+    from cartwright_spark.operators.textstats import term_cooccurrence
+    import pytest as _pt
+    d = _co_docs(spark, ["a b"])
+    with _pt.raises(ValueError):
+        term_cooccurrence(d, min_df=3, max_df=2)
+    with _pt.raises(ValueError):
+        term_cooccurrence(d, max_terms_per_doc=1)
