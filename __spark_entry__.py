@@ -926,6 +926,21 @@ def q_term_cooccurrence(spark, sf_dir):
                              max_terms_per_doc=16, min_pair=2)
 
 
+def q_adaptive_tiles(spark, sf_dir):
+    """Adaptive quadtree binning (spatial/tiles.py adaptive_tiles):
+    leaf = first below-cap tile on each root-to-leaf path, derived
+    JOIN-ONLY from the one-corpus-shuffle tile pyramid (no iteration);
+    z_max tiles still above cap are flagged overflow."""
+    from cartwright_spark.spatial.tiles import adaptive_tiles
+    part = _t(spark, sf_dir, "part")
+    pts = part.select(
+        ((F.col("p_partkey") * 37 % 1701).cast("double") / 10.0 - 85.0)
+        .alias("lat"),
+        ((F.col("p_partkey") * 73 % 3600).cast("double") / 10.0 - 180.0)
+        .alias("lon"))
+    return adaptive_tiles(pts, z_max=6, cap=25)
+
+
 def q_colocation_lift(spark, sf_dir):
     """Category-pair spatial association (spatial/colocation.py):
     distinct (cell, category) rollup bounded by grid x categories,
@@ -2038,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_bfs_hops": q_grid_bfs_hops,
         "pareto_front": q_pareto_front,
         "term_cooccurrence": q_term_cooccurrence,
+        "adaptive_tiles": q_adaptive_tiles,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2289,6 +2305,42 @@ def oracle_sql() -> dict[str, str]:
     _octant_sql = _octant_sql_fn()
     _sde = _sde_sql_fn()
     return {
+        "adaptive_tiles": """
+            WITH pts AS (
+              SELECT CAST((p_partkey * 37) % 1701 AS DOUBLE)
+                       / CAST(10.0 AS DOUBLE) - CAST(85.0 AS DOUBLE) AS lat,
+                     CAST((p_partkey * 73) % 3600 AS DOUBLE)
+                       / CAST(10.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon
+              FROM part
+            ),
+            base AS (
+              SELECT CAST(least(greatest(floor((lon + 180.0) / 360.0 * 64),
+                                         0), 63) AS BIGINT) AS tx,
+                     CAST(least(greatest(floor((1.0 - ln(tan(radians(
+                         least(greatest(lat, -85.05112878), 85.05112878)))
+                         + 1.0 / cos(radians(least(greatest(lat,
+                         -85.05112878), 85.05112878)))) / pi())
+                         / 2.0 * 64), 0), 63) AS BIGINT) AS ty,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM pts GROUP BY 1, 2
+            ),
+            pyr AS (
+              SELECT CAST(6 - k AS BIGINT) AS z,
+                     tx // (1 << k) AS tile_x,
+                     ty // (1 << k) AS tile_y,
+                     CAST(sum(n) AS BIGINT) AS n_points
+              FROM base, range(0, 7) t(k)
+              GROUP BY 1, 2, 3
+            )
+            SELECT c.z, c.tile_x, c.tile_y, c.n_points,
+                   (c.z = 6 AND c.n_points > 25) AS overflow
+            FROM pyr c LEFT JOIN pyr p
+              ON p.z = c.z - 1 AND p.tile_x = c.tile_x // 2
+             AND p.tile_y = c.tile_y // 2
+            WHERE (c.n_points <= 25
+                   AND (p.n_points IS NULL OR p.n_points > 25))
+               OR (c.z = 6 AND c.n_points > 25)
+        """,
         "term_cooccurrence": """
             WITH pairs AS (
               SELECT DISTINCT doc_id AS doc, w.term

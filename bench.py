@@ -61,7 +61,7 @@ CONTRACT_BENCH_QUERIES = (
     "colocation_lift", "knox_spacetime", "idw_surface",
     "ripley_k", "snap_segments", "burst_detect", "dbscan_labels",
     "heading_octants", "std_ellipse", "inverted_index", "grid_bfs_hops",
-    "pareto_front", "term_cooccurrence",
+    "pareto_front", "term_cooccurrence", "adaptive_tiles",
 )
 
 

@@ -82,3 +82,47 @@ def tile_pyramid(points: DataFrame, lat_col: str = "lat",
                     "n")
             .groupBy("z", "tile_x", "tile_y")
             .agg(F.sum("n").alias("n_points")))
+
+
+def adaptive_tiles(points: DataFrame, lat_col: str = "lat",
+                   lon_col: str = "lon", z_max: int = 6,
+                   cap: int = 1000) -> DataFrame:
+    """Adaptive quadtree binning: the coarsest tiles with
+    n_points <= ``cap`` — dense regions split to finer zooms, sparse
+    regions stay coarse. -> (z, tile_x, tile_y, n_points, overflow)
+    where overflow marks z_max tiles still above the cap (they cannot
+    split further).
+
+    Leaf rule (no iteration needed): counts shrink down the tile tree,
+    so the leaf covering a region is the FIRST below-cap tile on its
+    root-to-leaf path — exactly { root if n <= cap } ∪ { tile at z > 0
+    with n <= cap and parent n > cap } ∪ { z_max tiles with n > cap }.
+    Leaves tile the occupied space: disjoint by construction (a leaf's
+    ancestors are all above cap, so never leaves), complete because
+    every occupied z_max tile has some ancestor chain crossing the cap.
+
+    Scale shape: ONE corpus shuffle (tile_pyramid's z_max rollup); the
+    pyramid is grid-bounded (<= 4^z_max + ... rows) and checkpointed,
+    so the child↔parent equi-join is metadata-scale and re-reads the
+    materialized table instead of re-running the corpus pass twice.
+    """
+    cap = int(cap)
+    if cap < 1:
+        raise ValueError("adaptive_tiles: cap must be >= 1")
+    pyr = (tile_pyramid(points, lat_col, lon_col, z_max)
+           .localCheckpoint(eager=True))
+    parent = pyr.select((F.col("z") + 1).alias("z"),
+                        F.col("tile_x").alias("px"),
+                        F.col("tile_y").alias("py"),
+                        F.col("n_points").alias("parent_n"))
+    child = pyr.withColumn("px", F.expr("tile_x DIV 2")) \
+               .withColumn("py", F.expr("tile_y DIV 2"))
+    joined = child.join(parent, ["z", "px", "py"], "left")
+    return (joined
+            .where(((F.col("n_points") <= cap)
+                    & (F.col("parent_n").isNull()
+                       | (F.col("parent_n") > cap)))
+                   | ((F.col("z") == z_max) & (F.col("n_points") > cap)))
+            .select("z", "tile_x", "tile_y", "n_points",
+                    ((F.col("z") == z_max) & (F.col("n_points") > cap))
+                    .alias("overflow")))

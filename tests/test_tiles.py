@@ -170,3 +170,53 @@ def test_std_ellipse_layout_invariance(spark):
     a = std_ellipse(_sde_pts(spark, rows)).collect()[0]
     b = std_ellipse(_sde_pts(spark, rows).repartition(11)).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+# ------------------------------------------------------- adaptive tiles
+
+def test_adaptive_tiles_hand_case(spark):
+    """5 co-located points force an overflow leaf at z_max; a lone far
+    point becomes a coarse z=1 leaf under the above-cap root."""
+    from cartwright_spark.spatial.tiles import adaptive_tiles
+    rows = [(10.0, 100.0)] * 5 + [(0.0, -100.0)]
+    pts = spark.createDataFrame(rows, "lat double, lon double")
+    out = adaptive_tiles(pts, z_max=3, cap=2).collect()
+    by_n = {r.n_points: r for r in out}
+    assert len(out) == 2
+    assert by_n[5].z == 3 and by_n[5].overflow
+    assert by_n[1].z == 1 and not by_n[1].overflow
+
+
+def test_adaptive_tiles_root_leaf_when_sparse(spark):
+    from cartwright_spark.spatial.tiles import adaptive_tiles
+    pts = spark.createDataFrame([(10.0, 100.0), (0.0, -100.0)],
+                                "lat double, lon double")
+    out = adaptive_tiles(pts, z_max=4, cap=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.z, r.tile_x, r.tile_y, r.n_points, r.overflow) == \
+        (0, 0, 0, 2, False)
+
+
+def test_adaptive_tiles_invariants(spark):
+    """Leaves are ancestor-disjoint, cover every point exactly once,
+    and respect the cap (except flagged z_max overflow)."""
+    from cartwright_spark.spatial.tiles import adaptive_tiles
+    rows = [(float((i * 37) % 160 - 80) * 0.9, float((i * 73) % 360 - 180))
+            for i in range(500)]
+    # a dense hotspot to force deep splits
+    rows += [(45.0, 45.0)] * 100
+    pts = spark.createDataFrame(rows, "lat double, lon double")
+    z_max, cap = 5, 30
+    leaves = adaptive_tiles(pts, z_max=z_max, cap=cap).collect()
+    assert sum(r.n_points for r in leaves) == len(rows)
+    keys = {(r.z, r.tile_x, r.tile_y) for r in leaves}
+    for r in leaves:
+        if not r.overflow:
+            assert r.n_points <= cap
+        else:
+            assert r.z == z_max and r.n_points > cap
+        # no ancestor of a leaf is itself a leaf
+        z, tx, ty = r.z, r.tile_x, r.tile_y
+        for up in range(1, z + 1):
+            assert (z - up, tx >> up, ty >> up) not in keys
