@@ -941,6 +941,23 @@ def q_adaptive_tiles(spark, sf_dir):
     return adaptive_tiles(pts, z_max=6, cap=25)
 
 
+def q_cost_distance(spark, sf_dir):
+    """Cost-distance accumulation (functions/graph.py cost_distance):
+    min path cost over <= 6 hops where entering a cell costs its point
+    count — exact BIGINT Bellman-Ford over the grid-bounded occupied
+    cells (guarded driver relaxation at metadata scale, distributed
+    min-merge loop past it). Oracle: bounded RECURSIVE CTE."""
+    from cartwright_spark.functions.graph import cost_distance
+    cust = _t(spark, sf_dir, "customer")
+    pts = cust.select(
+        ((F.col("c_custkey") * 37 % 1801).cast("double") / 10.0 - 90.0)
+        .alias("lat"),
+        ((F.col("c_custkey") * 73 % 3600).cast("double") / 10.0 - 180.0)
+        .alias("lon"),
+        (F.col("c_custkey") % 97 == 0).alias("is_seed"))
+    return cost_distance(pts, cell_deg=10.0, max_hops=6)
+
+
 def q_colocation_lift(spark, sf_dir):
     """Category-pair spatial association (spatial/colocation.py):
     distinct (cell, category) rollup bounded by grid x categories,
@@ -2054,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_front": q_pareto_front,
         "term_cooccurrence": q_term_cooccurrence,
         "adaptive_tiles": q_adaptive_tiles,
+        "cost_distance": q_cost_distance,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2305,6 +2323,38 @@ def oracle_sql() -> dict[str, str]:
     _octant_sql = _octant_sql_fn()
     _sde = _sde_sql_fn()
     return {
+        "cost_distance": """
+            WITH RECURSIVE pts AS (
+              SELECT CAST((c_custkey * 37) % 1801 AS DOUBLE)
+                       / CAST(10.0 AS DOUBLE) - CAST(90.0 AS DOUBLE) AS lat,
+                     CAST((c_custkey * 73) % 3600 AS DOUBLE)
+                       / CAST(10.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon,
+                     c_custkey % 97 = 0 AS is_seed
+              FROM customer
+            ),
+            cells AS (
+              SELECT CAST(floor((lat + CAST(90.0 AS DOUBLE))
+                                / CAST(10.0 AS DOUBLE)) AS BIGINT) * 100000
+                     + CAST(floor((lon + CAST(180.0 AS DOUBLE))
+                                  / CAST(10.0 AS DOUBLE)) AS BIGINT)
+                       AS cell_id,
+                     CAST(count(*) AS BIGINT) AS w,
+                     max(CASE WHEN is_seed THEN 1 ELSE 0 END) AS s
+              FROM pts GROUP BY 1
+            ),
+            r AS (
+              SELECT cell_id, CAST(0 AS BIGINT) AS cost, 0 AS hops
+              FROM cells WHERE s = 1
+              UNION
+              SELECT c.cell_id, r.cost + c.w, r.hops + 1
+              FROM r JOIN cells c
+                ON c.cell_id IN (r.cell_id + 1, r.cell_id - 1,
+                                 r.cell_id + 100000, r.cell_id - 100000)
+              WHERE r.hops < 6
+            )
+            SELECT cell_id, CAST(min(cost) AS BIGINT) AS cost
+            FROM r GROUP BY 1
+        """,
         "adaptive_tiles": """
             WITH pts AS (
               SELECT CAST((p_partkey * 37) % 1701 AS DOUBLE)

@@ -62,6 +62,7 @@ CONTRACT_BENCH_QUERIES = (
     "ripley_k", "snap_segments", "burst_detect", "dbscan_labels",
     "heading_octants", "std_ellipse", "inverted_index", "grid_bfs_hops",
     "pareto_front", "term_cooccurrence", "adaptive_tiles",
+    "cost_distance",
 )
 
 

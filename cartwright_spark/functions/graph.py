@@ -433,3 +433,87 @@ def grid_bfs_hops(points: DataFrame, lat: str = "lat", lon: str = "lon",
         dist = dist.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("cell_id")
     return dist
+
+
+def cost_distance(points: DataFrame, lat: str = "lat", lon: str = "lon",
+                  cell_deg: float = 5.0, seed_col: str = "is_seed",
+                  max_hops: int = 10,
+                  driver_threshold: int = 100_000) -> DataFrame:
+    """Cost-distance over the occupied-cell grid: -> (cell_id, cost)
+    where cost = the MINIMUM over 4-neighbour paths of <= ``max_hops``
+    edges from any seed cell of the sum of point counts of the cells
+    ENTERED (seeds enter free) — the classic cost-surface accumulation
+    (congestion-aware reachability), with the corpus itself as the
+    cost surface.
+
+    Exact: weights are BIGINT point counts; costs are BIGINT sums. The
+    hop bound is part of the SEMANTICS (both engines compute "best
+    path using at most max_hops edges"), so a SQL oracle can mirror it
+    with a bounded recursive CTE.
+
+    Scale shape: ONE corpus shuffle builds (cell, weight, seed); every
+    relaxation round is Bellman-Ford over OCCUPIED CELLS (grid-bounded
+    regardless of corpus size). At metadata scale the relaxation runs
+    on the driver (same guarded pattern as grid_bfs_hops — round
+    latency dominates sub-100k-node graphs); the distributed path
+    relaxes via expand -> union -> min-groupBy with an eager
+    localCheckpoint per round and stops early at a fixed point (a
+    no-improvement round is a Bellman-Ford fixed point, so early exit
+    cannot change the result). Result-identical either way.
+    """
+    max_hops = int(max_hops)
+    if max_hops < 0:
+        raise ValueError("cost_distance: max_hops must be >= 0")
+    ix = F.floor((F.col(lat) + 90.0) / cell_deg).cast("long")
+    iy = F.floor((F.col(lon) + 180.0) / cell_deg).cast("long")
+    cells = (points.withColumn("cell_id", ix * 100000 + iy)
+             .groupBy("cell_id")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("w"),
+                  F.max(F.col(seed_col).cast("int")).alias("s"))
+             .localCheckpoint(eager=True))
+    spark = points.sparkSession
+    offs = (1, -1, 100000, -100000)
+
+    if cells.count() <= driver_threshold:
+        rows = cells.collect()
+        weight = {r["cell_id"]: r["w"] for r in rows}
+        dist = {r["cell_id"]: 0 for r in rows if r["s"]}
+        for _ in range(max_hops):
+            improved = False
+            for c, d in list(dist.items()):
+                for o in offs:
+                    n = c + o
+                    if n in weight:
+                        nd = d + weight[n]
+                        if nd < dist.get(n, nd + 1):
+                            dist[n] = nd
+                            improved = True
+            if not improved:
+                break
+        return spark.createDataFrame(
+            [(int(c), int(d)) for c, d in dist.items()],
+            "cell_id long, cost long")
+
+    dist = (cells.where(F.col("s") == 1)
+            .select("cell_id", F.lit(0).cast("long").alias("cost"))
+            .localCheckpoint(eager=True))
+    wdim = cells.select("cell_id", "w")
+    for _ in range(max_hops):
+        cand = (dist
+                .select(F.explode(F.array(
+                    *[F.col("cell_id") + F.lit(o) for o in offs]))
+                    .alias("cell_id"), "cost")
+                .groupBy("cell_id").agg(F.min("cost").alias("cost"))
+                .join(wdim, "cell_id")
+                .select("cell_id", (F.col("cost") + F.col("w"))
+                        .alias("cost")))
+        new = (dist.unionByName(cand)
+               .groupBy("cell_id").agg(F.min("cost").alias("cost"))
+               .localCheckpoint(eager=True))
+        # fixed point: same cells, same total cost => no relaxation
+        a = dist.agg(F.count(F.lit(1)), F.sum("cost")).collect()[0]
+        b = new.agg(F.count(F.lit(1)), F.sum("cost")).collect()[0]
+        dist = new
+        if tuple(a) == tuple(b):
+            break
+    return dist

@@ -777,3 +777,52 @@ def test_grid_bfs_no_seeds_empty(spark):
     from cartwright_spark.functions.graph import grid_bfs_hops
     pts = _grid_pts(spark, [(10, 4, False), (10, 5, False)])
     assert grid_bfs_hops(pts).count() == 0
+
+
+def _cost_pts(spark, cells):
+    """cells = [(ix, iy, n_points, is_seed)] -> n_points rows per cell."""
+    rows = []
+    for ix, iy, n, s in cells:
+        rows += [(-90.0 + 5.0 * ix + 2.0, -180.0 + 5.0 * iy + 2.0,
+                  bool(s))] * n
+    return spark.createDataFrame(rows,
+                                 "lat double, lon double, is_seed boolean")
+
+
+def test_cost_distance_line_and_detour(spark):
+    from cartwright_spark.functions.graph import cost_distance
+    # S at (10,10); heavy direct neighbour X=(10,11) w=50; cheap detour
+    # Y=(11,10) w=1 -> Z=(11,11) w=1; Z's best cost is 2 via the detour
+    pts = _cost_pts(spark, [(10, 10, 3, True), (10, 11, 50, False),
+                            (11, 10, 1, False), (11, 11, 1, False)])
+    out = {r.cell_id: r.cost for r in cost_distance(pts).collect()}
+    c = lambda ix, iy: ix * 100000 + iy
+    assert out[c(10, 10)] == 0          # seed enters free despite w=3
+    assert out[c(11, 10)] == 1
+    assert out[c(11, 11)] == 2          # detour beats 50+1 via X
+    assert out[c(10, 11)] == 50         # entering X always pays 50
+
+
+def test_cost_distance_hop_bound(spark):
+    from cartwright_spark.functions.graph import cost_distance
+    pts = _cost_pts(spark, [(5, 5, 1, True), (5, 6, 2, False),
+                            (5, 7, 4, False)])
+    out1 = {r.cell_id % 100000: r.cost
+            for r in cost_distance(pts, max_hops=1).collect()}
+    assert out1 == {5: 0, 6: 2}
+    out2 = {r.cell_id % 100000: r.cost
+            for r in cost_distance(pts, max_hops=2).collect()}
+    assert out2 == {5: 0, 6: 2, 7: 6}
+
+
+def test_cost_distance_driver_vs_distributed_parity(spark):
+    from cartwright_spark.functions.graph import cost_distance
+    import random
+    rng = random.Random(11)
+    cells = [(rng.randrange(6, 13), rng.randrange(4, 11),
+              rng.randrange(1, 6), i % 7 == 0) for i in range(40)]
+    pts = _cost_pts(spark, cells)
+    a = sorted(map(tuple, cost_distance(pts, max_hops=5).collect()))
+    b = sorted(map(tuple, cost_distance(pts, max_hops=5,
+                                        driver_threshold=0).collect()))
+    assert a == b and len(a) > 0
