@@ -823,10 +823,12 @@ def q_knox_spacetime(spark, sf_dir):
 
 def q_dbscan_labels(spark, sf_dir):
     """DBSCAN core/border/noise labelling (spatial/dbscan.py
-    dbscan_label): eps-pitch grid candidate join (left point one cell,
-    right copy 3x3 explode), exact BIGINT ball test, map-side-combining
-    neighbour count, core-only second pass for borders. 70% of points
-    sit in 5 dense blobs, the rest scatter over the full extent."""
+    dbscan_label): sub-eps cell rollup decides dense-cell points with
+    NO pair work, only undecided points enter the 5x5-cell candidate
+    join, exact BIGINT ball test, n_nbrs capped at min_pts (the label
+    contract — exact counts are quadratic in blob density), core-only
+    second pass for borders. 70% of points sit in 5 dense blobs, the
+    rest scatter over the full extent."""
     from cartwright_spark.spatial.dbscan import dbscan_label
     cust = _t(spark, sf_dir, "customer")
     k = F.col("c_custkey").cast("long")
@@ -2574,7 +2576,8 @@ def oracle_sql() -> dict[str, str]:
               FROM customer
             ),
             nbr AS (
-              SELECT a.id, CAST(count(*) AS BIGINT) AS n_nbrs
+              SELECT a.id,
+                     CAST(least(count(*), 8) AS BIGINT) AS n_nbrs
               FROM pts a JOIN pts b
                 ON (a.px - b.px) * (a.px - b.px)
                    + (a.py - b.py) * (a.py - b.py) <= 14400

@@ -13,11 +13,13 @@ def _pts(spark, rows):
 
 
 def brute_labels(xy: np.ndarray, eps: int, min_pts: int):
-    """Reference labelling by the definition: O(n^2) integer exact."""
+    """Reference labelling by the definition: O(n^2) integer exact.
+    n_nbrs is capped at min_pts (the operator's contract)."""
     d2 = ((xy[:, None, :] - xy[None, :, :]).astype(np.int64) ** 2).sum(-1)
     nbr = d2 <= eps * eps
-    n_nbrs = nbr.sum(1)
-    core = n_nbrs >= min_pts
+    n_true = nbr.sum(1)
+    core = n_true >= min_pts
+    n_nbrs = np.minimum(n_true, min_pts)
     labels = []
     for i in range(len(xy)):
         if core[i]:
@@ -99,3 +101,17 @@ def test_guards(spark):
         dbscan_label(df, 10, 0)
     with pytest.raises(ValueError):
         dbscan_label(df, 10 ** 9, 1)
+
+
+def test_dense_blob_short_circuits_capped_counts(spark):
+    """A blob far denser than min_pts: every blob point is core with
+    n_nbrs == min_pts (capped), without pair enumeration; a lone far
+    point is noise with its true (uncapped-but-small) count."""
+    rows = [(i % 10, i // 10) for i in range(100)]  # 10x10 dense grid
+    rows.append((5000, 5000))
+    out = {r.id: r for r in
+           dbscan_label(_pts(spark, rows), eps=30, min_pts=5).collect()}
+    assert len(out) == 101
+    for i in range(100):
+        assert out[i].label == "core" and out[i].n_nbrs == 5, i
+    assert out[100].label == "noise" and out[100].n_nbrs == 1
