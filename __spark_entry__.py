@@ -2014,6 +2014,26 @@ def q_doc_fingerprint(spark, sf_dir):
     return fingerprint(docs).select("doc_id", "fp_min_gram", "fp_doc")
 
 
+def q_deletion_join(spark, sf_dir):
+    """SymSpell deletion-neighbourhood edit-distance self-join
+    (operators/fuzzyjoin.py deletion_join): every unordered pair of
+    distinct vocabulary terms with levenshtein <= 1. Candidates =
+    equi-join on the <=k-deletion variant strings (map-only
+    posexplode generation, no UDF), refine = exact JVM levenshtein.
+    The documents vocabulary is 31 terms, so the vocabulary is
+    synthesized arithmetic-from-keys: customer keys mod 3000 mapped
+    digit->letter give ~min(|customer|,3000) alphabetic terms with
+    dense distance-1 neighbourhoods (substitutions, end/middle
+    insertions). Oracle = brute-forced definition with the sound
+    |len(a)-len(b)| <= k length window."""
+    from cartwright_spark.operators.fuzzyjoin import deletion_join
+    cust = _t(spark, sf_dir, "customer")
+    terms = cust.select(
+        F.translate((F.col("c_custkey") % 3000).cast("string"),
+                    "0123456789", "abcdefghij").alias("term"))
+    return deletion_join(terms, "term", k=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -2074,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_cooccurrence": q_term_cooccurrence,
         "adaptive_tiles": q_adaptive_tiles,
         "cost_distance": q_cost_distance,
+        "deletion_join": q_deletion_join,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2325,6 +2346,19 @@ def oracle_sql() -> dict[str, str]:
     _octant_sql = _octant_sql_fn()
     _sde = _sde_sql_fn()
     return {
+        "deletion_join": """
+            WITH vocab AS (
+              SELECT DISTINCT translate(CAST(c_custkey % 3000 AS VARCHAR),
+                                        '0123456789', 'abcdefghij') AS term
+              FROM customer
+            )
+            SELECT a.term AS term_a, b.term AS term_b,
+                   CAST(levenshtein(a.term, b.term) AS BIGINT) AS dist
+            FROM vocab a JOIN vocab b
+              ON a.term < b.term
+             AND abs(length(a.term) - length(b.term)) <= 1
+            WHERE levenshtein(a.term, b.term) <= 1
+        """,
         "cost_distance": """
             WITH RECURSIVE pts AS (
               SELECT CAST((c_custkey * 37) % 1801 AS DOUBLE)

@@ -305,3 +305,81 @@ def test_minhash_dedup_assign_megacluster_linear(spark):
         want_parts.setdefault(r, set()).add(i)
     assert set(map(frozenset, got_parts.values())) == \
         set(map(frozenset, want_parts.values()))
+
+
+# --- deletion_join (SymSpell edit-distance self-join) ------------------
+
+
+def _lev(a: str, b: str) -> int:
+    """Textbook unit-cost Levenshtein (insert/delete/substitute)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+_DJ_VOCAB = ["spark", "spars", "sparkk", "park", "spork", "stork",
+             "stack", "stuck", "track", "a", "b", "ab", "ba",
+             "query", "queue", "quarry", "merge", "marge", "marge"]
+
+
+def _brute_pairs(vocab, k):
+    vs = sorted(set(vocab))
+    out = set()
+    for i, x in enumerate(vs):
+        for y in vs[i + 1:]:
+            d = _lev(x, y)
+            if d <= k:
+                out.add((x, y, d))
+    return out
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_deletion_join_matches_bruteforce(spark, k):
+    from cartwright_spark.operators.fuzzyjoin import deletion_join
+    df = spark.createDataFrame([(t,) for t in _DJ_VOCAB], ["term"])
+    got = {(r.term_a, r.term_b, r.dist)
+           for r in deletion_join(df, "term", k=k).collect()}
+    assert got == _brute_pairs(_DJ_VOCAB, k)
+
+
+def test_deletion_join_dedups_input_multiplicity(spark):
+    # corpus multiplicity must not multiply output pairs
+    from cartwright_spark.operators.fuzzyjoin import deletion_join
+    df = spark.createDataFrame([(t,) for t in _DJ_VOCAB * 7], ["term"])
+    out = deletion_join(df, "term", k=1).collect()
+    assert len(out) == len({(r.term_a, r.term_b) for r in out})
+    assert {(r.term_a, r.term_b, r.dist) for r in out} == \
+        _brute_pairs(_DJ_VOCAB, 1)
+
+
+def test_deletion_join_random_alphabet_bruteforce(spark):
+    # dense random 3-letter-alphabet vocab: lots of cross-length pairs,
+    # transposition-shaped D1xD1 candidates that must be refined OUT
+    from cartwright_spark.operators.fuzzyjoin import deletion_join
+    rng = np.random.default_rng(41)
+    vocab = list({"".join("abc"[i] for i in rng.integers(0, 3, n))
+                  for n in rng.integers(1, 7, 120)})
+    df = spark.createDataFrame([(t,) for t in vocab], ["term"])
+    got = {(r.term_a, r.term_b, r.dist)
+           for r in deletion_join(df, "term", k=2).collect()}
+    assert got == _brute_pairs(vocab, 2)
+
+
+def test_deletion_join_min_len_and_guards(spark):
+    from cartwright_spark.operators.fuzzyjoin import deletion_join
+    df = spark.createDataFrame([("a",), ("ab",), ("abc",), (None,)],
+                               ["term"])
+    out = {(r.term_a, r.term_b) for r in
+           deletion_join(df, "term", k=1, min_len=2).collect()}
+    assert out == {("ab", "abc")}  # "a" gated, None dropped
+    with pytest.raises(ValueError):
+        deletion_join(df, "term", k=3)
+    with pytest.raises(ValueError):
+        deletion_join(df, "term", k=1, min_len=0)
