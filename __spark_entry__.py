@@ -2034,6 +2034,21 @@ def q_deletion_join(spark, sf_dir):
     return deletion_join(terms, "term", k=1)
 
 
+def q_prefix_jaccard(spark, sf_dir):
+    """EXACT all-pairs word-3-gram Jaccard >= 0.5 self-join over the
+    documents corpus via AllPairs prefix filtering (dedup.py
+    prefix_jaccard_join): complete candidates from an equi-join on the
+    rarest-first prefix grams (provably contains every qualifying
+    pair), exact array_intersect refine. The complete/deterministic
+    counterpart to minhash_lsh's probabilistic recall. Oracle =
+    brute-forced definition over all pairs."""
+    from cartwright_spark.operators.dedup import prefix_jaccard_join
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = prefix_jaccard_join(docs, threshold=0.5, n=3)
+    return out.select("id_a", "id_b", "inter", "union_sz",
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -2095,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_tiles": q_adaptive_tiles,
         "cost_distance": q_cost_distance,
         "deletion_join": q_deletion_join,
+        "prefix_jaccard": q_prefix_jaccard,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2346,6 +2362,34 @@ def oracle_sql() -> dict[str, str]:
     _octant_sql = _octant_sql_fn()
     _sde = _sde_sql_fn()
     return {
+        "prefix_jaccard": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(0, greatest(len(ws) - 3, 0) + 1),
+                       i -> array_to_string(list_slice(ws, i + 1, i + 3),
+                                            ' '))) AS grams
+              FROM (SELECT doc_id,
+                           str_split_regex(lower(text), '\\s+') AS ws
+                    FROM documents)
+            ),
+            s AS (SELECT doc_id, grams, len(grams) AS L FROM g),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT)
+                       AS inter,
+                     CAST(a.L + b.L
+                          - len(list_intersect(a.grams, b.grams)) AS BIGINT)
+                       AS union_sz
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, inter, union_sz,
+                   round(CAST(inter AS DOUBLE)
+                         / greatest(union_sz, 1), 6) AS jaccard
+            FROM p
+            WHERE CAST(inter AS DOUBLE) / greatest(union_sz, 1)
+                  >= CAST(0.5 AS DOUBLE)
+        """,
         "deletion_join": """
             WITH vocab AS (
               SELECT DISTINCT translate(CAST(c_custkey % 3000 AS VARCHAR),

@@ -367,13 +367,12 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3,
 # n-gram Jaccard (exact, for verification-scale refinement)
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(df: DataFrame, candidate_pairs: DataFrame,
-                        text_col: str = "text", id_col: str = "doc_id",
-                        n: int = 3) -> DataFrame:
-    """Exact word-n-gram Jaccard for given candidate pairs (id_a, id_b) —
-    the refine step after LSH; joins texts in, computes set overlap with
-    built-in array functions (JVM-side)."""
-    grams = df.select(
+def _word_gram_sets(df: DataFrame, text_col: str, id_col: str,
+                    n: int) -> DataFrame:
+    """(id, grams): the DISTINCT word-n-gram set per document — shared
+    tokenization for the Jaccard family so the oracle/engine gram
+    definitions can never drift apart."""
+    return df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(
             F.transform(
@@ -383,6 +382,15 @@ def ngram_jaccard_pairs(df: DataFrame, candidate_pairs: DataFrame,
                 lambda i: F.concat_ws(" ", F.slice(F.split(F.lower(text_col), "\\s+"), i + 1, n)),
             )).alias("grams"),
     )
+
+
+def ngram_jaccard_pairs(df: DataFrame, candidate_pairs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3) -> DataFrame:
+    """Exact word-n-gram Jaccard for given candidate pairs (id_a, id_b) —
+    the refine step after LSH; joins texts in, computes set overlap with
+    built-in array functions (JVM-side)."""
+    grams = _word_gram_sets(df, text_col, id_col, n)
     a = grams.alias("a")
     b = grams.alias("b")
     joined = (candidate_pairs
@@ -394,6 +402,94 @@ def ngram_jaccard_pairs(df: DataFrame, candidate_pairs: DataFrame,
         "id_a", "id_b",
         (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
     )
+
+
+def prefix_jaccard_join(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", threshold: float = 0.5,
+                        n: int = 3) -> DataFrame:
+    """EXACT all-pairs Jaccard self-join with prefix filtering (AllPairs,
+    Bayardo/Ma/Srikant WWW'07): -> (id_a, id_b, inter, union_sz, jaccard)
+    for EVERY unordered pair of documents whose word-n-gram Jaccard is
+    >= ``threshold``. Unlike the MinHash-LSH path this is COMPLETE —
+    no probabilistic recall — yet never materializes the cross product.
+
+    Completeness (3 lines): order all grams globally rarest-first by
+    (df, gram). The prefix of a size-L set is its first
+    L - ceil(t*L) + 1 grams. If J(A,B) >= t then
+    |A∩B| >= t*|A∪B| >= t*|A|, i.e. >= ceil(t*|A|) common grams (it's
+    an integer); if the prefixes of A and B were disjoint, all common
+    grams would sit in A's suffix, which holds only
+    L_A - prefix_A = ceil(t*L_A) - 1 grams — contradiction. So every
+    qualifying pair shares a prefix gram, and the equi-join on prefix
+    grams is a complete candidate generator. The exact array_intersect
+    refine then keeps precision at 1.
+
+    Scale shape (the 100 TB audit):
+      1. Gram sets are built map-only and localCheckpoint'ed once —
+         the prefix build, df-count, and refine all reuse one
+         materialization instead of re-tokenizing the corpus 3x.
+      2. Prefix tokens are the RAREST grams of each document by
+         construction, so the candidate equi-join is naturally
+         skew-light — the hot head of the vocabulary never becomes a
+         join key (the inverse of the naive token-join, whose hottest
+         token dominates the shuffle). Residual skew is plain join
+         skew -> AQE skew-split.
+      3. Candidate volume is bounded by sum over PREFIX tokens of
+         df_prefix^2, and prefix length shrinks as t grows
+         (t=0.8 -> ~L/5 tokens); the length pre-filter
+         (t*max(L_a,L_b) <= min(L_a,L_b)) prunes before the distinct.
+      4. All operators are JVM-side (split/slice/array_intersect,
+         window row_number, hash joins) — no Python in the hot path.
+
+    Float hygiene: ceil(t*L) and the length filter are computed with a
+    1e-9 slack so IEEE artifacts (0.7*20 = 14.000000000000002) can only
+    ENLARGE the candidate set, never drop a true pair; the refine is
+    exact and decides membership.
+    """
+    if not (0.0 < float(threshold) <= 1.0):
+        raise ValueError("prefix_jaccard_join: threshold must be in (0, 1]")
+    t = float(threshold)
+    eps = 1e-9
+
+    grams = (_word_gram_sets(df, text_col, id_col, n)
+             .withColumn("L", F.size("grams"))
+             .localCheckpoint(eager=True))
+
+    toks = grams.select("id", "L", F.explode("grams").alias("tok"))
+    dfc = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "tok")
+    prefix = (toks.join(dfc, "tok")
+              .withColumn("pos", F.row_number().over(w))
+              .where(F.col("pos")
+                     <= F.col("L") - F.ceil(F.col("L") * t - eps) + 1)
+              .select("id", "L", "tok"))
+
+    a = prefix.select(F.col("id").alias("id_a"), F.col("L").alias("la"),
+                      "tok")
+    b = prefix.select(F.col("id").alias("id_b"), F.col("L").alias("lb"),
+                      "tok")
+    cand = (a.join(b, "tok")
+            .where((F.col("id_a") < F.col("id_b"))
+                   & (F.col("lb") >= F.col("la") * t - eps)
+                   & (F.col("la") >= F.col("lb") * t - eps))
+            .select("id_a", "id_b")
+            .distinct())
+
+    ga = grams.select(F.col("id").alias("id_a"),
+                      F.col("grams").alias("g_a"), F.col("L").alias("la"))
+    gb = grams.select(F.col("id").alias("id_b"),
+                      F.col("grams").alias("g_b"), F.col("L").alias("lb"))
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("bigint")
+    return (cand.join(ga, "id_a").join(gb, "id_b")
+            .withColumn("inter", inter)
+            .withColumn("union_sz",
+                        (F.col("la") + F.col("lb")
+                         - F.col("inter")).cast("bigint"))
+            .withColumn("jaccard",
+                        F.col("inter")
+                        / F.greatest(F.col("union_sz"), F.lit(1)))
+            .where(F.col("jaccard") >= t)
+            .select("id_a", "id_b", "inter", "union_sz", "jaccard"))
 
 
 # ---------------------------------------------------------------------------

@@ -383,3 +383,81 @@ def test_deletion_join_min_len_and_guards(spark):
         deletion_join(df, "term", k=3)
     with pytest.raises(ValueError):
         deletion_join(df, "term", k=1, min_len=0)
+
+
+# --- prefix_jaccard_join (exact AllPairs similarity self-join) ----------
+
+
+def _gram_set(text: str, n: int = 3) -> frozenset:
+    ws = __import__("re").split(r"\s+", text.lower())
+    m = max(len(ws) - n, 0) + 1
+    return frozenset(" ".join(ws[i:i + n]) for i in range(m))
+
+
+def _brute_jaccard(texts, t, n=3):
+    out = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        ga = _gram_set(texts[a], n)
+        for b in ids[i + 1:]:
+            gb = _gram_set(texts[b], n)
+            inter = len(ga & gb)
+            union = max(len(ga | gb), 1)
+            if inter / union >= t:
+                out[(a, b)] = (inter, len(ga) + len(gb) - inter,
+                               inter / union)
+    return out
+
+
+@pytest.fixture(scope="module")
+def pj_corpus(spark):
+    rng = np.random.default_rng(23)
+    texts = {}
+    for i in range(40):
+        t = _doc(rng, 30)
+        texts[3 * i] = t
+        ws = t.split()
+        ws[7] = "zulu"                       # near dup
+        texts[3 * i + 1] = " ".join(ws)
+        texts[3 * i + 2] = t                 # exact dup
+    texts[998] = "tiny"                      # < n words
+    texts[999] = "tiny doc"
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    return df, texts
+
+
+@pytest.mark.parametrize("t", [0.3, 0.5, 0.8, 1.0])
+def test_prefix_jaccard_matches_bruteforce(pj_corpus, t):
+    from cartwright_spark.operators.dedup import prefix_jaccard_join
+    df, texts = pj_corpus
+    got = {(r.id_a, r.id_b): (r.inter, r.union_sz, r.jaccard)
+           for r in prefix_jaccard_join(df, threshold=t).collect()}
+    want = _brute_jaccard(texts, t)
+    assert set(got) == set(want)
+    for k, (i1, u1, j1) in want.items():
+        i2, u2, j2 = got[k]
+        assert (i2, u2) == (i1, u1)
+        assert j2 == pytest.approx(j1, abs=1e-12)
+
+
+def test_prefix_jaccard_ieee_ceil_slack(spark):
+    # L=20 words, t=0.7: 0.7*20 = 14.000000000000002 in IEEE — a naive
+    # ceil gives 15, shrinking the prefix below the completeness bound.
+    from cartwright_spark.operators.dedup import prefix_jaccard_join
+    base = [f"w{i}" for i in range(22)]
+    a = " ".join(base)          # 20 distinct 3-grams
+    mut = list(base); mut[0] = "zz"
+    b = " ".join(mut)           # shares grams 4..20 (17 of 23 union)
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    want = _brute_jaccard({1: a, 2: b}, 0.7)
+    got = {(r.id_a, r.id_b) for r in
+           prefix_jaccard_join(df, threshold=0.7).collect()}
+    assert got == set(want)
+
+
+def test_prefix_jaccard_guards(spark):
+    from cartwright_spark.operators.dedup import prefix_jaccard_join
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            prefix_jaccard_join(df, threshold=bad)
