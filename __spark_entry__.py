@@ -2049,6 +2049,32 @@ def q_prefix_jaccard(spark, sf_dir):
                       F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_boilerplate_lines(spark, sf_dir):
+    """CCNet-style boilerplate line removal (hygiene.py
+    remove_boilerplate_lines): lines whose normalized form appears in
+    >= 50 distinct documents are dropped; survivors rejoin in original
+    order. The corpus is single-line, so multi-line pages are
+    synthesized arithmetic-from-keys: body text + one of three footers
+    (uppercased on even ids — exercises trim+lower normalization;
+    repeated IN-page on ids % 7 == 0 — exercises distinct-doc df) + a
+    per-doc unique line. concat_ws skips the NULL of the conditional
+    repeat in BOTH engines."""
+    from cartwright_spark.operators.hygiene import remove_boilerplate_lines
+    docs = _t(spark, sf_dir, "documents")
+    footers = F.array(F.lit("Copyright 2024 Example Corp"),
+                      F.lit("ACCEPT ALL COOKIES"),
+                      F.lit("Subscribe to our newsletter"))
+    f = F.element_at(footers, (F.col("doc_id") % 3 + 1).cast("int"))
+    f = F.when(F.col("doc_id") % 2 == 0, F.upper(f)).otherwise(f)
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws("\n", "text", f,
+                    F.when(F.col("doc_id") % 7 == 0, f),
+                    F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+                    ).alias("text"))
+    return remove_boilerplate_lines(pages, min_doc_freq=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -2111,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cost_distance": q_cost_distance,
         "deletion_join": q_deletion_join,
         "prefix_jaccard": q_prefix_jaccard,
+        "boilerplate_lines": q_boilerplate_lines,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2362,6 +2389,49 @@ def oracle_sql() -> dict[str, str]:
     _octant_sql = _octant_sql_fn()
     _sde = _sde_sql_fn()
     return {
+        "boilerplate_lines": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     CASE WHEN doc_id % 2 = 0 THEN upper(f) ELSE f END AS f
+              FROM (
+                SELECT doc_id, text,
+                       (['Copyright 2024 Example Corp',
+                         'ACCEPT ALL COOKIES',
+                         'Subscribe to our newsletter'])
+                         [CAST(doc_id % 3 + 1 AS INT)] AS f
+                FROM documents)
+            ),
+            pages AS (
+              SELECT doc_id,
+                     concat_ws(chr(10), text, f,
+                               CASE WHEN doc_id % 7 = 0 THEN f END,
+                               'doc-' || CAST(doc_id AS VARCHAR)) AS page
+              FROM base
+            ),
+            lines AS (
+              SELECT doc_id,
+                     generate_subscripts(str_split(page, chr(10)), 1)
+                       AS pos,
+                     unnest(str_split(page, chr(10))) AS line
+              FROM pages
+            ),
+            flags AS (
+              SELECT norm FROM (
+                SELECT DISTINCT lower(trim(line)) AS norm, doc_id
+                FROM lines)
+              GROUP BY norm HAVING count(*) >= 50
+            )
+            SELECT l.doc_id AS id,
+                   coalesce(string_agg(
+                     CASE WHEN f.norm IS NULL THEN l.line END,
+                     chr(10) ORDER BY l.pos), '') AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN f.norm IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+            FROM lines l
+            LEFT JOIN flags f ON lower(trim(l.line)) = f.norm
+            GROUP BY 1
+        """,
         "prefix_jaccard": """
             WITH g AS (
               SELECT doc_id,

@@ -64,3 +64,43 @@ def test_contamination_join_is_broadcast(spark):
     plan = contamination_check(docs, probes) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# --- remove_boilerplate_lines (CCNet line dedup) -----------------------
+
+
+def test_boilerplate_removed_and_order_preserved(spark):
+    from cartwright_spark.operators.hygiene import remove_boilerplate_lines
+    docs = spark.createDataFrame(
+        [(i, f"unique head {i}\nFOOTER\nbody {i}\n  footer \ntail {i}")
+         for i in range(5)] + [(99, "FOOTER\nFooter")],
+        ["doc_id", "text"])
+    out = {r.id: r for r in
+           remove_boilerplate_lines(docs, min_doc_freq=4).collect()}
+    for i in range(5):
+        # both footer variants normalize to 'footer' (df=6 >= 4): gone;
+        # survivors keep original order and original (unnormalized) text
+        assert out[i].clean_text == f"unique head {i}\nbody {i}\ntail {i}"
+        assert (out[i].n_lines, out[i].n_removed) == (5, 2)
+    assert out[99].clean_text == ""          # all lines boilerplate
+    assert (out[99].n_lines, out[99].n_removed) == (2, 2)
+
+
+def test_boilerplate_df_is_distinct_docs(spark):
+    # one doc repeating a line 10x must not push it over the threshold
+    from cartwright_spark.operators.hygiene import remove_boilerplate_lines
+    spammy = "\n".join(["repeat me"] * 10)
+    docs = spark.createDataFrame(
+        [(1, spammy), (2, "repeat me\nkeep"), (3, "a\nb")],
+        ["doc_id", "text"])
+    out = {r.id: r for r in
+           remove_boilerplate_lines(docs, min_doc_freq=3).collect()}
+    assert out[1].n_removed == 0 and out[2].n_removed == 0
+
+
+def test_boilerplate_guard(spark):
+    from cartwright_spark.operators.hygiene import remove_boilerplate_lines
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        remove_boilerplate_lines(docs, min_doc_freq=1)
