@@ -2075,6 +2075,18 @@ def q_boilerplate_lines(spark, sf_dir):
     return remove_boilerplate_lines(pages, min_doc_freq=50)
 
 
+def q_funnel_steps(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase with a
+    2-hour window anchored at the first view (operators/funnel.py
+    window_funnel — ClickHouse windowFunnel semantics, greedy earliest
+    match, ONE user shuffle). Oracle = the sequential-min definition
+    as chained per-step joins."""
+    from cartwright_spark.operators.funnel import window_funnel
+    ev = _t(spark, sf_dir, "events")
+    return window_funnel(ev, ["view", "click", "purchase"],
+                         window_sec=7200)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -2138,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deletion_join": q_deletion_join,
         "prefix_jaccard": q_prefix_jaccard,
         "boilerplate_lines": q_boilerplate_lines,
+        "funnel_steps": q_funnel_steps,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2389,6 +2402,41 @@ def oracle_sql() -> dict[str, str]:
     _octant_sql = _octant_sql_fn()
     _sde = _sde_sql_fn()
     return {
+        "funnel_steps": """
+            WITH e AS (
+              SELECT user_id AS u, ts, event_type AS et FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            s1 AS (
+              SELECT u, min(ts) AS t1 FROM e
+              WHERE et = 'view' GROUP BY 1
+            ),
+            s2 AS (
+              SELECT e.u, min(e.ts) AS t2
+              FROM e JOIN s1 ON e.u = s1.u
+              WHERE e.et = 'click' AND e.ts > s1.t1
+                AND e.ts <= s1.t1 + INTERVAL 7200 SECOND
+              GROUP BY 1
+            ),
+            s3 AS (
+              SELECT e.u, min(e.ts) AS t3
+              FROM e JOIN s1 ON e.u = s1.u
+                     JOIN s2 ON e.u = s2.u
+              WHERE e.et = 'purchase' AND e.ts > s2.t2
+                AND e.ts <= s1.t1 + INTERVAL 7200 SECOND
+              GROUP BY 1
+            )
+            SELECT us.u AS user,
+                   CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                             WHEN t2 IS NOT NULL THEN 2
+                             WHEN t1 IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS steps_completed,
+                   t1, t2, t3
+            FROM (SELECT DISTINCT u FROM e) us
+            LEFT JOIN s1 ON us.u = s1.u
+            LEFT JOIN s2 ON us.u = s2.u
+            LEFT JOIN s3 ON us.u = s3.u
+        """,
         "boilerplate_lines": """
             WITH base AS (
               SELECT doc_id, text,

@@ -1,0 +1,90 @@
+"""Ordered event-funnel analysis (the ClickHouse ``windowFunnel``
+semantic): per user, how many of an ordered step list completed, each
+step STRICTLY after the previous step's match and (optionally) within a
+conversion window anchored at step 1.
+
+Without a window, greedy earliest-match is optimal (standard exchange
+argument: if any assignment of events to steps completes m steps, so
+does the one taking the earliest feasible event per step — replacing a
+chosen event with an earlier feasible one never invalidates later
+choices), so the per-user result is uniquely defined by mins. WITH a
+window the funnel is anchored at the user's FIRST step-1 event —
+single-anchor semantics, deterministic and oracle-friendly; a later
+step-1 event is never retried as an anchor (the max-over-anchors
+variant would need one chain evaluation per step-1 event).
+
+Reference scope note: jataware/cartwright has no event analytics; this
+is engine scope for the web-events side of the corpus (events table).
+
+Scale shape (the 100 TB audit):
+  1. ONE user-key shuffle. The whole funnel is a single groupBy(user):
+     t1 = min(ts | step1) plus one collected candidate-ts array per
+     later step (events of other types are dropped BEFORE the shuffle
+     by an IN pre-filter that pushes to the scan).
+  2. The sequential dependency (t_k depends on t_{k-1}) runs over the
+     per-user arrays with array_min(filter(...)) — per-user work is
+     O(own events), no cross-user data movement, no second shuffle, no
+     Python. Catalyst HOFs run interpreted, but on per-user arrays of
+     step-matching events only (web-scale: tens, not millions).
+  3. Hot users (bots with 10^6 events) bound the array size; the
+     pre-filter to step types caps it at the user's step-type event
+     count. For adversarial hot keys, cap candidates upstream (e.g.
+     events.limit per user via sampling) — the funnel only ever needs
+     the earliest few matches per step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def window_funnel(events: DataFrame, steps: list[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  window_sec: int | None = None) -> DataFrame:
+    """-> one row per user with at least one step-type event (other
+    event types are pre-filtered before the shuffle; a user with none
+    of the step types has an all-NULL funnel row by definition — it is
+    not emitted): (user, steps_completed,
+    t1..tk). t_i is the greedy earliest completion time of step i
+    (NULL once the chain breaks); ``steps_completed`` counts non-NULL
+    milestones. With ``window_sec``, steps 2..k must land in
+    (t_{i-1}, t1 + window_sec]."""
+    if len(steps) < 2:
+        raise ValueError("window_funnel: need at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("window_funnel: steps must be distinct")
+    if window_sec is not None and window_sec <= 0:
+        raise ValueError("window_funnel: window_sec must be positive")
+
+    e = (events.select(F.col(user_col).alias("user"),
+                       F.col(ts_col).alias("ts"),
+                       F.col(type_col).alias("et"))
+         .where(F.col("et").isin(list(steps))))
+
+    aggs = [F.min(F.when(F.col("et") == steps[0], F.col("ts")))
+            .alias("t1")]
+    for i, s in enumerate(steps[1:], start=2):
+        aggs.append(
+            F.collect_list(
+                F.when(F.col("et") == s, F.col("ts"))).alias(f"__c{i}"))
+    out = e.groupBy("user").agg(*aggs)
+    for i in range(2, len(steps) + 1):
+        prev = F.col(f"t{i - 1}")
+        cond = "x > t{p}".format(p=i - 1)
+        if window_sec is not None:
+            cond += f" AND x <= t1 + INTERVAL {int(window_sec)} SECONDS"
+        out = out.withColumn(
+            f"t{i}",
+            F.when(prev.isNotNull(),
+                   F.array_min(F.expr(
+                       f"filter(__c{i}, x -> {cond})"))))
+    completed = sum(
+        (F.col(f"t{i}").isNotNull().cast("int")
+         for i in range(1, len(steps) + 1)),
+        F.lit(0))
+    return (out.withColumn("steps_completed",
+                           completed.cast("bigint"))
+            .select("user", "steps_completed",
+                    *[f"t{i}" for i in range(1, len(steps) + 1)]))
