@@ -2087,6 +2087,23 @@ def q_funnel_steps(spark, sf_dir):
                          window_sec=7200)
 
 
+def q_convex_hull(spark, sf_dir):
+    """Distributed convex hull per nation (spatial/hull.py convex_hull
+    — hull-of-hulls: JVM per-(grp,partition,x) y-extremes with map-side
+    combine, then monotone chain per partition, then per group). Strict
+    vertices only, so the result is a pure function of the point set.
+    Oracle = the exact integer chord characterization: p is an
+    upper-hull vertex iff no chord between points left and right of it
+    passes on-or-above p (symmetrically for the lower hull)."""
+    from cartwright_spark.spatial.hull import convex_hull
+    cust = _t(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_nationkey").cast("bigint").alias("grp"),
+        ((F.col("c_custkey") * 37) % 201 - 100).alias("x"),
+        ((F.col("c_custkey") * 73) % 201 - 100).alias("y"))
+    return convex_hull(pts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -2151,6 +2168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_jaccard": q_prefix_jaccard,
         "boilerplate_lines": q_boilerplate_lines,
         "funnel_steps": q_funnel_steps,
+        "convex_hull": q_convex_hull,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2402,6 +2420,35 @@ def oracle_sql() -> dict[str, str]:
     _octant_sql = _octant_sql_fn()
     _sde = _sde_sql_fn()
     return {
+        "convex_hull": """
+            WITH pts AS (
+              SELECT CAST(c_nationkey AS BIGINT) AS grp,
+                     CAST((c_custkey * 37) % 201 - 100 AS BIGINT) AS x,
+                     CAST((c_custkey * 73) % 201 - 100 AS BIGINT) AS y
+              FROM customer
+            ),
+            ux AS (SELECT grp, x, max(y) AS y FROM pts GROUP BY 1, 2),
+            lx AS (SELECT grp, x, min(y) AS y FROM pts GROUP BY 1, 2),
+            uh AS (
+              SELECT p.grp, p.x, p.y FROM ux p
+              WHERE NOT EXISTS (
+                SELECT 1 FROM ux a JOIN ux b ON a.grp = b.grp
+                WHERE a.grp = p.grp AND a.x < p.x AND b.x > p.x
+                  AND (b.x - a.x) * (p.y - a.y)
+                      <= (b.y - a.y) * (p.x - a.x))
+            ),
+            lh AS (
+              SELECT p.grp, p.x, p.y FROM lx p
+              WHERE NOT EXISTS (
+                SELECT 1 FROM lx a JOIN lx b ON a.grp = b.grp
+                WHERE a.grp = p.grp AND a.x < p.x AND b.x > p.x
+                  AND (b.x - a.x) * (p.y - a.y)
+                      >= (b.y - a.y) * (p.x - a.x))
+            )
+            SELECT grp, x, y FROM uh
+            UNION
+            SELECT grp, x, y FROM lh
+        """,
         "funnel_steps": """
             WITH e AS (
               SELECT user_id AS u, ts, event_type AS et FROM events
