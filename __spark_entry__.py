@@ -2104,6 +2104,29 @@ def q_convex_hull(spark, sf_dir):
     return convex_hull(pts)
 
 
+def q_isotonic_fit(spark, sf_dir):
+    """Distributed isotonic regression per nation (operators/isotonic.py
+    isotonic_fit — parallel PAVA: map-side (grp,x) pre-pooling,
+    range-partitioned per-slice PAVA, pool-level re-PAVA; pooling
+    decisions are exact integer cross-multiplications). y = a noisy
+    increasing ramp so pools form where the noise dips. Oracle = the
+    max-min identity fit(i) = max_{j<=i} min_{k>=i} mean(y_j..y_k)
+    evaluated with window functions, pools recovered as runs of equal
+    fitted value (adjacent pool means are strictly increasing, so the
+    value-grouping is exact); fitted recomputed from pool sums so both
+    engines perform the identical BIGINT/BIGINT double division."""
+    from cartwright_spark.operators.isotonic import isotonic_fit
+    cust = _t(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_nationkey").alias("grp"),
+        (F.col("c_custkey") % 101).alias("x"),
+        (3 * (F.col("c_custkey") % 101)
+         + (F.col("c_custkey") * 13) % 41 - 20).alias("y"))
+    out = isotonic_fit(pts)
+    return out.select("grp", "x_lo", "x_hi", "n_pts", "y_sum",
+                      F.round("fitted", 7).alias("fitted"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -2169,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "funnel_steps": q_funnel_steps,
         "convex_hull": q_convex_hull,
+        "isotonic_fit": q_isotonic_fit,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2420,6 +2444,53 @@ def oracle_sql() -> dict[str, str]:
     _octant_sql = _octant_sql_fn()
     _sde = _sde_sql_fn()
     return {
+        "isotonic_fit": """
+            WITH raw AS (
+              SELECT CAST(c_nationkey AS BIGINT) AS grp,
+                     CAST(c_custkey % 101 AS BIGINT) AS x,
+                     CAST(3 * (c_custkey % 101)
+                          + (c_custkey * 13) % 41 - 20 AS BIGINT) AS y
+              FROM customer
+            ),
+            atoms AS (
+              SELECT grp, x, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(y) AS BIGINT) AS s
+              FROM raw GROUP BY 1, 2
+            ),
+            p AS (
+              SELECT grp, x, n, s,
+                     row_number() OVER w AS rn,
+                     CAST(sum(n) OVER w AS BIGINT) AS cn,
+                     CAST(sum(s) OVER w AS BIGINT) AS cs
+              FROM atoms WINDOW w AS (PARTITION BY grp ORDER BY x)
+            ),
+            pairs AS (
+              SELECT j.grp, j.rn AS j, k.rn AS k,
+                     CAST(k.cs - j.cs + j.s AS DOUBLE)
+                       / CAST(k.cn - j.cn + j.n AS DOUBLE) AS m
+              FROM p j JOIN p k ON j.grp = k.grp AND j.rn <= k.rn
+            ),
+            sm AS (
+              SELECT grp, j, k AS i,
+                     min(m) OVER (PARTITION BY grp, j
+                                  ORDER BY k DESC) AS mn
+              FROM pairs
+            ),
+            f AS (
+              SELECT grp, i, j,
+                     max(mn) OVER (PARTITION BY grp, i ORDER BY j) AS fit
+              FROM sm
+            ),
+            fit AS (SELECT grp, i AS rn, fit FROM f WHERE j = i)
+            SELECT p.grp,
+                   min(p.x) AS x_lo, max(p.x) AS x_hi,
+                   CAST(sum(p.n) AS BIGINT) AS n_pts,
+                   CAST(sum(p.s) AS BIGINT) AS y_sum,
+                   round(CAST(sum(p.s) AS DOUBLE)
+                         / CAST(sum(p.n) AS DOUBLE), 7) AS fitted
+            FROM p JOIN fit ON p.grp = fit.grp AND p.rn = fit.rn
+            GROUP BY p.grp, round(fit.fit, 7)
+        """,
         "convex_hull": """
             WITH pts AS (
               SELECT CAST(c_nationkey AS BIGINT) AS grp,
