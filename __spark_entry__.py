@@ -2127,6 +2127,24 @@ def q_isotonic_fit(spark, sf_dir):
                       F.round("fitted", 7).alias("fitted"))
 
 
+def q_gini_concentration(spark, sf_dir):
+    """Gini concentration of line-item spend per return flag
+    (operators/inequality.py gini_concentration): exact-integer
+    numerator/denominator from ONE rank window whose partitioning the
+    following groupBy reuses. Values = extended price in cents —
+    l_extendedprice is DOUBLE here, so round() BEFORE the bigint cast
+    (Spark's double->bigint cast truncates, DuckDB's rounds; an
+    explicit round makes both engines cast the same integer-valued
+    double)."""
+    from cartwright_spark.operators.inequality import gini_concentration
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"))
+    out = gini_concentration(li)
+    return out.select("grp", "n", "total", "num", "den",
+                      F.round("gini", 7).alias("gini"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -2193,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "convex_hull": q_convex_hull,
         "isotonic_fit": q_isotonic_fit,
+        "gini_concentration": q_gini_concentration,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2444,6 +2463,33 @@ def oracle_sql() -> dict[str, str]:
     _octant_sql = _octant_sql_fn()
     _sde = _sde_sql_fn()
     return {
+        "gini_concentration": """
+            WITH v AS (
+              SELECT l_returnflag AS grp,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+              FROM lineitem
+            ),
+            r AS (
+              SELECT grp, y,
+                     row_number() OVER (PARTITION BY grp ORDER BY y)
+                       AS i
+              FROM v
+            ),
+            a AS (
+              SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(y) AS BIGINT) AS total,
+                     CAST(sum(i * y) AS BIGINT) AS iy
+              FROM r GROUP BY 1
+            )
+            SELECT grp, n, total,
+                   CAST(2 * iy - (n + 1) * total AS BIGINT) AS num,
+                   CAST(n * total AS BIGINT) AS den,
+                   round(CASE WHEN n * total > 0
+                              THEN CAST(2 * iy - (n + 1) * total AS DOUBLE)
+                                   / CAST(n * total AS DOUBLE)
+                              ELSE CAST(0.0 AS DOUBLE) END, 7) AS gini
+            FROM a
+        """,
         "isotonic_fit": """
             WITH raw AS (
               SELECT CAST(c_nationkey AS BIGINT) AS grp,
