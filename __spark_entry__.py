@@ -2145,6 +2145,36 @@ def q_gini_concentration(spark, sf_dir):
                       F.round("gini", 7).alias("gini"))
 
 
+def q_rasterize_polygons(spark, sf_dir):
+    """Vector -> raster (spatial/raster.py rasterize_polygons): all
+    unit cells whose center is inside the polygon, even-odd over all
+    rings. Polygons synthesized arithmetic-from-keys per nation:
+    non-convex L-shapes, with a square hole on even ids (exercises the
+    multi-ring parity path). Exact x2-scaled integer ray cast in both
+    engines — the oracle replays the identical strict-crossing
+    cross-multiplication per (cell, edge)."""
+    from cartwright_spark.spatial.raster import rasterize_polygons
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("pid"))
+    n = n.select(
+        "pid",
+        (10 + (F.col("pid") % 5) * 3).alias("s"),
+        ((F.col("pid") * 17) % 50).alias("cx"),
+        ((F.col("pid") * 29) % 50).alias("cy"))
+    cx, cy, s = F.col("cx"), F.col("cy"), F.col("s")
+    outer = n.select(
+        "pid",
+        F.array(cx, cx + 2 * s, cx + 2 * s, cx + s, cx + s, cx)
+        .alias("xs"),
+        F.array(cy, cy, cy + s, cy + s, cy + 2 * s, cy + 2 * s)
+        .alias("ys"))
+    hole = n.where(F.col("pid") % 2 == 0).select(
+        "pid",
+        F.array(cx + 2, cx + 5, cx + 5, cx + 2).alias("xs"),
+        F.array(cy + 2, cy + 2, cy + 5, cy + 5).alias("ys"))
+    return rasterize_polygons(outer.unionByName(hole), id_col="pid")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -2212,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hull": q_convex_hull,
         "isotonic_fit": q_isotonic_fit,
         "gini_concentration": q_gini_concentration,
+        "rasterize_polygons": q_rasterize_polygons,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2463,6 +2494,70 @@ def oracle_sql() -> dict[str, str]:
     _octant_sql = _octant_sql_fn()
     _sde = _sde_sql_fn()
     return {
+        "rasterize_polygons": """
+            WITH n AS (
+              SELECT CAST(n_nationkey AS BIGINT) AS pid,
+                     CAST(10 + (n_nationkey % 5) * 3 AS BIGINT) AS s,
+                     CAST((n_nationkey * 17) % 50 AS BIGINT) AS cx,
+                     CAST((n_nationkey * 29) % 50 AS BIGINT) AS cy
+              FROM nation
+            ),
+            verts AS (
+              SELECT pid, 0 AS ring, t.i, 6 AS nv,
+                     cx + CASE t.i WHEN 0 THEN 0 WHEN 1 THEN 2*s
+                                   WHEN 2 THEN 2*s WHEN 3 THEN s
+                                   WHEN 4 THEN s ELSE 0 END AS vx,
+                     cy + CASE t.i WHEN 0 THEN 0 WHEN 1 THEN 0
+                                   WHEN 2 THEN s WHEN 3 THEN s
+                                   WHEN 4 THEN 2*s ELSE 2*s END AS vy
+              FROM n, unnest([0, 1, 2, 3, 4, 5]) AS t(i)
+              UNION ALL
+              SELECT pid, 1, t.i, 4,
+                     cx + CASE t.i WHEN 0 THEN 2 WHEN 1 THEN 5
+                                   WHEN 2 THEN 5 ELSE 2 END,
+                     cy + CASE t.i WHEN 0 THEN 2 WHEN 1 THEN 2
+                                   WHEN 2 THEN 5 ELSE 5 END
+              FROM n, unnest([0, 1, 2, 3]) AS t(i)
+              WHERE pid % 2 = 0
+            ),
+            edges AS (
+              SELECT a.pid, a.vx AS x1, a.vy AS y1,
+                     b.vx AS x2, b.vy AS y2
+              FROM verts a JOIN verts b
+                ON a.pid = b.pid AND a.ring = b.ring
+               AND b.i = (a.i + 1) % a.nv
+            ),
+            cells AS (
+              SELECT pid,
+                     unnest(generate_series(cx, cx + 2*s - 1)) AS gx,
+                     cy, s
+              FROM n
+            ),
+            cells2 AS (
+              SELECT pid, gx,
+                     unnest(generate_series(cy, cy + 2*s - 1)) AS gy
+              FROM cells
+            ),
+            hits AS (
+              SELECT c.pid, c.gx, c.gy,
+                     sum(CASE WHEN ((2*e.y1 > 2*c.gy + 1)
+                                    <> (2*e.y2 > 2*c.gy + 1))
+                               AND CASE WHEN e.y2 > e.y1
+                                   THEN (2*c.gx + 1 - 2*e.x1)
+                                          * (2*e.y2 - 2*e.y1)
+                                        < (2*c.gy + 1 - 2*e.y1)
+                                          * (2*e.x2 - 2*e.x1)
+                                   ELSE (2*c.gx + 1 - 2*e.x1)
+                                          * (2*e.y2 - 2*e.y1)
+                                        > (2*c.gy + 1 - 2*e.y1)
+                                          * (2*e.x2 - 2*e.x1)
+                                   END
+                              THEN 1 ELSE 0 END) AS k
+              FROM cells2 c JOIN edges e ON c.pid = e.pid
+              GROUP BY 1, 2, 3
+            )
+            SELECT pid AS poly_id, gx, gy FROM hits WHERE k % 2 = 1
+        """,
         "gini_concentration": """
             WITH v AS (
               SELECT l_returnflag AS grp,
