@@ -63,6 +63,9 @@ CONTRACT_BENCH_QUERIES = (
     "heading_octants", "std_ellipse", "inverted_index", "grid_bfs_hops",
     "pareto_front", "term_cooccurrence", "adaptive_tiles",
     "cost_distance",
+    "deletion_join", "prefix_jaccard", "boilerplate_lines",
+    "funnel_steps", "convex_hull", "isotonic_fit",
+    "gini_concentration", "rasterize_polygons",
 )
 
 

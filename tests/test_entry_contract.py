@@ -70,3 +70,17 @@ def test_entry_runs(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert set(df.columns) == {"tile_id", "n_points", "n_cells"}
+
+
+def test_bench_list_covers_every_contract_query():
+    """Every queries() entry must be timed by bench.py (doc_fingerprint
+    / minhash_lsh / simsearch_topk are timed as dedicated bench fns
+    over the real tables at the bench SF)."""
+    import bench
+    import __spark_entry__ as entry
+    benched = (set(bench.CONTRACT_BENCH_QUERIES)
+               | {"doc_fingerprint", "minhash_lsh", "simsearch_topk"})
+    missing = set(entry.queries()) - benched
+    stale = set(bench.CONTRACT_BENCH_QUERIES) - set(entry.queries())
+    assert not missing, f"not benched: {sorted(missing)}"
+    assert not stale, f"benched but not a query: {sorted(stale)}"
