@@ -2141,7 +2141,9 @@ def q_gini_concentration(spark, sf_dir):
         F.col("l_returnflag").alias("grp"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"))
     out = gini_concentration(li)
-    return out.select("grp", "n", "total", "num", "den",
+    # num/den are DECIMAL(38,0) (int64 overflows at the 10x bench);
+    # project the bigint-safe columns + the double coefficient
+    return out.select("grp", "n", "total",
                       F.round("gini", 7).alias("gini"))
 
 
@@ -2573,12 +2575,10 @@ def oracle_sql() -> dict[str, str]:
             a AS (
               SELECT grp, CAST(count(*) AS BIGINT) AS n,
                      CAST(sum(y) AS BIGINT) AS total,
-                     CAST(sum(i * y) AS BIGINT) AS iy
+                     sum(i * y) AS iy  -- HUGEINT: int64 overflows at 10x
               FROM r GROUP BY 1
             )
             SELECT grp, n, total,
-                   CAST(2 * iy - (n + 1) * total AS BIGINT) AS num,
-                   CAST(n * total AS BIGINT) AS den,
                    round(CASE WHEN n * total > 0
                               THEN CAST(2 * iy - (n + 1) * total AS DOUBLE)
                                    / CAST(n * total AS DOUBLE)

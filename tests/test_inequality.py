@@ -48,9 +48,25 @@ def test_zero_total_and_negative_guard(spark):
         _run(spark, [("n", -1)])
 
 
-def test_single_exchange_plan(spark):
-    # the groupBy must reuse the rank window's hashpartitioning(grp)
+def test_corpus_not_reshuffled_after_scan(spark):
+    # post-checkpoint the only exchange is the metadata-sized partials
+    # groupBy — the corpus itself moves ONCE (the range shuffle, paid
+    # before the checkpoint); a rank-window plan would re-exchange it
     df = spark.createDataFrame([("a", 1), ("b", 2)], ["grp", "y"])
     plan = gini_concentration(df) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "MapInPandas" in plan
+
+
+def test_many_partition_offsets_exact(spark):
+    # 64 range partitions slice each group many times; the offset map
+    # must stitch exact global ranks back together
+    rng = np.random.default_rng(29)
+    vals = rng.integers(0, 10**7, 3000).tolist()
+    num, den, g = _gini(vals)
+    df = spark.createDataFrame([("g", int(v)) for v in vals],
+                               ["grp", "y"]).repartition(64)
+    got = {r.grp: r for r in gini_concentration(df).collect()}
+    assert (got["g"].num, got["g"].den) == (num, den)
+    assert got["g"].gini == pytest.approx(g, abs=1e-12)
