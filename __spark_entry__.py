@@ -2177,6 +2177,35 @@ def q_rasterize_polygons(spark, sf_dir):
     return rasterize_polygons(outer.unionByName(hole), id_col="pid")
 
 
+def q_suffix_array(spark, sf_dir):
+    """Distributed suffix array by prefix doubling (operators/suffix.py
+    suffix_array over functions/scan.py global_dense_rank — no
+    single-partition window anywhere). Input: the first 8000 chars of
+    the newline-joined doc_id-ordered corpus string, exploded to (i,
+    char) rows with global offsets from a metadata-sized length
+    collect. Oracle = the definition: rank of substr(str, i) under
+    DuckDB's binary collation (ASCII corpus, byte order == F.ascii
+    order). Rounds auto-stop when all ranks are distinct."""
+    from cartwright_spark.operators.suffix import suffix_array
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cap = 8000
+    lens = docs.select("doc_id", F.length("text").alias("n")).collect()
+    offs, run = {}, 0
+    for r in sorted(lens, key=lambda r: r.doc_id):
+        offs[r.doc_id] = run
+        run += r.n + 1  # +1 for the separator
+    off_df = spark.createDataFrame(
+        [(int(d), int(o)) for d, o in offs.items()], ["doc_id", "off"])
+    chars = (docs.join(F.broadcast(off_df), "doc_id")
+             .where(F.col("off") < cap)
+             .select("off", F.posexplode(
+                 F.split(F.concat("text", F.lit("\n")), "")
+             ).alias("p", "c"))
+             .select((F.col("off") + F.col("p") + 1).alias("i"), "c")
+             .where((F.col("i") <= cap) & (F.col("c") != "")))
+    return suffix_array(chars)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -2245,6 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_fit": q_isotonic_fit,
         "gini_concentration": q_gini_concentration,
         "rasterize_polygons": q_rasterize_polygons,
+        "suffix_array": q_suffix_array,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2496,6 +2526,23 @@ def oracle_sql() -> dict[str, str]:
     _octant_sql = _octant_sql_fn()
     _sde = _sde_sql_fn()
     return {
+        "suffix_array": """
+            WITH s AS (
+              SELECT substr(string_agg(text, chr(10) ORDER BY doc_id),
+                            1, 8000) AS str
+              FROM documents
+            ),
+            ix AS (
+              SELECT CAST(unnest(generate_series(1, len(str)))
+                          AS BIGINT) AS i
+              FROM s
+            )
+            SELECT ix.i,
+                   CAST(row_number() OVER (
+                     ORDER BY substr(s.str, CAST(ix.i AS INT)))
+                     AS BIGINT) AS rank
+            FROM ix, s
+        """,
         "rasterize_polygons": """
             WITH n AS (
               SELECT CAST(n_nationkey AS BIGINT) AS pid,

@@ -65,7 +65,7 @@ CONTRACT_BENCH_QUERIES = (
     "cost_distance",
     "deletion_join", "prefix_jaccard", "boilerplate_lines",
     "funnel_steps", "convex_hull", "isotonic_fit",
-    "gini_concentration", "rasterize_polygons",
+    "gini_concentration", "rasterize_polygons", "suffix_array",
 )
 
 
