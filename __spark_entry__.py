@@ -2206,6 +2206,62 @@ def q_suffix_array(spark, sf_dir):
     return suffix_array(chars)
 
 
+def _contour_oracle_sql() -> str:
+    from cartwright_spark.spatial.contour import case_segments_sql
+    return f"""
+        WITH pts AS (
+          SELECT CAST((c_custkey * 7) % 40 AS BIGINT) AS x,
+                 CAST((c_custkey * 11) % 40 AS BIGINT) AS y,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM customer GROUP BY 1, 2
+        ),
+        corner AS (
+          SELECT p.x - d.ox AS bx, p.y - d.oy AS by, d.k, p.v
+          FROM pts p,
+               (VALUES (0, 0, 0), (1, 0, 1), (1, 1, 2), (0, 1, 3))
+                 AS d(ox, oy, k)
+        ),
+        blocks AS (
+          SELECT bx, by,
+                 coalesce(max(CASE WHEN k = 0 THEN v END), 1) AS v0,
+                 coalesce(max(CASE WHEN k = 1 THEN v END), 1) AS v1,
+                 coalesce(max(CASE WHEN k = 2 THEN v END), 1) AS v2,
+                 coalesce(max(CASE WHEN k = 3 THEN v END), 1) AS v3
+          FROM corner GROUP BY 1, 2
+        ),
+        cased AS (
+          SELECT bx, by,
+                 CAST((CASE WHEN v0 >= 2 THEN 1 ELSE 0 END)
+                      + 2 * (CASE WHEN v1 >= 2 THEN 1 ELSE 0 END)
+                      + 4 * (CASE WHEN v2 >= 2 THEN 1 ELSE 0 END)
+                      + 8 * (CASE WHEN v3 >= 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS case_id
+          FROM blocks
+        )
+        SELECT c.bx, c.by, c.case_id,
+               2 * c.bx + segs.dx1 AS x1, 2 * c.by + segs.dy1 AS y1,
+               2 * c.bx + segs.dx2 AS x2, 2 * c.by + segs.dy2 AS y2
+        FROM cased c JOIN {case_segments_sql()}
+          ON c.case_id = segs.case_id
+        WHERE c.case_id > 0 AND c.case_id < 15
+    """
+
+
+def q_contour_segments(spark, sf_dir):
+    """Raster -> vector: marching-squares isoline at level 2 over the
+    customer-count grid (spatial/contour.py marching_squares — ONE
+    corner-explode shuffle, broadcast 16-case literal segment dim,
+    exact x2-scaled midpoint geometry; saddle convention fixed). The
+    oracle consumes the SAME literal case table via
+    case_segments_sql()."""
+    from cartwright_spark.spatial.contour import marching_squares
+    cust = _t(spark, sf_dir, "customer")
+    grid = (cust.select(((F.col("c_custkey") * 7) % 40).alias("x"),
+                        ((F.col("c_custkey") * 11) % 40).alias("y"))
+            .groupBy("x", "y").agg(F.count("*").alias("v")))
+    return marching_squares(grid, level=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -2275,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_concentration": q_gini_concentration,
         "rasterize_polygons": q_rasterize_polygons,
         "suffix_array": q_suffix_array,
+        "contour_segments": q_contour_segments,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2526,6 +2583,7 @@ def oracle_sql() -> dict[str, str]:
     _octant_sql = _octant_sql_fn()
     _sde = _sde_sql_fn()
     return {
+        "contour_segments": _contour_oracle_sql(),
         "suffix_array": """
             WITH s AS (
               SELECT substr(string_agg(text, chr(10) ORDER BY doc_id),
