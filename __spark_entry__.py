@@ -2247,6 +2247,93 @@ def _contour_oracle_sql() -> str:
     """
 
 
+def _dp_oracle_sql(eps2: int = 900, rounds: int = 12) -> str:
+    """Unrolled round-synchronous Douglas-Peucker: per-round
+    MATERIALIZED CTEs (plain chained CTEs inline exponentially in
+    DuckDB — the pagerank-oracle lesson)."""
+    m = ("CASE WHEN (ex-sx)*(ex-sx)+(ey-sy)*(ey-sy) = 0 "
+         "THEN (x-sx)*(x-sx)+(y-sy)*(y-sy) "
+         "ELSE ((ex-sx)*(y-sy)-(ey-sy)*(x-sx))"
+         "*((ex-sx)*(y-sy)-(ey-sy)*(x-sx)) END")
+    thr = (f"CASE WHEN (ex-sx)*(ex-sx)+(ey-sy)*(ey-sy) = 0 THEN {eps2} "
+           f"ELSE {eps2}*((ex-sx)*(ex-sx)+(ey-sy)*(ey-sy)) END")
+    parts = [f"""
+        WITH p AS (
+          SELECT CAST(c_custkey % 40 AS BIGINT) AS tid,
+                 CAST(c_custkey AS BIGINT) AS seq,
+                 CAST((c_custkey * 13) % 200 AS BIGINT) AS x,
+                 CAST((c_custkey * 29) % 200 AS BIGINT) AS y
+          FROM customer
+        ),
+        ends AS (
+          SELECT tid, min(seq) AS ss, max(seq) AS es,
+                 arg_min(x, seq) AS sx, arg_min(y, seq) AS sy,
+                 arg_max(x, seq) AS ex, arg_max(y, seq) AS ey
+          FROM p GROUP BY 1
+        ),
+        kept_0 AS (
+          SELECT p.tid, p.seq, p.x, p.y
+          FROM p JOIN ends e ON p.tid = e.tid
+          WHERE p.seq = e.ss OR p.seq = e.es
+        ),
+        active_0 AS MATERIALIZED (
+          SELECT p.tid, p.seq, p.x, p.y,
+                 e.ss, e.es, e.sx, e.sy, e.ex, e.ey
+          FROM p JOIN ends e ON p.tid = e.tid
+          WHERE p.seq > e.ss AND p.seq < e.es
+        )"""]
+    for k in range(rounds):
+        parts.append(f""",
+        best_{k} AS MATERIALIZED (
+          SELECT tid, ss, es, seq AS mseq, x AS mx, y AS my FROM (
+            SELECT s.*, row_number() OVER (
+              PARTITION BY tid, ss, es
+              ORDER BY metric DESC, seq ASC) AS rn
+            FROM (SELECT a.*, {m} AS metric, {thr} AS thr
+                  FROM active_{k} a) s
+          ) WHERE rn = 1 AND metric > thr
+        ),
+        kept_{k + 1} AS (
+          SELECT * FROM kept_{k}
+          UNION ALL
+          SELECT tid, mseq, mx, my FROM best_{k}
+        ),
+        active_{k + 1} AS MATERIALIZED (
+          SELECT a.tid, a.seq, a.x, a.y,
+            CASE WHEN a.seq > b.mseq THEN b.mseq ELSE a.ss END AS ss,
+            CASE WHEN a.seq < b.mseq THEN b.mseq ELSE a.es END AS es,
+            CASE WHEN a.seq > b.mseq THEN b.mx ELSE a.sx END AS sx,
+            CASE WHEN a.seq > b.mseq THEN b.my ELSE a.sy END AS sy,
+            CASE WHEN a.seq < b.mseq THEN b.mx ELSE a.ex END AS ex,
+            CASE WHEN a.seq < b.mseq THEN b.my ELSE a.ey END AS ey
+          FROM active_{k} a
+          JOIN best_{k} b
+            ON a.tid = b.tid AND a.ss = b.ss AND a.es = b.es
+          WHERE a.seq <> b.mseq
+        )""")
+    parts.append(f"""
+        SELECT tid, seq, x, y FROM kept_{rounds}
+        UNION ALL
+        SELECT tid, seq, x, y FROM active_{rounds}""")
+    return "".join(parts)
+
+
+def q_douglas_peucker(spark, sf_dir):
+    """Trajectory simplification (spatial/simplify.py douglas_peucker):
+    round-synchronous DP over interval state rows — no range join,
+    each round one argmax groupBy + one split join; exact integer
+    cross^2 > eps2*len2 comparisons, (max metric, min seq) tie-break,
+    depth-cap keeps unproven points. Oracle = the same 12 rounds
+    unrolled into MATERIALIZED CTEs."""
+    from cartwright_spark.spatial.simplify import douglas_peucker
+    cust = _t(spark, sf_dir, "customer")
+    pts = cust.select((F.col("c_custkey") % 40).alias("tid"),
+                      F.col("c_custkey").alias("seq"),
+                      ((F.col("c_custkey") * 13) % 200).alias("x"),
+                      ((F.col("c_custkey") * 29) % 200).alias("y"))
+    return douglas_peucker(pts, eps2=900, max_depth=12)
+
+
 def q_contour_segments(spark, sf_dir):
     """Raster -> vector: marching-squares isoline at level 2 over the
     customer-count grid (spatial/contour.py marching_squares — ONE
@@ -2332,6 +2419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_polygons": q_rasterize_polygons,
         "suffix_array": q_suffix_array,
         "contour_segments": q_contour_segments,
+        "douglas_peucker": q_douglas_peucker,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2584,6 +2672,7 @@ def oracle_sql() -> dict[str, str]:
     _sde = _sde_sql_fn()
     return {
         "contour_segments": _contour_oracle_sql(),
+        "douglas_peucker": _dp_oracle_sql(),
         "suffix_array": """
             WITH s AS (
               SELECT substr(string_agg(text, chr(10) ORDER BY doc_id),
