@@ -461,7 +461,12 @@ def prefix_jaccard_join(df: DataFrame, id_col: str = "doc_id",
     t = float(threshold)
     eps = 1e-9
 
-    grams = (_word_gram_sets(df, text_col, id_col, n)
+    # single-file-source guard (third measured sighting of this trap):
+    # the interpreted transform() gram build otherwise runs in ONE task
+    # on a one-file corpus — measured 8->32 cores speedup 1.02x at sf1
+    # before this line, the tokenizer being the serial term
+    from cartwright_spark.functions.partitioning import fan_out
+    grams = (_word_gram_sets(fan_out(df), text_col, id_col, n)
              .withColumn("L", F.size("grams"))
              .localCheckpoint(eager=True))
 
