@@ -2349,6 +2349,22 @@ def q_contour_segments(spark, sf_dir):
     return marching_squares(grid, level=2)
 
 
+def q_cusum_changepoint(spark, sf_dir):
+    """Per-user mean-shift change point over the event stream
+    (operators/changepoint.py cusum_changepoint): integer-exact CUSUM
+    T_k = n*S_k - k*S_n, argmax |T_k| with smallest-k tie-break, ONE
+    user-key window + a partitioning-reusing argmax. Values in cents
+    (round before bigint cast — the double->bigint trunc/round engine
+    difference)."""
+    from cartwright_spark.operators.changepoint import cusum_changepoint
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("grp"), "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("x"))
+    out = cusum_changepoint(ev)
+    return out.select("grp", "n", "k_star", "ts_split", "stat",
+                      F.round("shift", 7).alias("shift"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -2420,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_array": q_suffix_array,
         "contour_segments": q_contour_segments,
         "douglas_peucker": q_douglas_peucker,
+        "cusum_changepoint": q_cusum_changepoint,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2673,6 +2690,39 @@ def oracle_sql() -> dict[str, str]:
     return {
         "contour_segments": _contour_oracle_sql(),
         "douglas_peucker": _dp_oracle_sql(),
+        "cusum_changepoint": """
+            WITH e AS (
+              SELECT user_id AS grp, ts,
+                     CAST(round(value * 100) AS BIGINT) AS x
+              FROM events WHERE value IS NOT NULL
+            ),
+            b AS (
+              SELECT grp, ts, x,
+                     row_number() OVER w AS k,
+                     CAST(sum(x) OVER w AS BIGINT) AS s
+              FROM e WINDOW w AS (PARTITION BY grp ORDER BY ts, x)
+            ),
+            t AS (
+              SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sn
+              FROM e GROUP BY 1
+            ),
+            sc AS (
+              SELECT b.grp, b.ts, CAST(b.k AS BIGINT) AS k, t.n,
+                     abs(t.n * b.s - b.k * t.sn) AS a
+              FROM b JOIN t USING (grp) WHERE b.k < t.n
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY grp ORDER BY a DESC, k ASC) AS rn
+              FROM sc
+            )
+            SELECT grp, n, k AS k_star, ts AS ts_split,
+                   CAST(a AS BIGINT) AS stat,
+                   round(CAST(a AS DOUBLE)
+                         / CAST(k * (n - k) AS DOUBLE), 7) AS shift
+            FROM r WHERE rn = 1
+        """,
         "suffix_array": """
             WITH s AS (
               SELECT substr(string_agg(text, chr(10) ORDER BY doc_id),

@@ -66,7 +66,7 @@ CONTRACT_BENCH_QUERIES = (
     "deletion_join", "prefix_jaccard", "boilerplate_lines",
     "funnel_steps", "convex_hull", "isotonic_fit",
     "gini_concentration", "rasterize_polygons", "suffix_array",
-    "contour_segments", "douglas_peucker",
+    "contour_segments", "douglas_peucker", "cusum_changepoint",
 )
 
 
