@@ -2206,6 +2206,115 @@ def q_suffix_array(spark, sf_dir):
     return suffix_array(chars)
 
 
+def _raster_ctes_sql() -> str:
+    """Shared WITH-body for the rasterize_polygons oracle and the
+    dissolve_boundary composition (n .. hits CTEs)."""
+    return """
+            WITH n AS (
+              SELECT CAST(n_nationkey AS BIGINT) AS pid,
+                     CAST(10 + (n_nationkey % 5) * 3 AS BIGINT) AS s,
+                     CAST((n_nationkey * 17) % 50 AS BIGINT) AS cx,
+                     CAST((n_nationkey * 29) % 50 AS BIGINT) AS cy
+              FROM nation
+            ),
+            verts AS (
+              SELECT pid, 0 AS ring, t.i, 6 AS nv,
+                     cx + CASE t.i WHEN 0 THEN 0 WHEN 1 THEN 2*s
+                                   WHEN 2 THEN 2*s WHEN 3 THEN s
+                                   WHEN 4 THEN s ELSE 0 END AS vx,
+                     cy + CASE t.i WHEN 0 THEN 0 WHEN 1 THEN 0
+                                   WHEN 2 THEN s WHEN 3 THEN s
+                                   WHEN 4 THEN 2*s ELSE 2*s END AS vy
+              FROM n, unnest([0, 1, 2, 3, 4, 5]) AS t(i)
+              UNION ALL
+              SELECT pid, 1, t.i, 4,
+                     cx + CASE t.i WHEN 0 THEN 2 WHEN 1 THEN 5
+                                   WHEN 2 THEN 5 ELSE 2 END,
+                     cy + CASE t.i WHEN 0 THEN 2 WHEN 1 THEN 2
+                                   WHEN 2 THEN 5 ELSE 5 END
+              FROM n, unnest([0, 1, 2, 3]) AS t(i)
+              WHERE pid % 2 = 0
+            ),
+            edges AS (
+              SELECT a.pid, a.vx AS x1, a.vy AS y1,
+                     b.vx AS x2, b.vy AS y2
+              FROM verts a JOIN verts b
+                ON a.pid = b.pid AND a.ring = b.ring
+               AND b.i = (a.i + 1) % a.nv
+            ),
+            cells AS (
+              SELECT pid,
+                     unnest(generate_series(cx, cx + 2*s - 1)) AS gx,
+                     cy, s
+              FROM n
+            ),
+            cells2 AS (
+              SELECT pid, gx,
+                     unnest(generate_series(cy, cy + 2*s - 1)) AS gy
+              FROM cells
+            ),
+            hits AS (
+              SELECT c.pid, c.gx, c.gy,
+                     sum(CASE WHEN ((2*e.y1 > 2*c.gy + 1)
+                                    <> (2*e.y2 > 2*c.gy + 1))
+                               AND CASE WHEN e.y2 > e.y1
+                                   THEN (2*c.gx + 1 - 2*e.x1)
+                                          * (2*e.y2 - 2*e.y1)
+                                        < (2*c.gy + 1 - 2*e.y1)
+                                          * (2*e.x2 - 2*e.x1)
+                                   ELSE (2*c.gx + 1 - 2*e.x1)
+                                          * (2*e.y2 - 2*e.y1)
+                                        > (2*c.gy + 1 - 2*e.y1)
+                                          * (2*e.x2 - 2*e.x1)
+                                   END
+                              THEN 1 ELSE 0 END) AS k
+              FROM cells2 c JOIN edges e ON c.pid = e.pid
+              GROUP BY 1, 2, 3
+            )"""
+
+
+def _dissolve_oracle_sql() -> str:
+    from cartwright_spark.spatial.contour import case_segments_sql
+    return _raster_ctes_sql() + f""",
+        rast AS (
+          SELECT pid, gx, gy FROM hits WHERE k % 2 = 1
+        ),
+        mask AS (
+          SELECT DISTINCT gx AS x, gy AS y, CAST(1 AS BIGINT) AS v
+          FROM rast
+        ),
+        mcorner AS (
+          SELECT m.x - d.ox AS bx, m.y - d.oy AS by, d.k, m.v
+          FROM mask m,
+               (VALUES (0, 0, 0), (1, 0, 1), (1, 1, 2), (0, 1, 3))
+                 AS d(ox, oy, k)
+        ),
+        mblocks AS (
+          SELECT bx, by,
+                 coalesce(max(CASE WHEN k = 0 THEN v END), 0) AS v0,
+                 coalesce(max(CASE WHEN k = 1 THEN v END), 0) AS v1,
+                 coalesce(max(CASE WHEN k = 2 THEN v END), 0) AS v2,
+                 coalesce(max(CASE WHEN k = 3 THEN v END), 0) AS v3
+          FROM mcorner GROUP BY 1, 2
+        ),
+        mcased AS (
+          SELECT bx, by,
+                 CAST((CASE WHEN v0 >= 1 THEN 1 ELSE 0 END)
+                      + 2 * (CASE WHEN v1 >= 1 THEN 1 ELSE 0 END)
+                      + 4 * (CASE WHEN v2 >= 1 THEN 1 ELSE 0 END)
+                      + 8 * (CASE WHEN v3 >= 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS case_id
+          FROM mblocks
+        )
+        SELECT c.bx, c.by, c.case_id,
+               2 * c.bx + segs.dx1 AS x1, 2 * c.by + segs.dy1 AS y1,
+               2 * c.bx + segs.dx2 AS x2, 2 * c.by + segs.dy2 AS y2
+        FROM mcased c JOIN {case_segments_sql()}
+          ON c.case_id = segs.case_id
+        WHERE c.case_id > 0 AND c.case_id < 15
+    """
+
+
 def _contour_oracle_sql() -> str:
     from cartwright_spark.spatial.contour import case_segments_sql
     return f"""
@@ -2334,6 +2443,43 @@ def q_douglas_peucker(spark, sf_dir):
     return douglas_peucker(pts, eps2=900, max_depth=12)
 
 
+def q_dissolve_boundary(spark, sf_dir):
+    """Polygon UNION via raster dissolve + re-vectorization — the
+    composed roundtrip: rasterize the 25 L-shape-with-hole nation
+    polygons (spatial/raster.py), dissolve overlaps with one DISTINCT
+    on the cell mask, then extract the union's vector boundary with
+    marching squares (spatial/contour.py) at level 1. This is the
+    standard scalable cascaded-union substitute: exact on the cell
+    grid, one extra shuffle (the distinct) over the two primitives.
+    Output columns are the contour schema minus per-polygon identity
+    (the union has none)."""
+    from cartwright_spark.spatial.contour import marching_squares
+    from cartwright_spark.spatial.raster import rasterize_polygons
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("pid"))
+    n = n.select(
+        "pid",
+        (10 + (F.col("pid") % 5) * 3).alias("s"),
+        ((F.col("pid") * 17) % 50).alias("cx"),
+        ((F.col("pid") * 29) % 50).alias("cy"))
+    cx, cy, s = F.col("cx"), F.col("cy"), F.col("s")
+    outer = n.select(
+        "pid",
+        F.array(cx, cx + 2 * s, cx + 2 * s, cx + s, cx + s, cx)
+        .alias("xs"),
+        F.array(cy, cy, cy + s, cy + s, cy + 2 * s, cy + 2 * s)
+        .alias("ys"))
+    hole = n.where(F.col("pid") % 2 == 0).select(
+        "pid",
+        F.array(cx + 2, cx + 5, cx + 5, cx + 2).alias("xs"),
+        F.array(cy + 2, cy + 2, cy + 5, cy + 5).alias("ys"))
+    cells = rasterize_polygons(outer.unionByName(hole), id_col="pid")
+    mask = (cells.select("gx", "gy").distinct()
+            .select(F.col("gx").alias("x"), F.col("gy").alias("y"),
+                    F.lit(1).alias("v")))
+    return marching_squares(mask, level=1)
+
+
 def q_contour_segments(spark, sf_dir):
     """Raster -> vector: marching-squares isoline at level 2 over the
     customer-count grid (spatial/contour.py marching_squares — ONE
@@ -2437,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_segments": q_contour_segments,
         "douglas_peucker": q_douglas_peucker,
         "cusum_changepoint": q_cusum_changepoint,
+        "dissolve_boundary": q_dissolve_boundary,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2689,6 +2836,7 @@ def oracle_sql() -> dict[str, str]:
     _sde = _sde_sql_fn()
     return {
         "contour_segments": _contour_oracle_sql(),
+        "dissolve_boundary": _dissolve_oracle_sql(),
         "douglas_peucker": _dp_oracle_sql(),
         "cusum_changepoint": """
             WITH e AS (
@@ -2740,68 +2888,7 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS rank
             FROM ix, s
         """,
-        "rasterize_polygons": """
-            WITH n AS (
-              SELECT CAST(n_nationkey AS BIGINT) AS pid,
-                     CAST(10 + (n_nationkey % 5) * 3 AS BIGINT) AS s,
-                     CAST((n_nationkey * 17) % 50 AS BIGINT) AS cx,
-                     CAST((n_nationkey * 29) % 50 AS BIGINT) AS cy
-              FROM nation
-            ),
-            verts AS (
-              SELECT pid, 0 AS ring, t.i, 6 AS nv,
-                     cx + CASE t.i WHEN 0 THEN 0 WHEN 1 THEN 2*s
-                                   WHEN 2 THEN 2*s WHEN 3 THEN s
-                                   WHEN 4 THEN s ELSE 0 END AS vx,
-                     cy + CASE t.i WHEN 0 THEN 0 WHEN 1 THEN 0
-                                   WHEN 2 THEN s WHEN 3 THEN s
-                                   WHEN 4 THEN 2*s ELSE 2*s END AS vy
-              FROM n, unnest([0, 1, 2, 3, 4, 5]) AS t(i)
-              UNION ALL
-              SELECT pid, 1, t.i, 4,
-                     cx + CASE t.i WHEN 0 THEN 2 WHEN 1 THEN 5
-                                   WHEN 2 THEN 5 ELSE 2 END,
-                     cy + CASE t.i WHEN 0 THEN 2 WHEN 1 THEN 2
-                                   WHEN 2 THEN 5 ELSE 5 END
-              FROM n, unnest([0, 1, 2, 3]) AS t(i)
-              WHERE pid % 2 = 0
-            ),
-            edges AS (
-              SELECT a.pid, a.vx AS x1, a.vy AS y1,
-                     b.vx AS x2, b.vy AS y2
-              FROM verts a JOIN verts b
-                ON a.pid = b.pid AND a.ring = b.ring
-               AND b.i = (a.i + 1) % a.nv
-            ),
-            cells AS (
-              SELECT pid,
-                     unnest(generate_series(cx, cx + 2*s - 1)) AS gx,
-                     cy, s
-              FROM n
-            ),
-            cells2 AS (
-              SELECT pid, gx,
-                     unnest(generate_series(cy, cy + 2*s - 1)) AS gy
-              FROM cells
-            ),
-            hits AS (
-              SELECT c.pid, c.gx, c.gy,
-                     sum(CASE WHEN ((2*e.y1 > 2*c.gy + 1)
-                                    <> (2*e.y2 > 2*c.gy + 1))
-                               AND CASE WHEN e.y2 > e.y1
-                                   THEN (2*c.gx + 1 - 2*e.x1)
-                                          * (2*e.y2 - 2*e.y1)
-                                        < (2*c.gy + 1 - 2*e.y1)
-                                          * (2*e.x2 - 2*e.x1)
-                                   ELSE (2*c.gx + 1 - 2*e.x1)
-                                          * (2*e.y2 - 2*e.y1)
-                                        > (2*c.gy + 1 - 2*e.y1)
-                                          * (2*e.x2 - 2*e.x1)
-                                   END
-                              THEN 1 ELSE 0 END) AS k
-              FROM cells2 c JOIN edges e ON c.pid = e.pid
-              GROUP BY 1, 2, 3
-            )
+        "rasterize_polygons": _raster_ctes_sql() + """
             SELECT pid AS poly_id, gx, gy FROM hits WHERE k % 2 = 1
         """,
         "gini_concentration": """

@@ -71,3 +71,36 @@ def test_random_grid_parity_and_closed_loops(spark):
             deg[p] = deg.get(p, 0) + 1
     assert all(v % 2 == 0 for v in deg.values())
     assert got  # non-trivial
+
+
+def test_dissolve_roundtrip_union_of_overlapping_squares(spark):
+    # two overlapping squares: rasterize -> distinct mask -> contour
+    # must trace the OUTER union boundary only (no interior edges)
+    import pyspark.sql.functions as F
+    from cartwright_spark.spatial.raster import rasterize_polygons
+    polys = spark.createDataFrame(
+        [(1, [0, 4, 4, 0], [0, 0, 4, 4]),
+         (2, [2, 6, 6, 2], [2, 2, 6, 6])],
+        ["poly_id", "xs", "ys"])
+    cells = rasterize_polygons(polys)
+    mask = (cells.select("gx", "gy").distinct()
+            .select(F.col("gx").alias("x"), F.col("gy").alias("y"),
+                    F.lit(1).alias("v")))
+    segs = marching_squares(mask, level=1).collect()
+    # the union mask is the L-union of the two 4x4 squares = 28 cells
+    assert cells.select("gx", "gy").distinct().count() == 28
+    # exact parity with the python reference on the dissolved mask —
+    # interior edges (the squares' overlap region) must NOT appear
+    union_cells = [(r.x, r.y, 1) for r in
+                   mask.select(F.col("x"), F.col("y")).collect()]
+    got = {(r.bx, r.by, r.case_id, r.x1, r.y1, r.x2, r.y2) for r in segs}
+    assert got == _ref(union_cells, 1)
+    # boundary closes: every endpoint has even degree
+    deg = {}
+    for r in segs:
+        for p in ((r.x1, r.y1), (r.x2, r.y2)):
+            deg[p] = deg.get(p, 0) + 1
+    assert all(v % 2 == 0 for v in deg.values())
+    # and it is the 28-cell L-union's perimeter: 2*(6+6) - overlap
+    # notches = 24 unit edges -> 24 non-saddle boundary segments
+    assert len(segs) == 24
