@@ -2511,6 +2511,19 @@ def q_cusum_changepoint(spark, sf_dir):
                       F.round("shift", 7).alias("shift"))
 
 
+def q_cdc_dedup(spark, sf_dir):
+    """Content-defined chunking + cross-doc duplicated-span inventory
+    (operators/cdc.py): rolling-hash boundaries as pure window
+    arithmetic over a broadcast modpow table (p=31, M=1e9+7, w=16,
+    h%64==0), chunks reassembled and md5'd in the same doc-key
+    shuffle; rollup = one map-side-combinable groupBy on chunk hash.
+    Oracle rebuilds the identical hash chain with a RECURSIVE powers
+    CTE."""
+    from cartwright_spark.operators.cdc import cdc_dedup_stats
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return cdc_dedup_stats(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -2584,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "douglas_peucker": q_douglas_peucker,
         "cusum_changepoint": q_cusum_changepoint,
         "dissolve_boundary": q_dissolve_boundary,
+        "cdc_dedup": q_cdc_dedup,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2837,6 +2851,57 @@ def oracle_sql() -> dict[str, str]:
     return {
         "contour_segments": _contour_oracle_sql(),
         "dissolve_boundary": _dissolve_oracle_sql(),
+        "cdc_dedup": """
+            WITH RECURSIVE powers(pos, pw) AS (
+              SELECT 1, CAST(31 AS BIGINT)
+              UNION ALL
+              SELECT pos + 1, CAST((pw * 31) % 1000000007 AS BIGINT)
+              FROM powers WHERE pos < 2000
+            ),
+            chars AS (
+              SELECT doc_id,
+                     CAST(generate_subscripts(cs, 1) AS BIGINT) AS pos,
+                     unnest(cs) AS c
+              FROM (SELECT doc_id,
+                           str_split(substr(text, 1, 2000), '') AS cs
+                    FROM documents)
+            ),
+            t AS (
+              SELECT doc_id, pos, c,
+                     CAST((ascii(c) * pw) % 1000000007 AS BIGINT) AS t
+              FROM chars JOIN powers USING (pos)
+            ),
+            s1 AS (
+              SELECT doc_id, pos, c,
+                     CAST(sum(t) OVER w1 AS BIGINT) AS pk
+              FROM t WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            s2 AS (
+              SELECT doc_id, pos, c,
+                     CASE WHEN pos >= 16
+                           AND ((pk - coalesce(lag(pk, 16) OVER w2, 0))
+                                % 1000000007) % 64 = 0
+                          THEN 1 ELSE 0 END AS flag
+              FROM s1 WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            s3 AS (
+              SELECT doc_id, pos, c,
+                     CAST(sum(flag) OVER w3 - flag AS BIGINT) AS chunk_id
+              FROM s2 WINDOW w3 AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            chunks AS (
+              SELECT doc_id, chunk_id,
+                     CAST(count(*) AS BIGINT) AS n_chars,
+                     md5(string_agg(c, '' ORDER BY pos)) AS chunk_hash
+              FROM s3 GROUP BY 1, 2
+            )
+            SELECT chunk_hash,
+                   CAST(max(n_chars) AS BIGINT) AS n_chars,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM chunks
+            GROUP BY 1 HAVING count(*) > 1
+        """,
         "douglas_peucker": _dp_oracle_sql(),
         "cusum_changepoint": """
             WITH e AS (
