@@ -2480,6 +2480,68 @@ def q_dissolve_boundary(spark, sf_dir):
     return marching_squares(mask, level=1)
 
 
+def _compact_oracle_sql(z_max: int = 7) -> str:
+    parts = [_raster_ctes_sql() + f""",
+        rast AS (SELECT pid, gx, gy FROM hits WHERE k % 2 = 1),
+        l{z_max} AS MATERIALIZED (
+          SELECT DISTINCT gx AS tx, gy AS ty FROM rast
+        )"""]
+    for z in range(z_max, 0, -1):
+        parts.append(f""",
+        p{z} AS MATERIALIZED (
+          SELECT tx // 2 AS px, ty // 2 AS py
+          FROM l{z} GROUP BY 1, 2 HAVING count(*) = 4
+        ),
+        k{z} AS (
+          SELECT CAST({z} AS BIGINT) AS z, tx, ty FROM l{z} a
+          WHERE NOT EXISTS (
+            SELECT 1 FROM p{z} p
+            WHERE p.px = a.tx // 2 AND p.py = a.ty // 2)
+        ),
+        l{z - 1} AS MATERIALIZED (
+          SELECT px AS tx, py AS ty FROM p{z}
+        )""")
+    union = "\n        UNION ALL\n        ".join(
+        f"SELECT z, tx, ty FROM k{z}" for z in range(z_max, 0, -1))
+    parts.append(f"""
+        {union}
+        UNION ALL
+        SELECT CAST(0 AS BIGINT) AS z, tx, ty FROM l0""")
+    return "".join(parts)
+
+
+def q_compact_cells(spark, sf_dir):
+    """Hierarchical tile compaction of the dissolved polygon-union
+    mask (spatial/tiles.py compact_cells): complete 4-sibling groups
+    promote to parents recursively -> the minimal exact cover (H3
+    compactCells / S2 CellUnion normalization on the quadtree). One
+    counting groupBy + anti-join per level. Oracle = the levels
+    unrolled into MATERIALIZED CTEs over the shared rasterize CTEs."""
+    from cartwright_spark.spatial.raster import rasterize_polygons
+    from cartwright_spark.spatial.tiles import compact_cells
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("pid"))
+    n = n.select(
+        "pid",
+        (10 + (F.col("pid") % 5) * 3).alias("s"),
+        ((F.col("pid") * 17) % 50).alias("cx"),
+        ((F.col("pid") * 29) % 50).alias("cy"))
+    cx, cy, s = F.col("cx"), F.col("cy"), F.col("s")
+    outer = n.select(
+        "pid",
+        F.array(cx, cx + 2 * s, cx + 2 * s, cx + s, cx + s, cx)
+        .alias("xs"),
+        F.array(cy, cy, cy + s, cy + s, cy + 2 * s, cy + 2 * s)
+        .alias("ys"))
+    hole = n.where(F.col("pid") % 2 == 0).select(
+        "pid",
+        F.array(cx + 2, cx + 5, cx + 5, cx + 2).alias("xs"),
+        F.array(cy + 2, cy + 2, cy + 5, cy + 5).alias("ys"))
+    cells = rasterize_polygons(outer.unionByName(hole), id_col="pid")
+    mask = cells.select(F.col("gx").alias("tx"), F.col("gy").alias("ty"))
+    return compact_cells(mask, z_max=7)
+
+
 def q_contour_segments(spark, sf_dir):
     """Raster -> vector: marching-squares isoline at level 2 over the
     customer-count grid (spatial/contour.py marching_squares — ONE
@@ -2598,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint": q_cusum_changepoint,
         "dissolve_boundary": q_dissolve_boundary,
         "cdc_dedup": q_cdc_dedup,
+        "compact_cells": q_compact_cells,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2851,6 +2914,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "contour_segments": _contour_oracle_sql(),
         "dissolve_boundary": _dissolve_oracle_sql(),
+        "compact_cells": _compact_oracle_sql(),
         "cdc_dedup": """
             WITH RECURSIVE powers(pos, pw) AS (
               SELECT 1, CAST(31 AS BIGINT)

@@ -126,3 +126,64 @@ def adaptive_tiles(points: DataFrame, lat_col: str = "lat",
             .select("z", "tile_x", "tile_y", "n_points",
                     ((F.col("z") == z_max) & (F.col("n_points") > cap))
                     .alias("overflow")))
+
+
+def compact_cells(cells: DataFrame, z_max: int,
+                  x_col: str = "tx", y_col: str = "ty") -> DataFrame:
+    """Hierarchical cell-set compaction: -> the MINIMAL (z, tx, ty)
+    tile set covering exactly the input z_max cell set — every
+    complete 4-sibling group is replaced by its parent, recursively
+    (the H3 compactCells / S2 CellUnion normalization, on the
+    quadtree). Input duplicates are absorbed by a distinct.
+
+    Scale shape (the 100 TB audit):
+      1. One round per level, z_max rounds total: a round is ONE
+         map-side-combinable groupBy (parent) counting siblings, plus
+         a broadcast-able anti-join (complete parents are at most a
+         quarter of the level's cells). Cells shrink geometrically as
+         levels coarsen; per-round localCheckpoint truncates lineage.
+      2. Exactness: a parent promotes iff count(distinct children
+         present at this level) == 4 — children are distinct rows by
+         construction, so a plain count works.
+      3. Output invariant (tested): expanding the output back to
+         z_max reproduces the input set exactly, and no two output
+         cells are ancestor-related.
+    """
+    if z_max < 1:
+        raise ValueError("compact_cells: z_max must be >= 1")
+    # tile coords are non-negative by definition; /2-cast truncation
+    # and SQL floor-division disagree below zero, so reject early
+    neg_guard = F.when((F.col("tx") >= 0) & (F.col("ty") >= 0),
+                       F.col("tx")).otherwise(F.raise_error(F.lit(
+                           "compact_cells: negative tile coord")))
+    lvl = cells.select(F.col(x_col).cast("bigint").alias("tx"),
+                       F.col(y_col).cast("bigint").alias("ty")) \
+        .withColumn("tx", neg_guard) \
+        .distinct().localCheckpoint(eager=True)
+    kept = []
+    for z in range(z_max, 0, -1):
+        parents = (lvl.groupBy((F.col("tx") / 2).cast("bigint")
+                               .alias("px"),
+                               (F.col("ty") / 2).cast("bigint")
+                               .alias("py"))
+                   .agg(F.count("*").alias("n"))
+                   .where(F.col("n") == 4)
+                   .select("px", "py"))
+        stay = (lvl.join(parents,
+                         ((F.col("tx") / 2).cast("bigint")
+                          == F.col("px"))
+                         & ((F.col("ty") / 2).cast("bigint")
+                            == F.col("py")), "left_anti")
+                .select(F.lit(z).cast("bigint").alias("z"), "tx", "ty"))
+        kept.append(stay)
+        lvl = parents.select(F.col("px").alias("tx"),
+                             F.col("py").alias("ty")) \
+            .localCheckpoint(eager=True)
+        if lvl.isEmpty():
+            break
+    out = kept[0]
+    for k in kept[1:]:
+        out = out.unionByName(k)
+    root_z = z_max - len(kept)
+    return out.unionByName(
+        lvl.select(F.lit(root_z).cast("bigint").alias("z"), "tx", "ty"))

@@ -220,3 +220,60 @@ def test_adaptive_tiles_invariants(spark):
         z, tx, ty = r.z, r.tile_x, r.tile_y
         for up in range(1, z + 1):
             assert (z - up, tx >> up, ty >> up) not in keys
+
+
+# --- compact_cells (hierarchical cell-set compaction) ------------------
+
+
+def _expand(z, tx, ty, z_max):
+    if z == z_max:
+        return {(tx, ty)}
+    out = set()
+    for dx in (0, 1):
+        for dy in (0, 1):
+            out |= _expand(z + 1, 2 * tx + dx, 2 * ty + dy, z_max)
+    return out
+
+
+def test_compact_full_block_and_lone_cell(spark):
+    from cartwright_spark.spatial.tiles import compact_cells
+    cells = [(x, y) for x in range(4) for y in range(4)] + [(10, 10)]
+    df = spark.createDataFrame(cells, ["tx", "ty"])
+    got = sorted(map(tuple, compact_cells(df, 3).collect()))
+    assert got == [(1, 0, 0), (3, 10, 10)]
+
+
+def test_compact_roundtrip_and_ancestor_disjoint(spark):
+    import numpy as np
+    from cartwright_spark.spatial.tiles import compact_cells
+    rng = np.random.default_rng(5)
+    pts = {(int(x), int(y)) for x, y in rng.integers(0, 32, (600, 2))}
+    df = spark.createDataFrame(sorted(pts), ["tx", "ty"])
+    got = [tuple(r) for r in compact_cells(df, 5).collect()]
+    back = set()
+    for z, tx, ty in got:
+        exp = _expand(z, tx, ty, 5)
+        assert not back & exp  # output cells never overlap
+        back |= exp
+    assert back == pts
+    # no two output cells ancestor-related (stronger than disjoint
+    # expansion, implied by it — assert cell count strictly smaller)
+    assert len(got) <= len(pts)
+
+
+def test_compact_all_the_way_to_root(spark):
+    from cartwright_spark.spatial.tiles import compact_cells
+    cells = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(cells, ["tx", "ty"])
+    got = sorted(map(tuple, compact_cells(df, 2).collect()))
+    assert got == [(0, 0, 0)]  # the full z=2 grid is the root
+
+
+def test_compact_guards(spark):
+    import pytest as _pt
+    from cartwright_spark.spatial.tiles import compact_cells
+    df = spark.createDataFrame([(-1, 0)], ["tx", "ty"])
+    with _pt.raises(Exception, match="negative tile coord"):
+        compact_cells(df, 3).collect()
+    with _pt.raises(ValueError):
+        compact_cells(df, 0)
