@@ -2586,6 +2586,23 @@ def q_cdc_dedup(spark, sf_dir):
     return cdc_dedup_stats(docs)
 
 
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index drift per event type between the
+    first and second half of the event month (operators/drift.py
+    psi_drift): ONE (group, bucket) shuffle, buckets densified to all
+    20 bins (empty buckets still contribute under add-one smoothing),
+    totals from the metadata-scale rollup window. ln on bit-identical
+    double ratios in both engines."""
+    from cartwright_spark.operators.drift import psi_drift
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.col("value").alias("v"),
+        F.expr("ts < timestamp'2024-01-16'").alias("is_ref"))
+    out = psi_drift(ev, value_col="v", bin_width=5.0, n_bins=20)
+    return out.select("grp", "n_ref", "n_cur",
+                      F.round("psi", 7).alias("psi"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -2661,6 +2678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_boundary": q_dissolve_boundary,
         "cdc_dedup": q_cdc_dedup,
         "compact_cells": q_compact_cells,
+        "psi_drift": q_psi_drift,
         "bm25_scores": q_bm25_scores,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
@@ -2915,6 +2933,57 @@ def oracle_sql() -> dict[str, str]:
         "contour_segments": _contour_oracle_sql(),
         "dissolve_boundary": _dissolve_oracle_sql(),
         "compact_cells": _compact_oracle_sql(),
+        "psi_drift": """
+            WITH base AS (
+              SELECT event_type AS grp,
+                     CAST(least(greatest(
+                       floor(value / CAST(5.0 AS DOUBLE)), 0), 19)
+                       AS BIGINT) AS bucket,
+                     ts < TIMESTAMP '2024-01-16' AS is_ref
+              FROM events WHERE value IS NOT NULL
+            ),
+            cnt AS (
+              SELECT grp, bucket,
+                     CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END)
+                          AS BIGINT) AS c_ref,
+                     CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END)
+                          AS BIGINT) AS c_cur
+              FROM base GROUP BY 1, 2
+            ),
+            allb AS (
+              SELECT g.grp, CAST(u.b AS BIGINT) AS bucket
+              FROM (SELECT DISTINCT grp FROM cnt) g,
+                   unnest(generate_series(0, 19)) AS u(b)
+            ),
+            d AS (
+              SELECT f.grp, f.bucket,
+                     coalesce(c.c_ref, 0) AS c_ref,
+                     coalesce(c.c_cur, 0) AS c_cur
+              FROM allb f LEFT JOIN cnt c
+                ON f.grp = c.grp AND f.bucket = c.bucket
+            ),
+            t AS (
+              SELECT grp, c_ref, c_cur,
+                     CAST(sum(c_ref) OVER (PARTITION BY grp)
+                          AS BIGINT) AS n_ref,
+                     CAST(sum(c_cur) OVER (PARTITION BY grp)
+                          AS BIGINT) AS n_cur
+              FROM d
+            )
+            SELECT grp,
+                   CAST(max(n_ref) AS BIGINT) AS n_ref,
+                   CAST(max(n_cur) AS BIGINT) AS n_cur,
+                   round(sum(
+                     (CAST(c_ref + 1 AS DOUBLE)
+                        / CAST(n_ref + 20 AS DOUBLE)
+                      - CAST(c_cur + 1 AS DOUBLE)
+                        / CAST(n_cur + 20 AS DOUBLE))
+                     * ln((CAST(c_ref + 1 AS DOUBLE)
+                           / CAST(n_ref + 20 AS DOUBLE))
+                          / (CAST(c_cur + 1 AS DOUBLE)
+                             / CAST(n_cur + 20 AS DOUBLE)))), 7) AS psi
+            FROM t GROUP BY 1
+        """,
         "cdc_dedup": """
             WITH RECURSIVE powers(pos, pw) AS (
               SELECT 1, CAST(31 AS BIGINT)

@@ -67,7 +67,7 @@ CONTRACT_BENCH_QUERIES = (
     "funnel_steps", "convex_hull", "isotonic_fit",
     "gini_concentration", "rasterize_polygons", "suffix_array",
     "contour_segments", "douglas_peucker", "cusum_changepoint",
-    "dissolve_boundary", "cdc_dedup", "compact_cells",
+    "dissolve_boundary", "cdc_dedup", "compact_cells", "psi_drift",
 )
 
 
