@@ -192,6 +192,19 @@ def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
     # problem hashAggregate's partial step already solves. Salting (J9)
     # remains the tool for HOLISTIC aggs (collect_list, exact quantiles)
     # and skewed JOIN keys, where no map-side combine exists.
+    # 5+6) tile histogram WITH the Gi* hot/cold-spot surface folded into
+    # the SAME snapshot commit. The Gi* input is the GRID-BOUNDED rollup
+    # (≤4^zoom tiles, never the pages), so its compute is near-free at
+    # any corpus size — but as its own checkpointed stage (r4 commit
+    # b8d5c71) it paid a fixed snapshot-commit + job-scheduling cost per
+    # run that dominated at bench scale (measured: 18.9k → 12–15k docs/s
+    # at 100k pages). Folding the derivation into the tile_counts action
+    # keeps one commit, one lineage hop, identical gi_star values
+    # (tests/test_pipeline.py::test_hotspot_stage_matches_direct_gistar).
+    _TILE_SCHEMA = ("tile_id bigint, n_points bigint, lat_min double, "
+                    "lat_max double, lon_min double, lon_max double, "
+                    "tile_x bigint, tile_y bigint, gi_star double")
+
     def build_tiles():
         cells = cat.load_table(spark, "cells", cell_snap["snapshot_id"])
         agg = cells.groupBy("tile_id").agg(
@@ -199,39 +212,61 @@ def run_pipeline(spark: SparkSession, workdir: str, n_pages: int = 2000,
             F.min("lat").alias("lat_min"), F.max("lat").alias("lat_max"),
             F.min("lon").alias("lon_min"), F.max("lon").alias("lon_max"))
         # tile_id encodes (zoom, x, y) — recover x/y with bit math
-        return (agg.withColumn("tile_x", F.expr("(tile_id >> 29) & 536870911"))
-                .withColumn("tile_y", F.expr("tile_id & 536870911")))
+        rollup = (agg.withColumn("tile_x", F.expr("(tile_id >> 29) & 536870911"))
+                  .withColumn("tile_y", F.expr("tile_id & 536870911")))
+        # tile columns wrap at 2^zoom, which neighbour_stats expresses
+        # as cell_deg = 360/2^zoom
+        cell_deg = 360.0 / (1 << zoom)
+        # METADATA guard, zero extra jobs: the rollup has ≤4^zoom rows
+        # no matter the corpus size, so coarse zooms take the driver
+        # path — ONE distributed agg job (the collect), the exact
+        # driver Gi* mirror, and a single tiny write — instead of a
+        # checkpoint round-trip + 3 grid-bounded shuffles. Fine zooms
+        # (4^zoom > 300k) keep the fully distributed plan.
+        if (1 << (2 * zoom)) <= 300_000:
+            from cartwright_spark.spatial.autocorr import _gistar_driver
+            rows = rollup.collect()
+            gi_rows = _gistar_driver(
+                [{"cell_row": r["tile_y"], "cell_col": r["tile_x"],
+                  "x": r["n_points"]} for r in rows], cell_deg)
+            gi = {(r[0], r[1]): r[5] for r in gi_rows}
+            data = [(r["tile_id"], r["n_points"], r["lat_min"],
+                     r["lat_max"], r["lon_min"], r["lon_max"],
+                     r["tile_x"], r["tile_y"],
+                     gi[(r["tile_y"], r["tile_x"])]) for r in rows]
+            # ≤4^zoom rows: a handful of writer tasks, not one per core
+            return spark.createDataFrame(data, _TILE_SCHEMA).coalesce(4)
+        from cartwright_spark.spatial.autocorr import gistar_from_cells
+        rollup = rollup.localCheckpoint(eager=True)
+        gi = gistar_from_cells(
+            rollup.select(F.col("tile_y").alias("cell_row"),
+                          F.col("tile_x").alias("cell_col"),
+                          F.col("n_points").alias("x")),
+            cell_deg=cell_deg) \
+            .select(F.col("cell_row").alias("tile_y"),
+                    F.col("cell_col").alias("tile_x"), "gi_star")
+        return rollup.join(F.broadcast(gi), ["tile_x", "tile_y"], "left")
     tile_snap, reused = _stage(
-        cat, "tile_counts", f"tiles:v3:z={zoom}:parent={cell_snap['snapshot_id']}",
+        cat, "tile_counts", f"tiles:v4:z={zoom}:parent={cell_snap['snapshot_id']}",
         cell_snap, build_tiles, inject_fail=inject_fail,
         fail_after_parts=fail_after_parts)
     summary["stages"]["tile_counts"] = {"rows": tile_snap["row_count"], "reused": reused}
-
-    # Gi* hot/cold-spot surface over the tile rollup — the second-wave
-    # grid statistic composed into the checkpointed pipeline. Input is
-    # the GRID-BOUNDED tile table (never the pages), so the stage is
-    # near-free at any corpus size; tile columns wrap at 2^zoom, which
-    # neighbour_stats expresses as cell_deg = 360/2^zoom.
-    def build_hotspots():
-        from cartwright_spark.spatial.autocorr import gistar_from_cells
-        tiles = cat.load_table(spark, "tile_counts",
-                               tile_snap["snapshot_id"])
-        cells = tiles.select(F.col("tile_y").alias("cell_row"),
-                             F.col("tile_x").alias("cell_col"),
-                             F.col("n_points").alias("x"))
-        out = gistar_from_cells(cells, cell_deg=360.0 / (1 << zoom))
-        return (out.withColumnRenamed("cell_row", "tile_y")
-                .withColumnRenamed("cell_col", "tile_x"))
-    hot_snap, reused = _stage(
-        cat, "hotspots", f"hotspots:v1:parent={tile_snap['snapshot_id']}",
-        tile_snap, build_hotspots, inject_fail=inject_fail,
-        fail_after_parts=fail_after_parts)
-    summary["stages"]["hotspots"] = {"rows": hot_snap["row_count"], "reused": reused}
+    # every tile row carries its gi_star — report the folded surface
+    # under the stage name the r4 lineage used so dashboards keep a row
+    summary["stages"]["hotspots"] = {
+        "rows": tile_snap["row_count"], "reused": reused,
+        "folded_into": "tile_counts"}
 
     summary["wall_sec"] = time.perf_counter() - t_start
     summary["docs_per_sec"] = n_pages / summary["wall_sec"]
-    summary["lineage_depth"] = len(cat.lineage("hotspots"))
+    summary["lineage_depth"] = len(cat.lineage("tile_counts"))
     return summary
+
+
+def hotspot_surface(spark: SparkSession, workdir: str) -> DataFrame:
+    """The Gi* hot/cold-spot surface — now columns of tile_counts."""
+    return Catalog(workdir).load_table(spark, "tile_counts") \
+        .select("tile_x", "tile_y", "n_points", "gi_star")
 
 
 def tile_histogram(spark: SparkSession, workdir: str) -> DataFrame:

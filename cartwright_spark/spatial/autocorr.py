@@ -161,11 +161,28 @@ def getis_ord_gistar(points: DataFrame, lat_col: str = "lat",
         cell_counts(points, lat_col, lon_col, cell_deg), cell_deg)
 
 
-def gistar_from_cells(cells: DataFrame, cell_deg: float = 5.0) -> DataFrame:
+def gistar_from_cells(cells: DataFrame, cell_deg: float = 5.0,
+                      driver_threshold: int | None = None) -> DataFrame:
     """Gi* from an existing (cell_row, cell_col, x) rollup — the
     incremental-maintenance entry point: per-batch cell counts are
     algebraically mergeable (sum by cell), and everything downstream of
-    the counts is grid-bounded recomputation."""
+    the counts is grid-bounded recomputation.
+
+    driver_threshold: when set and count(cells) <= threshold, compute
+    the statistic on the driver (`_gistar_driver`) instead of the
+    3-shuffle distributed plan — the grid_cluster counted-guard
+    precedent. The rollup is grid-bounded, so callers that already
+    materialized it (the pipeline's tile stage) pay one cheap count and
+    save ~1 s of tiny-shuffle job latency per run; results are
+    bit-identical (tests/test_pipeline.py, test_autocorr.py). Callers
+    at fine grids (4^15 cells) leave it None and keep the distributed
+    plan — nothing here is ever proportional to the corpus."""
+    if driver_threshold is not None and cells.count() <= driver_threshold:
+        rows = cells.select("cell_row", "cell_col", "x").collect()
+        out = _gistar_driver(rows, cell_deg)
+        return cells.sparkSession.createDataFrame(
+            out, "cell_row bigint, cell_col bigint, x bigint, "
+                 "deg bigint, s bigint, gi_star double")
     per_cell = neighbour_stats(cells, cell_deg)
     stats = per_cell.agg(
         F.count(F.lit(1)).alias("n_cells"),
@@ -174,6 +191,47 @@ def gistar_from_cells(cells: DataFrame, cell_deg: float = 5.0) -> DataFrame:
     return (per_cell.crossJoin(F.broadcast(stats))
             .select("cell_row", "cell_col", "x", "deg", "s",
                     F.expr(gistar_sql()).alias("gi_star")))
+
+
+def _gistar_driver(rows, cell_deg: float) -> list[tuple]:
+    """Driver mirror of neighbour_stats + gistar_sql for counted-guard
+    grids. Every aggregate is an exact Python int (arbitrary precision,
+    so it can only be MORE exact than the distributed BIGINT path —
+    identical below 2^63), and the final float expression replays
+    gistar_sql() operation-for-operation in IEEE doubles, so the result
+    is bit-identical to the distributed plan."""
+    ncols = int(round(360.0 / float(cell_deg)))
+    occ = {(r["cell_row"], r["cell_col"]): r["x"] for r in rows}
+    n_cells = len(occ)
+    sx = 0
+    sxx = 0
+    for x in occ.values():
+        sx += x
+        sxx += x * x
+    n_d = float(n_cells)
+    xbar = float(sx) / n_d
+    s2 = max(float(sxx) / n_d - xbar * xbar, 0.0)
+    import math
+    sqrt_s2 = math.sqrt(s2)
+    out = []
+    for (r, c), x in occ.items():
+        deg = 0
+        s = 0
+        for dr, dc in _OFFS:
+            nx = occ.get((r + dr, (c + dc) % ncols))
+            if nx is not None:
+                deg += 1
+                s += nx
+        if n_cells - 1 == 0:
+            gi = None
+        else:
+            wi = float(deg + 1)
+            num = float(s + x) - xbar * wi
+            den = sqrt_s2 * math.sqrt(
+                (n_d * wi - wi * wi) / float(n_cells - 1))
+            gi = None if den == 0.0 else num / den
+        out.append((int(r), int(c), int(x), deg, s, gi))
+    return out
 
 
 def ripley_k(points: DataFrame, lat_col: str = "lat",

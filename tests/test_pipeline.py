@@ -81,10 +81,9 @@ def test_pipeline_resume_and_lineage(spark, tmp_path):
     assert s3["stages"]["extracted"]["reused"]
     assert not s3["stages"]["cells"]["reused"]
     cat = Catalog(wd)
-    chain = cat.lineage("hotspots")
+    chain = cat.lineage("tile_counts")
     assert [c["table"] for c in chain] == [
-        "hotspots", "tile_counts", "cells", "detections", "extracted",
-        "pages"]
+        "tile_counts", "cells", "detections", "extracted", "pages"]
     # per-file lineage present
     assert all(f["rows"] >= 0 for c in chain for f in c["files"])
 
@@ -340,6 +339,7 @@ def test_hotspot_stage_matches_direct_gistar(spark, tmp_path):
     wd = str(tmp_path / "hotspot_eq")
     s = run_pipeline(spark, wd, n_pages=500, zoom=8)
     assert s["stages"]["hotspots"]["rows"] > 0
+    assert s["stages"]["hotspots"]["folded_into"] == "tile_counts"
     cat = Catalog(wd)
     tiles = cat.load_table(spark, "tile_counts")
     direct = gistar_from_cells(
@@ -347,8 +347,7 @@ def test_hotspot_stage_matches_direct_gistar(spark, tmp_path):
                      F.col("tile_x").alias("cell_col"),
                      F.col("n_points").alias("x")),
         cell_deg=360.0 / 256).collect()
-    stored = cat.load_table(spark, "hotspots").collect()
-    key = lambda r: (r[0], r[1])
+    stored = tiles.select("tile_x", "tile_y", "gi_star").collect()
     assert ({(r["cell_row"], r["cell_col"]): r["gi_star"] for r in direct}
             == {(r["tile_y"], r["tile_x"]): r["gi_star"] for r in stored})
     # the 3 planted hot boxes must dominate the z-scores
