@@ -2185,7 +2185,11 @@ def q_suffix_array(spark, sf_dir):
     char) rows with global offsets from a metadata-sized length
     collect. Oracle = the definition: rank of substr(str, i) under
     DuckDB's binary collation (ASCII corpus, byte order == F.ascii
-    order). Rounds auto-stop when all ranks are distinct."""
+    order). Rounds auto-stop when all ranks are distinct. The oracle's
+    string_agg(text, chr(10)) separates BETWEEN docs only, so the
+    engine clamps the char filter to min(cap, total_len) — excluding
+    the appended separator after the LAST doc, keeping the two strings
+    identical even when the whole corpus is shorter than the cap."""
     from cartwright_spark.operators.suffix import suffix_array
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     cap = 8000
@@ -2202,7 +2206,8 @@ def q_suffix_array(spark, sf_dir):
                  F.split(F.concat("text", F.lit("\n")), "")
              ).alias("p", "c"))
              .select((F.col("off") + F.col("p") + 1).alias("i"), "c")
-             .where((F.col("i") <= cap) & (F.col("c") != "")))
+             .where((F.col("i") <= min(cap, run - 1))
+                    & (F.col("c") != "")))
     return suffix_array(chars)
 
 

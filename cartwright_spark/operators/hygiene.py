@@ -101,8 +101,10 @@ def remove_boilerplate_lines(docs: DataFrame, id_col: str = "doc_id",
       2. The flagged-line dim (df >= threshold) is VASTLY smaller than
          the line table — boilerplate is by definition repeated — and
          usually broadcastable; we join lines->flags on the line's
-         xxhash64 (8-byte keys, not page-width strings, through the
-         shuffle).
+         xxhash64 (8-byte keys lead the lookup) AND the normalized
+         string itself, so a 64-bit collision with a flagged line can
+         never delete an innocent line: the hash is the cheap key, the
+         norm equality is the exactness guarantee.
       3. Rejoin is one groupBy(id) with sort_array over (pos, line)
          structs — a single corpus shuffle; no window, no Python.
       4. Removal is flag-based (left join + filter inside the
@@ -118,12 +120,12 @@ def remove_boilerplate_lines(docs: DataFrame, id_col: str = "doc_id",
     ).withColumn("norm", F.lower(F.trim("line"))) \
      .withColumn("h", F.xxhash64("norm"))
 
-    flagged = (lines.select("h", "id").distinct()
-               .groupBy("h").agg(F.count("*").alias("line_df"))
+    flagged = (lines.select("h", "norm", "id").distinct()
+               .groupBy("h", "norm").agg(F.count("*").alias("line_df"))
                .where(F.col("line_df") >= min_doc_freq)
-               .select("h", F.lit(True).alias("is_boiler")))
+               .select("h", "norm", F.lit(True).alias("is_boiler")))
 
-    tagged = (lines.join(F.broadcast(flagged), "h", "left")
+    tagged = (lines.join(F.broadcast(flagged), ["h", "norm"], "left")
               .withColumn("is_boiler",
                           F.coalesce("is_boiler", F.lit(False))))
 

@@ -84,12 +84,26 @@ def gini_concentration(df: DataFrame, group_col: str = "grp",
             ys = np.sort(g["y"].to_numpy(np.int64))
             r = len(ys)
             off = offsets[(pid, grp)]
-            total = int(ys.sum())
+            mx = int(ys[-1]) if r else 0
+            # even a SINGLE idx*y product is bounded only by r * max_y:
+            # past int64 it wraps silently no matter how small the
+            # chunk, so exactness demands a hard raise (rescale, don't
+            # degrade) — same stance as hull.py's coordinate guard
+            if r and r * mx >= 2**62:
+                raise ValueError(
+                    "gini_concentration: rank*value product "
+                    f"(n={r}, max_y={mx}) exceeds the int64-exact "
+                    "bound; rescale values to smaller units")
+            # chunked exact total: each chunk partial <= chunk_t*max_y
+            # stays inside int64; accumulate in Python ints
+            chunk_t = max(1, int(2**62 // max(mx, 1)))
+            total = 0
+            for lo in range(0, r, chunk_t):
+                total += int(ys[lo:lo + chunk_t].sum())
             # vectorized local sum(i * y) in int64, chunked so each
             # chunk's partial (<= chunk * r * max_y) cannot overflow;
             # accumulate + the off*total term in exact Python ints
-            mx = int(ys[-1]) if r else 0
-            chunk = max(1, int(8 * 10**18 // max(1, r * max(mx, 1))))
+            chunk = max(1, int(2**62 // max(1, r * max(mx, 1))))
             idx = np.arange(1, r + 1, dtype=np.int64)
             iy = 0
             for lo in range(0, r, chunk):

@@ -42,6 +42,20 @@ from pyspark.sql import functions as F
 
 _CHUNK = 1 << 18
 
+# Working coords are scaled x2 and the crossing test multiplies two
+# coordinate differences, so products are bounded by (4*|coord|)^2;
+# |coord| < 5e8 keeps them inside int64 (4e9^2 ≈ 1.6e19 would wrap, so
+# the bound is enforced, not advisory — mirrors hull.py's guard).
+_COORD_LIMIT = 500_000_000
+
+
+def _guard_coords(col, name: str):
+    bound = F.greatest(F.abs(F.array_max(col)), F.abs(F.array_min(col)))
+    return (F.when(bound < F.lit(_COORD_LIMIT), col)
+            .otherwise(F.raise_error(F.lit(
+                f"rasterize_polygons: |{name}| too large for exact "
+                f"int64 crossing products (limit {_COORD_LIMIT})"))))
+
 
 def _crossings(cx, cy, xs, ys):
     """Vectorized even-odd crossing counts: cells (odd scaled coords) x
@@ -88,10 +102,13 @@ def rasterize_polygons(polys: DataFrame,
     """-> (poly_id, gx, gy): unit cells whose center (gx+0.5, gy+0.5)
     is inside the polygon by the even-odd rule over ALL its rings.
     ``polys``: one row per ring, integer vertex arrays (closing edge
-    last->first implicit). |coords| < ~5e8 for exact int64 products."""
-    rings = polys.select(F.col(id_col).cast("bigint").alias("poly_id"),
-                         F.col(xs_col).cast("array<bigint>").alias("xs"),
-                         F.col(ys_col).cast("array<bigint>").alias("ys"))
+    last->first implicit). |coords| < 5e8 for exact int64 products —
+    ENFORCED via raise_error (silent int64 wrap would flip crossing
+    parities; same guard pattern as hull.py:_COORD_LIMIT)."""
+    rings = polys.select(
+        F.col(id_col).cast("bigint").alias("poly_id"),
+        _guard_coords(F.col(xs_col).cast("array<bigint>"), "x").alias("xs"),
+        _guard_coords(F.col(ys_col).cast("array<bigint>"), "y").alias("ys"))
 
     bbox = (rings.groupBy("poly_id")
             .agg(F.min(F.array_min("xs")).alias("x0"),
