@@ -1464,7 +1464,10 @@ def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs over the deterministic near-dup fixture
     corpus (sources/fixtures.py — planted 1-3-token mutations); signatures
     and band hashes are engine-defined, so the oracle is the golden pair
-    set locked by scripts/gen_goldens.py. Scale-throughput for this
+    set locked by scripts/gen_goldens.py. Runs the skew-safe DEFAULT
+    (max_bucket=2000, VERDICT r4 item 1) — on this fixture every band
+    bucket is far below the cap, so capped and exact enumeration are
+    value-identical and the golden locks both. Scale-throughput for this
     operator is benched separately over the real documents table."""
     from cartwright_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
     from cartwright_spark.sources.fixtures import near_dup_corpus_pdf

@@ -165,7 +165,7 @@ def minhash_signatures_sql(df: DataFrame, text_col: str = "text",
 
 def minhash_lsh_pairs(signatures: DataFrame, bands: int = 16,
                       jaccard_threshold: float = 0.7,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = 2000) -> DataFrame:
     """Candidate pairs via banding (explode → equi-join on band bucket),
     verified by estimated Jaccard = matching-minhash fraction.
 
@@ -177,12 +177,17 @@ def minhash_lsh_pairs(signatures: DataFrame, bands: int = 16,
     pair enumeration is inherently Θ(bucket²) rows, and the skew bench's
     10k-doc near-dup megacluster yields ~8·10⁸ candidates (~13,000× the
     uniform corpus) — measured as a watchdog timeout in
-    scripts/skew_bench.py. `max_bucket` is the standard crawl-dedup
-    mitigation: buckets larger than the cap are EXCLUDED from pair
-    enumeration (their pairs are redundant boilerplate for dedup; the
-    linear-output path for such clusters is `minhash_dedup_assign`).
-    None preserves exact enumeration semantics (the contract/golden
-    default)."""
+    scripts/skew_bench.py. `max_bucket` (DEFAULT 2000 — the skew-safe
+    crawl-dedup setting, VERDICT r4 item 1) is the standard mitigation:
+    buckets larger than the cap are EXCLUDED from pair enumeration
+    (their pairs are redundant boilerplate for dedup; the linear-output
+    path for such clusters is `minhash_dedup_assign`). Pass
+    ``max_bucket=None`` to OPT IN to exact Θ(bucket²) enumeration —
+    correct, but a 10k-doc megacluster emits ~5·10⁷ true pairs, so only
+    do it when the pair list itself is the product and the corpus is
+    known boilerplate-free. The cap costs one extra grid-bounded
+    count-agg shuffle on the banded rows; a 2000-doc bucket still
+    enumerates ≤2·10⁶ pairs per band, inside one task's budget."""
     num_perm = None  # derived per row; bands must divide num_perm
     rows_per_band = F.floor(F.size("signature") / bands).cast("int")
     banded = (

@@ -133,6 +133,9 @@ def run(sf_dir: str, out_path: str, per_q: float, repeats: int) -> None:
         timed("s2_tile_rollup", s2_rollup)
 
     def minhash():
+        # the DEFAULT form — max_bucket=2000 skew-safe cap since r5
+        # (VERDICT r4 item 1); uncapped exact enumeration is the
+        # explicit opt-in benched as minhash_lsh_uncapped below
         from cartwright_spark.operators.dedup import (minhash_lsh_pairs,
                                                       minhash_signatures)
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -141,6 +144,17 @@ def run(sf_dir: str, out_path: str, per_q: float, repeats: int) -> None:
             .write.format("noop").mode("overwrite").save()
     if want("minhash_lsh"):
         timed("minhash_lsh", minhash)
+
+    def minhash_uncapped():
+        from cartwright_spark.operators.dedup import (minhash_lsh_pairs,
+                                                      minhash_signatures)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sigs = minhash_signatures(docs, "text", "doc_id", num_perm=64)
+        minhash_lsh_pairs(sigs, bands=16, jaccard_threshold=0.7,
+                          max_bucket=None) \
+            .write.format("noop").mode("overwrite").save()
+    if want("minhash_lsh_uncapped"):
+        timed("minhash_lsh_uncapped", minhash_uncapped)
 
     def minhash_capped():
         from cartwright_spark.operators.dedup import (minhash_lsh_pairs,
