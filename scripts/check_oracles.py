@@ -47,6 +47,9 @@ def value_hash(pdf) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="sf0.01")
+    ap.add_argument("--json", default=None,
+                    help="write a per-query summary JSON (the CI-style "
+                         "whole-list artifact, e.g. ORACLES_LOCAL_r05.json)")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
     sf_dir = f"/root/testdata/{args.sf}"
@@ -71,21 +74,27 @@ def main() -> int:
     oracles = m.oracle_sql()
     names = args.names or list(qs)
     bad = 0
+    results: dict[str, dict] = {}
     for name in names:
         try:
             sdf = qs[name](spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"{name}: SPARK ERROR {type(e).__name__}: {e}")
+            results[name] = {"status": "spark_error",
+                             "err": f"{type(e).__name__}: {e}"[:300]}
             bad += 1
             continue
         if name not in oracles:
             print(f"{name}: NO_ORACLE rows={len(sdf)}")
+            results[name] = {"status": "no_oracle", "rows": len(sdf)}
             bad += 1
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ORACLE ERROR {type(e).__name__}: {e}")
+            results[name] = {"status": "oracle_error",
+                             "err": f"{type(e).__name__}: {e}"[:300]}
             bad += 1
             continue
         rows_ok = len(sdf) == len(odf)
@@ -94,9 +103,22 @@ def main() -> int:
         status = "OK" if (rows_ok and schema_ok and hash_ok) else "FAIL"
         if status == "FAIL":
             bad += 1
+        results[name] = {"status": "ok" if status == "OK" else "fail",
+                         "rows": len(sdf), "oracle_rows": len(odf),
+                         "schema": schema_ok, "hash": hash_ok}
         print(f"{name}: {status} rows={len(sdf)}/{len(odf)} "
               f"schema={schema_ok} hash={hash_ok}")
     print(f"--- {len(names) - bad}/{len(names)} green")
+    if args.json:
+        summary = {
+            "sf": args.sf,
+            "total": len(names),
+            "green": len(names) - bad,
+            "queries": results,
+        }
+        with open(args.json, "w", encoding="utf-8") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {args.json}")
     return 1 if bad else 0
 
 
