@@ -68,6 +68,7 @@ CONTRACT_BENCH_QUERIES = (
     "gini_concentration", "rasterize_polygons", "suffix_array",
     "contour_segments", "douglas_peucker", "cusum_changepoint",
     "dissolve_boundary", "cdc_dedup", "compact_cells", "psi_drift",
+    "multimodal_video_frames",
 )
 
 

@@ -165,9 +165,13 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         from cartwright_spark.operators.gif import decode_gif
         return decode_gif(payload)[0][1]   # first frame as a still
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from cartwright_spark.operators.avi import decode_avi_mjpeg
+        from cartwright_spark.operators.jpeg import decode_jpeg
+        return decode_jpeg(decode_avi_mjpeg(payload).frames[0])
     raise NotImplementedError(
-        "only PNG, baseline JPEG, and GIF decode in this environment "
-        "(from-scratch decoders); true video still raises — pass "
+        "only PNG, baseline JPEG, GIF, and MJPEG-AVI decode in this "
+        "environment (from-scratch decoders); other codecs raise — pass "
         "fake=True for the deterministic test decoder or plug a codec "
         "in here")
 
@@ -250,6 +254,54 @@ def resize_images(media: DataFrame, width: int = 4, height: int = 4,
     return fan_out(media.where(F.col("kind") == "image")
                    .select("media_id", "kind", "payload")) \
         .mapInPandas(fn, RESIZED_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame", T.IntegerType(), False),
+    T.StructField("t_ms", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("raster", T.BinaryType(), False),
+])
+
+
+def video_frames(media: DataFrame, every_ms: int | None = None) -> DataFrame:
+    """REAL video frame extraction (operators/avi.py + jpeg.py): each
+    MJPEG-AVI payload is container-parsed, its frames JPEG-decoded, and
+    one row per (sampled) frame emitted with the EXACT bitstream timing
+    (dwScale/dwRate rational from the stream header). `every_ms=None`
+    decodes every frame; otherwise one frame per window via
+    avi.sample_frame_indices — frame-sample made real, superseding the
+    plan-only frame_sample_plan for MJPEG payloads.
+
+    Scale shape: mapInPandas over fan_out'ed binary rows — map-only, no
+    shuffle; only the sampled frames are JPEG-decoded (the container
+    walk itself never entropy-decodes), so every_ms bounds decode cost
+    per video regardless of frame count."""
+    from cartwright_spark.operators.avi import (decode_avi_mjpeg,
+                                                sample_frame_indices)
+    from cartwright_spark.operators.jpeg import decode_jpeg
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"].to_numpy(),
+                                    pdf["payload"]):
+                vid = decode_avi_mjpeg(bytes(payload))
+                idxs = (range(vid.n_frames) if every_ms is None
+                        else sample_frame_indices(vid, every_ms))
+                for i in idxs:
+                    raster = decode_jpeg(vid.frames[i])
+                    rows.append((int(mid), int(i), vid.frame_t_ms(i),
+                                 raster.shape[1], raster.shape[0],
+                                 raster.tobytes()))
+            yield pd.DataFrame(rows, columns=[
+                f.name for f in VIDEO_FRAME_SCHEMA.fields])
+
+    from cartwright_spark.functions.partitioning import fan_out
+    return fan_out(media.select("media_id", "payload")) \
+        .mapInPandas(fn, VIDEO_FRAME_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
