@@ -2668,6 +2668,73 @@ def q_psi_drift(spark, sf_dir):
                       F.round("psi", 7).alias("psi"))
 
 
+def _html_table_pages(spark, sf_dir):
+    """Synthesize one Common-Crawl-style page per document carrying two
+    <table>s: a header+2-data-row grid whose columns are a station string,
+    a latitude, and a year (all values integer arithmetic on doc_id so the
+    DuckDB oracle rebuilds byte-identical HTML with || concatenation), and
+    a second table exercising nested tags + entities in cells."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    lat1 = (d % 181 - 90).cast("string")
+    lat2 = F.concat(((d * 7) % 179 - 89).cast("string"),
+                    F.lit("."), (d % 10).cast("string"))
+    yr1 = (d % 301 + 1800).cast("string")
+    yr2 = ((d * 3) % 301 + 1800).cast("string")
+    html = F.concat(
+        F.lit('<html><body><h1>doc</h1><table class="d"><tr><th>station'
+              '</th><th>lat</th><th>year</th></tr><tr><td>st-'),
+        d.cast("string"),
+        F.lit("</td><td>"), lat1, F.lit("</td><td>"), yr1,
+        F.lit("</td></tr><tr><td>st &amp; co</td><td>"), lat2,
+        F.lit("</td><td>"), yr2,
+        F.lit("</td></tr></table><p>noise</p><table><tr>"
+              "<td> <b>bold</b> cell </td><td>42.5</td></tr></table>"
+              "</body></html>"))
+    return docs.select("doc_id", html.alias("html"))
+
+
+def q_html_table_cells(spark, sf_dir):
+    """HTML <table> extraction into a (doc, table, row, col, cell) grid
+    (operators/tables.py extract_html_tables) — the bridge from raw crawl
+    HTML to Cartwright's tabular classifier (the reference reads
+    already-tabular CSVs, cartwright/categorize.py:48; a web corpus
+    carries its tables inside page HTML). Whole chain is JVM
+    regexp_extract_all + posexplode, zero Python; the oracle replays the
+    identical RE2-portable regex cascade with generate_subscripts/unnest
+    and the shared extract.py entity/whitespace cleanup."""
+    from cartwright_spark.operators.tables import extract_html_tables
+    out = extract_html_tables(_html_table_pages(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("table_idx").cast("long").alias("table_idx"),
+        F.col("row_idx").cast("long").alias("row_idx"),
+        F.col("col_idx").cast("long").alias("col_idx"),
+        "cell")
+
+
+def q_html_table_profile(spark, sf_dir):
+    """Cartwright-style per-column profile + category over the extracted
+    HTML table cells (operators/tables.py profile_table_columns): for each
+    (doc, table, col) count full-match numeric / latitude-range / year
+    cells, then the all-rows threshold cascade picks the most specific
+    label (latitude > year > number > string) — the reference's validator
+    cascade (cartwright/category_helpers.py lat/year rules) applied to
+    crawl-extracted tables. One partial-agg groupBy; no skew beyond real
+    giant tables."""
+    from cartwright_spark.operators.tables import (
+        extract_html_tables,
+        profile_table_columns,
+    )
+    cells = extract_html_tables(_html_table_pages(spark, sf_dir))
+    prof = profile_table_columns(cells)
+    return prof.select(
+        "doc_id",
+        F.col("table_idx").cast("long").alias("table_idx"),
+        F.col("col_idx").cast("long").alias("col_idx"),
+        "n_cells", "n_numeric", "n_lat", "n_year", "category")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -2753,6 +2820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_records": q_warc_records,
         "multimodal_gif_frames": q_multimodal_gif_frames,
         "multimodal_video_frames": q_multimodal_video_frames,
+        "html_table_cells": q_html_table_cells,
+        "html_table_profile": q_html_table_profile,
         "grouped_quantile": q_grouped_quantile,
         "geohash_encode": q_geohash_encode,
         "exact_quantiles": q_exact_quantiles,
@@ -2972,6 +3041,86 @@ def _url_normalize_oracle() -> str:
     """
 
 
+def _html_tables_cells_sql() -> str:
+    """Shared WITH-chain rebuilding q_html_table_cells in DuckDB: the
+    synthesized page HTML (pure || concatenation on doc_id), the th->td
+    normalization, the three-level lazy-group regex explode
+    (generate_subscripts/unnest = posexplode), and the extract.py
+    entity/whitespace cell cleanup. Ends at CTE ``cleaned``."""
+    return """
+        WITH src AS (
+          SELECT doc_id,
+            '<html><body><h1>doc</h1><table class="d"><tr><th>station'
+            || '</th><th>lat</th><th>year</th></tr><tr><td>st-'
+            || CAST(doc_id AS VARCHAR) || '</td><td>'
+            || CAST(doc_id % 181 - 90 AS VARCHAR) || '</td><td>'
+            || CAST(doc_id % 301 + 1800 AS VARCHAR)
+            || '</td></tr><tr><td>st &amp; co</td><td>'
+            || CAST((doc_id * 7) % 179 - 89 AS VARCHAR) || '.'
+            || CAST(doc_id % 10 AS VARCHAR) || '</td><td>'
+            || CAST((doc_id * 3) % 301 + 1800 AS VARCHAR)
+            || '</td></tr></table><p>noise</p><table><tr>'
+            || '<td> <b>bold</b> cell </td><td>42.5</td></tr></table>'
+            || '</body></html>' AS html
+          FROM documents
+        ),
+        norm AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(html, '(?i)<th\\b', '<td',
+                                               'g'),
+                                '(?i)</th>', '</td>', 'g') AS h
+          FROM src
+        ),
+        tl AS (
+          SELECT doc_id,
+                 regexp_extract_all(h, '(?is)<table\\b[^>]*>(.*?)</table>',
+                                    1) AS ts
+          FROM norm
+        ),
+        tbl AS (
+          SELECT doc_id,
+                 CAST(generate_subscripts(ts, 1) - 1 AS BIGINT)
+                   AS table_idx,
+                 unnest(ts) AS t
+          FROM tl
+        ),
+        rl AS (
+          SELECT doc_id, table_idx,
+                 regexp_extract_all(t, '(?is)<tr\\b[^>]*>(.*?)</tr>', 1)
+                   AS rs
+          FROM tbl
+        ),
+        rowx AS (
+          SELECT doc_id, table_idx,
+                 CAST(generate_subscripts(rs, 1) - 1 AS BIGINT) AS row_idx,
+                 unnest(rs) AS r
+          FROM rl
+        ),
+        cl AS (
+          SELECT doc_id, table_idx, row_idx,
+                 regexp_extract_all(r, '(?is)<td\\b[^>]*>(.*?)</td>', 1)
+                   AS cs
+          FROM rowx
+        ),
+        cellx AS (
+          SELECT doc_id, table_idx, row_idx,
+                 CAST(generate_subscripts(cs, 1) - 1 AS BIGINT) AS col_idx,
+                 unnest(cs) AS raw
+          FROM cl
+        ),
+        cleaned AS (
+          SELECT doc_id, table_idx, row_idx, col_idx,
+                 trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                     regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+                     '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                     '&quot;', '"'), '&copy;', '(c)'), '&#39;', ''''),
+                   '\\s+', ' ', 'g')) AS cell
+          FROM cellx
+        )
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from cartwright_spark.sources import gazetteers as gz
     from cartwright_spark.spatial.colocation import (
@@ -2996,6 +3145,36 @@ def oracle_sql() -> dict[str, str]:
     _octant_sql = _octant_sql_fn()
     _sde = _sde_sql_fn()
     return {
+        "html_table_cells": _html_tables_cells_sql() + """
+            SELECT doc_id, table_idx, row_idx, col_idx, cell FROM cleaned
+        """,
+        "html_table_profile": _html_tables_cells_sql() + """
+            , data AS (
+              SELECT * FROM cleaned WHERE row_idx > 0 AND cell <> ''
+            ),
+            prof AS (
+              SELECT doc_id, table_idx, col_idx,
+                     COUNT(*) AS n_cells,
+                     CAST(SUM(CASE WHEN regexp_full_match(cell,
+                         '-?\\d+(\\.\\d+)?') THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_numeric,
+                     CAST(SUM(CASE WHEN regexp_full_match(cell,
+                         '-?\\d+(\\.\\d+)?')
+                         AND abs(TRY_CAST(cell AS DOUBLE)) <= 90.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_lat,
+                     CAST(SUM(CASE WHEN regexp_full_match(cell,
+                         '(1[89]\\d\\d|20\\d\\d|2100)') THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_year
+              FROM data GROUP BY 1, 2, 3
+            )
+            SELECT doc_id, table_idx, col_idx, n_cells, n_numeric, n_lat,
+                   n_year,
+                   CASE WHEN n_year = n_cells THEN 'year'
+                        WHEN n_lat = n_cells THEN 'latitude'
+                        WHEN n_numeric = n_cells THEN 'number'
+                        ELSE 'string' END AS category
+            FROM prof
+        """,
         "contour_segments": _contour_oracle_sql(),
         "dissolve_boundary": _dissolve_oracle_sql(),
         "compact_cells": _compact_oracle_sql(),
