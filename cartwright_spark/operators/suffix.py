@@ -33,11 +33,16 @@ from cartwright_spark.functions.scan import global_dense_rank
 
 
 def suffix_array(chars: DataFrame, i_col: str = "i",
-                 char_col: str = "c", max_rounds: int = 40) -> DataFrame:
+                 char_col: str = "c", max_rounds: int = 40,
+                 rounds_out: list | None = None) -> DataFrame:
     """``chars``: one row per position (i 1-based contiguous, c a
     1-char string). -> (i, rank): rank = 1-based lexicographic
     position of the suffix starting at i among all suffixes (all
-    distinct — suffixes of one string can never tie)."""
+    distinct — suffixes of one string can never tie).
+
+    rounds_out: optional list; the number of doubling rounds actually
+    executed is appended (scale-bench instrumentation — rounds =
+    O(log longest-repeat), the quantity the sf10 stress reports)."""
     base = chars.select(F.col(i_col).cast("bigint").alias("i"),
                         F.ascii(F.col(char_col)).cast("bigint")
                         .alias("r"))
@@ -45,6 +50,7 @@ def suffix_array(chars: DataFrame, i_col: str = "i",
         .select("i", "rank").localCheckpoint(eager=True)
 
     gap = 1
+    n_rounds = 0
     for _ in range(max_rounds):
         n_rows, n_ranks = r.agg(
             F.count("*"), F.countDistinct("rank")).collect()[0]
@@ -58,4 +64,7 @@ def suffix_array(chars: DataFrame, i_col: str = "i",
         r = global_dense_rank(paired, ["r1", "r2"], "rank") \
             .select("i", "rank").localCheckpoint(eager=True)
         gap *= 2
+        n_rounds += 1
+    if rounds_out is not None:
+        rounds_out.append(n_rounds)
     return r

@@ -108,10 +108,197 @@ def submit(cores: int, pages: int, variant: str, repeats: int) -> None:
         check=True, env=env, cwd=REPO)
 
 
+def _chaos_measure(spark, variant: str, pages: int,
+                   marker: str | None) -> dict:
+    """One measured pass of the scaling job that returns content DIGESTS,
+    not just counts: bit_xor-of-xxhash64 over the tile rollup rows and the PIP
+    join rows. Digests are order/partitioning-invariant (xor is
+    commutative) and recompute-invariant (xxhash64 is a pure row
+    function), so a run that lost an executor mid-stage must reproduce
+    them bit-for-bit if task retry + shuffle recompute are correct."""
+    from pyspark.sql import functions as F
+
+    from cartwright_spark.functions.geodesy import tile_id_col
+    from cartwright_spark.operators.detect import detect_coordinates
+    from cartwright_spark.operators.extract import extract_pages
+    from cartwright_spark.spatial.pip import point_in_polygon_join
+    from cartwright_spark.spatial.udfs import s2_cell, s2_parent_col
+    from scaling_bench import _corpus_boxes
+
+    engine = variant == "engine"
+    src = os.path.join(
+        WORK, f"{'extracted' if engine else 'pages'}_{pages}")
+    pages_df = spark.read.parquet(src)
+
+    # warm the python-worker pool BEFORE the marker so the kill window
+    # always lands inside the measured stages, not the warmup
+    warm = pages_df.limit(2000)
+    if not engine:
+        warm = extract_pages(warm)
+    detect_coordinates(warm, text_col="extracted_text") \
+        .withColumn("c", s2_cell(F.col("lat"), F.col("lon"), 10)) \
+        .write.format("noop").mode("overwrite").save()
+
+    t0 = time.perf_counter()
+    if marker:
+        with open(marker, "w") as f:
+            f.write(str(t0))
+    ext = pages_df if engine else extract_pages(
+        pages_df.select("url", "html"))
+    det = detect_coordinates(ext, text_col="extracted_text")
+    cells = (det
+             .withColumn("s2_cell", s2_cell(F.col("lat"), F.col("lon"), 10))
+             .withColumn("tile_id", tile_id_col(F.col("lat"), F.col("lon"), 8))
+             .withColumn("cell_l7", s2_parent_col(F.col("s2_cell"), 7))
+             .persist())
+    n_coords = cells.count()
+    t_cells = time.perf_counter() - t0
+    rollup = cells.groupBy("tile_id").agg(
+        F.count("*").alias("n_points"),
+        F.approx_count_distinct("s2_cell").alias("n_cells"))
+    tile = rollup.agg(
+        F.bit_xor(F.xxhash64("tile_id", "n_points", "n_cells")).alias("d"),
+        F.count("*").alias("n")).collect()[0]
+    pip = point_in_polygon_join(spark, cells, _corpus_boxes(), level=7,
+                                point_id_col="url", refine="vector",
+                                cell_col="cell_l7")
+    pipd = pip.agg(F.bit_xor(F.xxhash64("point_id", "admin_id")).alias("d"),
+                   F.count("*").alias("n")).collect()[0]
+    wall = time.perf_counter() - t0
+    cells.unpersist(blocking=False)
+    return {"wall_sec": round(wall, 3), "phase_cells_sec": round(t_cells, 2),
+            "coords": n_coords, "tiles": int(tile["n"]),
+            "tile_digest": int(tile["d"]), "pip_rows": int(pipd["n"]),
+            "pip_digest": int(pipd["d"]),
+            "docs_per_sec": round(pages / wall, 1)}
+
+
+def chaos_job(cores: int, pages: int, variant: str, marker: str | None,
+              out_path: str) -> None:
+    """spark-submit entry for the chaos run: same session config as
+    run_once's standalone branch, digest-producing job body."""
+    from cartwright_spark.session import get_spark
+    exec_gc = ("-XX:+UseParallelGC -XX:ParallelGCThreads=8 "
+               "-XX:ConcGCThreads=2")
+    spark = get_spark(
+        "chaos_standalone", master=MASTER, shuffle_partitions=2 * cores,
+        extra_conf={
+            "spark.cores.max": str(cores),
+            "spark.executor.cores": "8",
+            "spark.executor.memory": os.environ.get("SPARK_EXEC_MEM", "18g"),
+            "spark.executor.extraJavaOptions": exec_gc,
+        })
+    spark.sparkContext.setLogLevel("ERROR")
+    res = _chaos_measure(spark, variant, pages, marker)
+    os.makedirs(WORK, exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(res, f)
+    print(json.dumps(res))
+    spark.stop()
+
+
+def _executor_pids() -> dict[int, int]:
+    """{executor_pid: parent_worker_pid} for live standalone executors."""
+    out = subprocess.run(
+        ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+        capture_output=True, text=True).stdout.split()
+    pids = {}
+    for p in out:
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                ppid = int(f.read().split(")")[-1].split()[1])
+            pids[int(p)] = ppid
+        except (OSError, ValueError, IndexError):
+            pass
+    return pids
+
+
+def chaos_orchestrate(pages: int, variant: str, cores: int,
+                      kill_frac: float) -> None:
+    """VERDICT r4 item 3: executor-loss fault tolerance. Runs the digest
+    job twice on the 4x8 standalone cluster — a clean control, then a run
+    where one worker JVM AND its executor JVM are SIGKILLed mid-`cells`
+    (at kill_frac of the control's wall). SIGKILL means no shutdown hooks:
+    running tasks die, the executor's shuffle files and cached partitions
+    are gone, and Spark must recover via task retry + FetchFailed stage
+    recompute (no snapshot resume involved). Completion + bit-identical
+    tile/PIP digests is the pass criterion."""
+    sh = spark_home()
+    env = {**os.environ, "SPARK_HOME": sh, "PYTHONPATH": f"{REPO}:{SCRIPTS}"}
+    marker = os.path.join(WORK, "chaos_marker")
+    os.makedirs(WORK, exist_ok=True)
+
+    def launch(tag: str, with_marker: bool) -> subprocess.Popen:
+        args = [f"{sh}/bin/spark-submit", "--master", MASTER,
+                "--py-files", build_zip(),
+                "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "8g"),
+                os.path.abspath(__file__), "job-chaos",
+                "--cores", str(cores), "--pages", str(pages),
+                "--variant", variant,
+                "--out", os.path.join(WORK, f"chaos_{tag}.json")]
+        if with_marker:
+            args += ["--marker", marker]
+        if os.path.exists(marker):
+            os.unlink(marker)
+        return subprocess.Popen(args, env=env, cwd=REPO)
+
+    print("== control run (no kill)")
+    p = launch("control", with_marker=False)
+    if p.wait() != 0:
+        raise SystemExit("control run failed")
+    with open(os.path.join(WORK, "chaos_control.json")) as f:
+        control = json.load(f)
+    kill_at = kill_frac * control["wall_sec"]
+    print(f"== chaos run: SIGKILL one worker+executor at t={kill_at:.1f}s "
+          f"(wall was {control['wall_sec']}s)")
+
+    p = launch("kill", with_marker=True)
+    while not os.path.exists(marker):
+        if p.poll() is not None:
+            raise SystemExit("chaos run died before the marker")
+        time.sleep(0.2)
+    time.sleep(kill_at)
+    execs = _executor_pids()
+    if not execs:
+        raise SystemExit("no executor JVMs found to kill")
+    victim, worker_ppid = sorted(execs.items())[-1]
+    killed = {"executor_pid": victim, "worker_pid": worker_ppid}
+    # worker daemon first (so it can't relaunch a replacement), then the
+    # executor JVM — both SIGKILL, the no-shutdown-hook machine-loss shape
+    for pid in (worker_ppid, victim):
+        try:
+            os.kill(pid, 9)
+        except OSError:
+            pass
+    print(f"   killed worker JVM {worker_ppid} + executor JVM {victim}; "
+          f"{len(execs) - 1} executors remain")
+    if p.wait() != 0:
+        raise SystemExit("chaos run FAILED after executor loss")
+    with open(os.path.join(WORK, "chaos_kill.json")) as f:
+        chaos = json.load(f)
+
+    match = (chaos["tile_digest"] == control["tile_digest"]
+             and chaos["pip_digest"] == control["pip_digest"]
+             and chaos["coords"] == control["coords"]
+             and chaos["pip_rows"] == control["pip_rows"])
+    out = {"pages": pages, "variant": variant, "cores": cores,
+           "kill_at_sec": round(kill_at, 2), "killed": killed,
+           "control": control, "after_executor_loss": chaos,
+           "digests_match": match,
+           "slowdown_x": round(chaos["wall_sec"] / control["wall_sec"], 3)}
+    print(json.dumps(out, indent=1))
+    path = os.path.join(WORK, "standalone_chaos.json")
+    with open(path, "w") as f:
+        json.dump(out, f)
+    if not match:
+        raise SystemExit("DIGEST MISMATCH after executor loss")
+    print(f"PASS — digests identical after executor loss ({path})")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=["up", "down", "job", "run", "all",
-                                    "report"])
+                                    "report", "chaos", "job-chaos"])
     ap.add_argument("--pages", type=int, default=1_000_000)
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--variant", default="engine",
@@ -120,6 +307,13 @@ def main() -> None:
     ap.add_argument("--pair", default="8,32",
                     help="total-core budgets; at executor.cores=8 this is "
                          "1 vs 4 executors")
+    ap.add_argument("--marker", default=None,
+                    help="(job-chaos) file to touch when measuring starts")
+    ap.add_argument("--out", default=os.path.join(WORK, "chaos.json"),
+                    help="(job-chaos) result path")
+    ap.add_argument("--kill-frac", type=float, default=0.35,
+                    help="(chaos) kill the worker at this fraction of the "
+                         "control run's wall")
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.pair.split(","))
 
@@ -131,6 +325,19 @@ def main() -> None:
         return
 
     from scaling_bench import prepare, prepare_extracted, run_once
+
+    if args.cmd == "job-chaos":
+        chaos_job(args.cores, args.pages, args.variant, args.marker,
+                  args.out)
+        return
+    if args.cmd == "chaos":
+        if args.variant == "engine":
+            prepare_extracted(args.pages)
+        else:
+            prepare(args.pages)
+        chaos_orchestrate(args.pages, args.variant, args.cores,
+                          args.kill_frac)
+        return
 
     if args.cmd == "job":
         # running inside spark-submit: measure on the standalone master
