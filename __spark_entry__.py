@@ -2735,6 +2735,51 @@ def q_html_table_profile(spark, sf_dir):
         "n_cells", "n_numeric", "n_lat", "n_year", "category")
 
 
+_ANCHOR_WORDS = ("climate", "data", "maps", "open", "news", "search",
+                 "wiki", "shop", "travel", "sports")
+
+
+def _anchor_pages(spark, sf_dir):
+    """Pages whose two <a> anchors carry deterministic word content
+    (doc_id-indexed picks from _ANCHOR_WORDS, a nested <b>, a stopword,
+    and an &amp; entity) so the anchor-text cleanup + term split is
+    value-checked, not just counted."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    words = F.array(*[F.lit(w) for w in _ANCHOR_WORDS])
+
+    def pick(expr):
+        return F.element_at(words, (expr % 10 + 1).cast("int"))
+
+    sid = did.cast("string")
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".com/p/"),
+                   sid)
+    html = F.concat(
+        F.lit('<html><a href="http://www.src'),
+        ((did + 3) % 20).cast("string"),
+        F.lit(".example.com:80/x/"), (did % 13).cast("string"),
+        F.lit('" class="l"><b>'), pick(did),
+        F.lit("</b> the "), pick(did * 3 + 1),
+        F.lit(' guide</a><p><a href="https://news.src'),
+        ((did + 7) % 20).cast("string"),
+        F.lit('.co.uk:443/y#top">'), pick(did * 7 + 2),
+        F.lit(" &amp; "), pick(did + 5),
+        F.lit(" news</a></html>"))
+    return d.select("doc_id", url.alias("url"), html.alias("html"))
+
+
+def q_anchor_text(spark, sf_dir):
+    """Anchor-text index (operators/urltools.py anchor_text_index):
+    what other pages' link text says about each destination host — the
+    classic off-page web-IR signal, a host-quality feature for curation.
+    Aligned two-group regex arrays + posexplode (one html pass, zero
+    Python), clean_html_text fragment normalization, normalize_urls host
+    canonicalization, one (dst_host, term) aggregate. Oracle replays the
+    identical chain with generate_subscripts list alignment."""
+    from cartwright_spark.operators.urltools import anchor_text_index
+    return anchor_text_index(_anchor_pages(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -2822,6 +2867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_frames": q_multimodal_video_frames,
         "html_table_cells": q_html_table_cells,
         "html_table_profile": q_html_table_profile,
+        "anchor_text": q_anchor_text,
         "grouped_quantile": q_grouped_quantile,
         "geohash_encode": q_geohash_encode,
         "exact_quantiles": q_exact_quantiles,
@@ -3121,6 +3167,80 @@ def _html_tables_cells_sql() -> str:
     """
 
 
+def _anchor_text_oracle() -> str:
+    """DuckDB replay of q_anchor_text: identical page synthesis (list
+    indexing mirrors element_at), the SAME ANCHOR_RE constant for both
+    aligned capture-group extracts, clean_html_text's replace chain,
+    the link-host canonicalization twin, and the term split + stopword
+    filter verbatim from ANCHOR_STOPWORDS."""
+    from cartwright_spark.operators.urltools import (
+        ANCHOR_RE,
+        ANCHOR_STOPWORDS,
+    )
+    ws = ", ".join(f"'{w}'" for w in _ANCHOR_WORDS)
+    stop = ", ".join(f"'{w}'" for w in ANCHOR_STOPWORDS)
+    return f"""
+        WITH pages AS (
+          SELECT doc_id,
+                 'https://' || source || '.com/p/' || doc_id AS url,
+                 '<html><a href="http://www.src' || ((doc_id + 3) % 20)
+                 || '.example.com:80/x/' || (doc_id % 13)
+                 || '" class="l"><b>' || ([{ws}])[(doc_id % 10) + 1]
+                 || '</b> the ' || ([{ws}])[((doc_id * 3 + 1) % 10) + 1]
+                 || ' guide</a><p><a href="https://news.src'
+                 || ((doc_id + 7) % 20) || '.co.uk:443/y#top">'
+                 || ([{ws}])[((doc_id * 7 + 2) % 10) + 1]
+                 || ' &amp; ' || ([{ws}])[((doc_id + 5) % 10) + 1]
+                 || ' news</a></html>' AS html
+          FROM documents
+        ),
+        la AS (
+          SELECT url,
+                 regexp_extract_all(html, '{ANCHOR_RE}', 1) AS hs,
+                 regexp_extract_all(html, '{ANCHOR_RE}', 2) AS ts
+          FROM pages
+        ),
+        px AS (
+          SELECT url, generate_subscripts(hs, 1) AS p,
+                 unnest(hs) AS link, ts
+          FROM la
+        ),
+        cl AS (
+          SELECT url, link,
+                 trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                     regexp_replace(ts[p], '<[^>]*>', ' ', 'g'),
+                     '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                     '&quot;', '"'), '&copy;', '(c)'), '&#39;', ''''),
+                   '\\s+', ' ', 'g')) AS anchor
+          FROM px
+        ),
+        hn AS (
+          SELECT url, anchor,
+                 regexp_replace(
+                   CASE WHEN h LIKE 'www.%' THEN substr(h, 5) ELSE h END,
+                   ':[0-9]+$', '') AS dst_host
+          FROM (SELECT url, anchor,
+                       lower(regexp_extract(link,
+                         '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2))
+                         AS h
+                FROM cl)
+        ),
+        tm AS (
+          SELECT url, dst_host,
+                 unnest(string_split_regex(lower(anchor), '[^a-z]+'))
+                   AS term
+          FROM hn
+        )
+        SELECT dst_host, term,
+               COUNT(DISTINCT url) AS n_pages,
+               CAST(COUNT(*) AS BIGINT) AS n_anchors
+        FROM tm
+        WHERE term <> '' AND term NOT IN ({stop})
+        GROUP BY 1, 2
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from cartwright_spark.sources import gazetteers as gz
     from cartwright_spark.spatial.colocation import (
@@ -3145,6 +3265,7 @@ def oracle_sql() -> dict[str, str]:
     _octant_sql = _octant_sql_fn()
     _sde = _sde_sql_fn()
     return {
+        "anchor_text": _anchor_text_oracle(),
         "html_table_cells": _html_tables_cells_sql() + """
             SELECT doc_id, table_idx, row_idx, col_idx, cell FROM cleaned
         """,

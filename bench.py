@@ -69,7 +69,7 @@ CONTRACT_BENCH_QUERIES = (
     "contour_segments", "douglas_peucker", "cusum_changepoint",
     "dissolve_boundary", "cdc_dedup", "compact_cells", "psi_drift",
     "multimodal_video_frames",
-    "html_table_cells", "html_table_profile",
+    "html_table_cells", "html_table_profile", "anchor_text",
 )
 
 

@@ -45,13 +45,18 @@ _ENTITIES = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
 NUMERIC_RE = r"^-?\d+(\.\d+)?$"
 
 
-def _clean_cell(cell: Column) -> Column:
+def clean_html_text(col: Column) -> Column:
     """Strip residual inner tags + entities + collapse whitespace (the
-    extract.py rule chain applied to one cell)."""
-    s = F.regexp_replace(cell, r"<[^>]*>", " ")
+    extract.py rule chain applied to one HTML fragment). Shared by the
+    table-cell extractor here and the anchor-text index in urltools.py
+    so every extracted fragment normalizes identically."""
+    s = F.regexp_replace(col, r"<[^>]*>", " ")
     for ent, rep in _ENTITIES:
         s = F.replace(s, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+_clean_cell = clean_html_text
 
 
 def extract_html_tables(pages: DataFrame, html_col: str = "html",

@@ -153,3 +153,56 @@ def normalize_urls(df: DataFrame, url_col: str = "url",
     return (df.withColumn(out_col, norm)
             .withColumn("host", host)
             .withColumn("registered_domain", registered_domain(host)))
+
+
+# anchor pattern: two aligned capture groups (href value, inner text) —
+# lazy body group, (?is) portable to both Java regex and DuckDB RE2,
+# no backreferences
+ANCHOR_RE = r'(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+# minimal anchor stopword set (shared verbatim by the DuckDB oracle)
+ANCHOR_STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "for",
+                    "on", "with", "is", "at", "by", "or", "click", "here")
+
+
+def anchor_text_index(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """(dst_host, term) → (n_pages, n_anchors): the anchor-text index —
+    what OTHER pages' link text says about each host. A ranking /
+    host-quality staple (anchor terms are the strongest off-page signal
+    in classic web IR) and a curation feature at corpus scale.
+
+    Plan shape (10^12 pages): the two capture groups are extracted as
+    ALIGNED arrays from one shared regex (regexp_extract_all twice +
+    posexplode/element_at — zero Python, one pass over html); anchor
+    fragments normalize through the same clean_html_text chain as table
+    cells; link hosts canonicalize through the same normalize_urls layer
+    as every other URL consumer. The only shuffle is the final
+    (dst_host, term) aggregate — n_anchors is algebraic, n_pages is a
+    two-phase distinct that partial-aggregates per mapper, so hub-host /
+    common-term skew is absorbed map-side.
+    """
+    from cartwright_spark.operators.tables import clean_html_text
+
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE),
+                                 F.lit(1))
+    texts = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE),
+                                 F.lit(2))
+    pairs = (pages
+             .select(F.col(url_col).alias("u"), texts.alias("ts"),
+                     F.posexplode(hrefs).alias("p", "link"))
+             .select("u", "link",
+                     clean_html_text(
+                         F.element_at("ts", F.col("p") + 1))
+                     .alias("anchor")))
+    hosts = normalize_urls(pairs, "link") \
+        .select("u", F.col("host").alias("dst_host"), "anchor")
+    terms = (hosts
+             .select("u", "dst_host",
+                     F.explode(F.split(F.lower("anchor"), "[^a-z]+"))
+                     .alias("term"))
+             .where((F.col("term") != "")
+                    & ~F.col("term").isin(*ANCHOR_STOPWORDS)))
+    return (terms.groupBy("dst_host", "term")
+            .agg(F.countDistinct("u").alias("n_pages"),
+                 F.count("*").alias("n_anchors")))

@@ -239,3 +239,28 @@ def test_parse_robots_most_specific_agent_wins():
     assert parse_robots(txt, "googlebot-image") == [(False, "/a")]
     assert parse_robots(txt, "googlebot") == [(False, "/a")]
     assert parse_robots(txt, "bingbot") == [(False, "/c")]
+
+
+def test_anchor_text_index_pins_terms(spark):
+    from cartwright_spark.operators.urltools import anchor_text_index
+    pages = spark.createDataFrame(
+        [("https://a.com/1",
+          '<html><a href="http://www.X.com:80/p" id="z"> <b>Big</b> '
+          'Maps &amp; the data </a>'
+          '<a href="https://news.y.co.uk/q">maps GUIDE</a></html>'),
+         ("https://b.com/2",
+          '<html><a href="http://x.com/other">maps</a>'
+          '<p>no second link</p></html>'),
+         ("https://c.com/3", "<html>no links at all</html>")],
+        "url string, html string")
+    rows = {(r.dst_host, r.term): (r.n_pages, r.n_anchors)
+            for r in anchor_text_index(pages).collect()}
+    # host canonicalized (lowercase, www+port stripped); nested tag and
+    # entity cleaned; stopword 'the' dropped; terms lowercased
+    assert rows[("x.com", "big")] == (1, 1)
+    assert rows[("x.com", "maps")] == (2, 2)   # both a.com and b.com link
+    assert rows[("x.com", "data")] == (1, 1)
+    assert rows[("news.y.co.uk", "maps")] == (1, 1)
+    assert rows[("news.y.co.uk", "guide")] == (1, 1)
+    assert ("x.com", "the") not in rows
+    assert not [k for k in rows if k[0] == "c.com"]  # linkless page gone
