@@ -2768,6 +2768,21 @@ def _anchor_pages(spark, sf_dir):
     return d.select("doc_id", url.alias("url"), html.alias("html"))
 
 
+def q_crawl_frontier(spark, sf_dir):
+    """Per-host politeness scheduling (operators/crawl.py crawl_frontier)
+    over the url_normalize synthesis: canonical-URL dedup (max priority),
+    wave = deterministic row_number within host, fetch offset, and a
+    50-wave per-host budget cap. One host-keyed exchange shared by the
+    dedup and the window; hosts schedule independently, so the frontier
+    parallelizes across hosts at any corpus size. Oracle = the
+    url_normalize oracle CTE + the identical window SQL."""
+    from cartwright_spark.operators.crawl import crawl_frontier
+    urls = q_url_normalize(spark, sf_dir).select(
+        "url_norm", "host",
+        ((F.col("doc_id") * 37) % 100).alias("priority"))
+    return crawl_frontier(urls, delay_s=0.5, max_per_host=50)
+
+
 def q_anchor_text(spark, sf_dir):
     """Anchor-text index (operators/urltools.py anchor_text_index):
     what other pages' link text says about each destination host — the
@@ -2868,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_table_cells": q_html_table_cells,
         "html_table_profile": q_html_table_profile,
         "anchor_text": q_anchor_text,
+        "crawl_frontier": q_crawl_frontier,
         "grouped_quantile": q_grouped_quantile,
         "geohash_encode": q_geohash_encode,
         "exact_quantiles": q_exact_quantiles,
@@ -3266,6 +3282,25 @@ def oracle_sql() -> dict[str, str]:
     _sde = _sde_sql_fn()
     return {
         "anchor_text": _anchor_text_oracle(),
+        "crawl_frontier": f"""
+            WITH u AS ({_url_normalize_oracle()}),
+            pr AS (
+              SELECT host, url_norm,
+                     max((doc_id * 37) % 100) AS priority
+              FROM u GROUP BY 1, 2
+            ),
+            wv AS (
+              SELECT url_norm AS url, host, priority,
+                     CAST(row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY priority DESC, url_norm ASC) AS INT)
+                       AS wave
+              FROM pr
+            )
+            SELECT url, host, priority, wave,
+                   CAST(wave - 1 AS DOUBLE) * 0.5 AS fetch_offset_s
+            FROM wv WHERE wave <= 50
+        """,
         "html_table_cells": _html_tables_cells_sql() + """
             SELECT doc_id, table_idx, row_idx, col_idx, cell FROM cleaned
         """,
