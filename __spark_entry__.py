@@ -2768,6 +2768,98 @@ def _anchor_pages(spark, sf_dir):
     return d.select("doc_id", url.alias("url"), html.alias("html"))
 
 
+def q_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (operators/keywords.py rake_keywords):
+    stopword/punctuation-delimited candidate phrases, corpus word
+    degree/freq stats (one algebraic word rollup), integer micro-unit
+    word scores ((degree*1e6) div freq — no float sum-order divergence),
+    phrase score = exact bigint sum over distinct (doc, phrase), top-5
+    per doc window. Oracle replays the identical two-pass stopword
+    delimiting and integer arithmetic."""
+    from cartwright_spark.operators.keywords import rake_keywords
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return rake_keywords(docs, top_k=5)
+
+
+def _rake_oracle() -> str:
+    from cartwright_spark.operators.keywords import _SCALE, RAKE_STOPWORDS
+    stop = " (" + "|".join(RAKE_STOPWORDS) + ") "
+    return f"""
+        WITH raw AS (
+          SELECT doc_id AS id,
+                 ' ' || regexp_replace(regexp_replace(lower(text),
+                          '[^a-z\\s]+', ' | ', 'g'), '\\s+', ' ', 'g')
+                 || ' ' AS s
+          FROM documents
+        ),
+        d1 AS (SELECT id, regexp_replace(s, '{stop}', ' | ', 'g') AS s
+               FROM raw),
+        d2 AS (SELECT id, regexp_replace(s, '{stop}', ' | ', 'g') AS s
+               FROM d1),
+        ph AS (
+          SELECT id, trim(regexp_replace(p, '\\s+', ' ', 'g')) AS phrase
+          FROM (SELECT id, unnest(string_split_regex(s, '\\|')) AS p
+                FROM d2)
+          WHERE trim(regexp_replace(p, '\\s+', ' ', 'g')) <> ''
+        ),
+        occ AS (
+          SELECT id, len(string_split(phrase, ' ')) AS n_words,
+                 unnest(string_split(phrase, ' ')) AS word
+          FROM ph
+        ),
+        ws AS (
+          SELECT word,
+                 (CAST(SUM(n_words) AS BIGINT) * {_SCALE}) // COUNT(*)
+                   AS wscore
+          FROM occ GROUP BY 1
+        ),
+        dphr AS (
+          SELECT id, phrase, COUNT(*) AS n_occurrences
+          FROM ph GROUP BY 1, 2
+        ),
+        dw AS (
+          SELECT id, phrase, n_occurrences,
+                 CAST(len(string_split(phrase, ' ')) AS INT) AS n_words,
+                 unnest(string_split(phrase, ' ')) AS word
+          FROM dphr
+        ),
+        sc AS (
+          SELECT id, phrase, n_words, n_occurrences,
+                 CAST(SUM(ws.wscore) AS BIGINT) AS score_micro
+          FROM dw JOIN ws USING (word) GROUP BY 1, 2, 3, 4
+        ),
+        rk AS (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY id
+                   ORDER BY score_micro DESC, phrase ASC) AS INT)
+                 AS rank
+          FROM sc
+        )
+        SELECT id AS doc_id, phrase, n_words, n_occurrences, score_micro,
+               rank
+        FROM rk WHERE rank <= 5
+    """
+
+
+def q_hilbert_order(spark, sf_dir):
+    """Hilbert-curve layout order for tile data (spatial/hilbert.py
+    hilbert_index): web-mercator zoom-6 tiles of the synthetic coords,
+    rolled up to (tx, ty, n_points), then the from-scratch xy2d fold —
+    one narrow codegen'd select per bit level, integer-only, no shuffle
+    beyond the tile rollup. Sorting tile files by this column gives
+    neighbor-preserving range scans (strictly better locality than
+    z-order at power-of-two seams). Oracle = the proven j8 tile formula
+    + hilbert_sql's chained-CTE replay of the identical decision
+    table."""
+    from cartwright_spark.functions.geodesy import tile_x_col, tile_y_col
+    from cartwright_spark.spatial.hilbert import hilbert_index
+    pts = _coords(spark, sf_dir)
+    tiles = (pts.select(tile_x_col(F.col("lon"), 6).alias("tx"),
+                        tile_y_col(F.col("lat"), 6).alias("ty"))
+             .groupBy("tx", "ty").agg(F.count("*").alias("n_points")))
+    return hilbert_index(tiles, "tx", "ty", order=6)
+
+
 def q_crawl_frontier(spark, sf_dir):
     """Per-host politeness scheduling (operators/crawl.py crawl_frontier)
     over the url_normalize synthesis: canonical-URL dedup (max priority),
@@ -2884,6 +2976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_table_profile": q_html_table_profile,
         "anchor_text": q_anchor_text,
         "crawl_frontier": q_crawl_frontier,
+        "hilbert_order": q_hilbert_order,
+        "rake_keywords": q_rake_keywords,
         "grouped_quantile": q_grouped_quantile,
         "geohash_encode": q_geohash_encode,
         "exact_quantiles": q_exact_quantiles,
@@ -3280,8 +3374,27 @@ def oracle_sql() -> dict[str, str]:
     _sk = _snap_sql()
     _octant_sql = _octant_sql_fn()
     _sde = _sde_sql_fn()
+    from cartwright_spark.spatial.hilbert import hilbert_sql as _hsql
+    _hilbert_tiles_sql = """
+        SELECT tx, ty, COUNT(*) AS n_points
+        FROM (
+          SELECT
+            CAST(least(greatest(floor((lon + 180.0) / 360.0 * 64), 0),
+                       63) AS BIGINT) AS tx,
+            CAST(least(greatest(floor((1.0 - ln(tan(radians(
+                   least(greatest(lat, -85.05112878), 85.05112878)))
+                 + 1.0 / cos(radians(least(greatest(lat, -85.05112878),
+                   85.05112878)))) / pi()) / 2.0 * 64), 0), 63)
+                 AS BIGINT) AS ty
+          FROM (""" + _COORDS_SQL + """)
+        ) GROUP BY 1, 2
+    """
     return {
+        "hilbert_order": _hsql(_hilbert_tiles_sql,
+                               ["tx", "ty", "n_points"], "tx", "ty",
+                               order=6),
         "anchor_text": _anchor_text_oracle(),
+        "rake_keywords": _rake_oracle(),
         "crawl_frontier": f"""
             WITH u AS ({_url_normalize_oracle()}),
             pr AS (

@@ -70,7 +70,7 @@ CONTRACT_BENCH_QUERIES = (
     "dissolve_boundary", "cdc_dedup", "compact_cells", "psi_drift",
     "multimodal_video_frames",
     "html_table_cells", "html_table_profile", "anchor_text",
-    "crawl_frontier",
+    "crawl_frontier", "hilbert_order", "rake_keywords",
 )
 
 
