@@ -2768,6 +2768,23 @@ def _anchor_pages(spark, sf_dir):
     return d.select("doc_id", url.alias("url"), html.alias("html"))
 
 
+def q_kmv_intersection(spark, sf_dir):
+    """KMV set-operation estimates between two corpus slices
+    (operators/sketch.py kmv_set_estimate): union / Jaccard /
+    intersection cardinality of the URGENT vs HIGH customer sets from
+    two mergeable bottom-64 sketches — per-slice salted sketch builds,
+    then everything downstream is <= 2k rows (metadata scale). Oracle
+    replays the portable md5-derived 32-bit hash, the bottom-k merge,
+    and the (k-1)*2^32/h_k estimate arithmetic verbatim."""
+    from cartwright_spark.operators.sketch import kmv_set_estimate
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderpriority") == "1-URGENT") \
+        .select("o_custkey")
+    b = orders.where(F.col("o_orderpriority") == "2-HIGH") \
+        .select("o_custkey")
+    return kmv_set_estimate(a, b, "o_custkey", k=64)
+
+
 def q_rake_keywords(spark, sf_dir):
     """RAKE keyword extraction (operators/keywords.py rake_keywords):
     stopword/punctuation-delimited candidate phrases, corpus word
@@ -2978,6 +2995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "hilbert_order": q_hilbert_order,
         "rake_keywords": q_rake_keywords,
+        "kmv_intersection": q_kmv_intersection,
         "grouped_quantile": q_grouped_quantile,
         "geohash_encode": q_geohash_encode,
         "exact_quantiles": q_exact_quantiles,
@@ -3394,6 +3412,46 @@ def oracle_sql() -> dict[str, str]:
                                ["tx", "ty", "n_points"], "tx", "ty",
                                order=6),
         "anchor_text": _anchor_text_oracle(),
+        "kmv_intersection": """
+            WITH va AS (
+              SELECT DISTINCT CAST(('0x' || substr(md5(
+                       CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+              FROM orders WHERE o_orderpriority = '1-URGENT'
+            ),
+            vb AS (
+              SELECT DISTINCT CAST(('0x' || substr(md5(
+                       CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+              FROM orders WHERE o_orderpriority = '2-HIGH'
+            ),
+            sa AS (SELECT h FROM va ORDER BY h LIMIT 64),
+            sb AS (SELECT h FROM vb ORDER BY h LIMIT 64),
+            merged AS (
+              SELECT h, max(in_a) AS in_a, max(in_b) AS in_b
+              FROM (SELECT h, 1 AS in_a, 0 AS in_b FROM sa
+                    UNION ALL
+                    SELECT h, 0, 1 FROM sb)
+              GROUP BY h
+            ),
+            un AS (SELECT * FROM merged ORDER BY h LIMIT 64),
+            agg AS (
+              SELECT COUNT(*) AS union_kept, max(h) AS kth_hash,
+                     CAST(SUM(in_a * in_b) AS BIGINT) AS n_common
+              FROM un
+            )
+            SELECT CAST(64 AS INT) AS k, union_kept, n_common,
+                   CASE WHEN union_kept < 64
+                        THEN CAST(union_kept AS DOUBLE)
+                        ELSE 270582939648.0 / CAST(kth_hash AS DOUBLE)
+                   END AS est_union,
+                   CAST(n_common AS DOUBLE) / CAST(union_kept AS DOUBLE)
+                     AS jaccard,
+                   (CAST(n_common AS DOUBLE) / CAST(union_kept AS DOUBLE))
+                   * CASE WHEN union_kept < 64
+                          THEN CAST(union_kept AS DOUBLE)
+                          ELSE 270582939648.0 / CAST(kth_hash AS DOUBLE)
+                     END AS est_intersection
+            FROM agg
+        """,
         "rake_keywords": _rake_oracle(),
         "crawl_frontier": f"""
             WITH u AS ({_url_normalize_oracle()}),

@@ -189,3 +189,56 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str,
                  F.lit(float(m)) * F.log(F.lit(float(m)) / v)) \
            .otherwise(raw)
     return agg.select(group_col, "n_regs", est.alias("est_distinct"))
+
+
+def kmv_set_estimate(a: DataFrame, b: DataFrame, value_col: str,
+                     k: int = 64, salt_buckets: int = 16) -> DataFrame:
+    """KMV set-operation estimates between two slices (Beyer et al.,
+    "On synopses for distinct value estimation", SIGMOD'07): build each
+    side's bottom-k sketch, merge to the union sketch (bottom-k of the
+    hash union), then
+
+        est_union        = (k-1) * 2^32 / h_k   (exact count if < k)
+        jaccard          = |common hashes in the union sketch| / |sketch|
+        est_intersection = jaccard * est_union
+
+    -> ONE row (k, union_kept, n_common, est_union, jaccard,
+    est_intersection).
+
+    Scale shape: each side's sketch build is the salted two-stage ranked
+    window from kmv_sketch (full-width distinct + bottom-k, no global
+    sort on data); everything AFTER that operates on <= 2k rows —
+    metadata scale by construction, so the final global window is free.
+    The sketches are mergeable under union, which is the whole point:
+    at 10^12 docs the per-partition sketches rendezvous in one tiny
+    reduce, never the raw values."""
+    sa = kmv_sketch(a.select(F.lit("_").alias("g"),
+                             F.col(value_col).alias("v")), "g", "v",
+                    k, salt_buckets).select("h")
+    sb = kmv_sketch(b.select(F.lit("_").alias("g"),
+                             F.col(value_col).alias("v")), "g", "v",
+                    k, salt_buckets).select("h")
+    tagged = (sa.select("h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+              .unionAll(sb.select("h", F.lit(0), F.lit(1)))
+              .groupBy("h")
+              .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")))
+    w = Window.orderBy("h")  # <= 2k rows: metadata-scale window
+    un = (tagged.withColumn("rn", F.row_number().over(w))
+          .where(F.col("rn") <= k))
+    agg = un.agg(
+        F.count("*").alias("union_kept"),
+        F.max("h").alias("kth_hash"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("long"))
+        .alias("n_common"))
+    est_u = (F.when(F.col("union_kept") < k,
+                    F.col("union_kept").cast("double"))
+             .otherwise(F.lit((k - 1) * _M)
+                        / F.col("kth_hash").cast("double")))
+    out = (agg.withColumn("est_union", est_u)
+           .withColumn("jaccard", F.col("n_common").cast("double")
+                       / F.col("union_kept").cast("double"))
+           .withColumn("est_intersection",
+                       F.col("jaccard") * F.col("est_union")))
+    return out.select(F.lit(k).alias("k"), "union_kept", "n_common",
+                      "est_union", F.col("jaccard").alias("jaccard"),
+                      "est_intersection")

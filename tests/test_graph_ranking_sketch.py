@@ -826,3 +826,32 @@ def test_cost_distance_driver_vs_distributed_parity(spark):
     b = sorted(map(tuple, cost_distance(pts, max_hops=5,
                                         driver_threshold=0).collect()))
     assert a == b and len(a) > 0
+
+
+def test_kmv_set_estimate_exact_regime(spark):
+    """Below k distinct values the sketches are the full hash sets, so
+    union / jaccard / intersection estimates are EXACT."""
+    from pyspark.sql import functions as F
+
+    from cartwright_spark.operators.sketch import kmv_set_estimate
+    a = spark.range(0, 30).select(F.col("id").alias("v"))       # 0..29
+    b = spark.range(20, 50).select(F.col("id").alias("v"))      # 20..49
+    r = kmv_set_estimate(a, b, "v", k=64).collect()[0]
+    assert r.union_kept == 50
+    assert r.n_common == 10
+    assert r.est_union == 50.0
+    assert abs(r.jaccard - 10 / 50) < 1e-12
+    assert abs(r.est_intersection - 10.0) < 1e-9
+
+
+def test_kmv_set_estimate_sketch_regime_accuracy(spark):
+    """Above k: estimates land within the ~1/sqrt(k-2) error envelope."""
+    from pyspark.sql import functions as F
+
+    from cartwright_spark.operators.sketch import kmv_set_estimate
+    a = spark.range(0, 3000).select(F.col("id").alias("v"))
+    b = spark.range(1500, 4500).select(F.col("id").alias("v"))
+    r = kmv_set_estimate(a, b, "v", k=256).collect()[0]
+    assert r.union_kept == 256
+    assert abs(r.est_union - 4500) / 4500 < 0.25
+    assert abs(r.est_intersection - 1500) / 1500 < 0.4
