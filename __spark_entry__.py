@@ -2904,6 +2904,22 @@ def q_anchor_text(spark, sf_dir):
     return anchor_text_index(_anchor_pages(spark, sf_dir))
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Guaranteed heavy hitters (operators/sketch.py
+    heavy_hitters_exact): every token with freq * k > n over the
+    documents corpus, EXACT counts — a Misra-Gries per-partition
+    candidate prefilter (<= k counters per partition, map-only Arrow
+    pass) followed by a broadcast-semijoin exact recount, so the
+    shuffle is candidate-bounded instead of vocabulary-wide. The oracle
+    is the definition itself: GROUP BY token HAVING count*k > total."""
+    from cartwright_spark.operators.sketch import heavy_hitters_exact
+    docs = _t(spark, sf_dir, "documents")
+    toks = (docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+"))
+                        .alias("term"))
+            .where(F.col("term") != ""))
+    return heavy_hitters_exact(toks, "term", k=150)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -2996,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_order": q_hilbert_order,
         "rake_keywords": q_rake_keywords,
         "kmv_intersection": q_kmv_intersection,
+        "heavy_hitters": q_heavy_hitters,
         "grouped_quantile": q_grouped_quantile,
         "geohash_encode": q_geohash_encode,
         "exact_quantiles": q_exact_quantiles,
@@ -3453,6 +3470,20 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "rake_keywords": _rake_oracle(),
+        "heavy_hitters": """
+            WITH toks AS (
+              SELECT t AS term FROM (
+                SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
+                       AS t
+                FROM documents)
+              WHERE t <> ''
+            ),
+            n AS (SELECT count(*) AS n_total FROM toks)
+            SELECT term, count(*) AS freq,
+                   (SELECT n_total FROM n) AS n_total
+            FROM toks GROUP BY term
+            HAVING count(*) * 150 > (SELECT n_total FROM n)
+        """,
         "crawl_frontier": f"""
             WITH u AS ({_url_normalize_oracle()}),
             pr AS (

@@ -242,3 +242,89 @@ def kmv_set_estimate(a: DataFrame, b: DataFrame, value_col: str,
     return out.select(F.lit(k).alias("k"), "union_kept", "n_common",
                       "est_union", F.col("jaccard").alias("jaccard"),
                       "est_intersection")
+
+
+# ---------------------------------------------------------------------------
+# guaranteed heavy hitters (Misra-Gries prefilter + exact recount)
+# ---------------------------------------------------------------------------
+
+def misra_gries_summary(df: DataFrame, value_col: str = "v",
+                        k: int = 100) -> DataFrame:
+    """Per-partition Misra-Gries candidate summary (Misra & Gries 1982;
+    merge rule per Agarwal et al., "Mergeable summaries", PODS'12).
+
+    One Arrow pass per partition keeps at most k counters: each batch's
+    exact value_counts merges into the dict; when the dict exceeds k
+    entries, the (k+1)-th largest count is subtracted from every counter
+    and non-positive entries drop. Total undercount of any value within
+    a partition is <= n_p/(k+1), so every value with partition frequency
+    > n_p/(k+1) SURVIVES — a deterministic superset guarantee that holds
+    under any partitioning (the output set may vary with partitioning,
+    but `heavy_hitters_exact`'s recount makes the final answer
+    partition-invariant).
+
+    -> rows (v, n): candidate rows carry (value, NULL); one row per
+    partition carries (NULL, n_p) so callers get the exact total from
+    the same single scan.
+    """
+    import pandas as pd
+    m = int(k)
+    if m < 1:
+        raise ValueError("misra_gries_summary: k must be >= 1")
+    vtype = dict(df.dtypes)[value_col]
+
+    def _mg(batches):
+        counts: dict = {}
+        n_p = 0
+        for pdf in batches:
+            n_p += len(pdf)
+            vc = pdf[value_col].value_counts()
+            for val, c in vc.items():
+                counts[val] = counts.get(val, 0) + int(c)
+            if len(counts) > m:
+                # batched MG trim: subtract the (m+1)-th largest count
+                # from everyone; at least m+1 counters each lose >= s,
+                # so the sum of trim amounts is <= n_p/(m+1)
+                s = sorted(counts.values(), reverse=True)[m]
+                counts = {v: c - s for v, c in counts.items() if c > s}
+        out = pd.DataFrame({value_col: list(counts.keys()),
+                            "n": [None] * len(counts)})
+        tot = pd.DataFrame({value_col: [None], "n": [n_p]})
+        yield pd.concat([out, tot], ignore_index=True)
+
+    return df.select(value_col).mapInPandas(
+        _mg, schema=f"{value_col} {vtype}, n bigint")
+
+
+def heavy_hitters_exact(df: DataFrame, value_col: str = "v",
+                        k: int = 100) -> DataFrame:
+    """EXACT phi-heavy hitters: every value whose frequency satisfies
+    freq * k > n (phi = 1/k), with its exact count — no approximation
+    in the OUTPUT, only in the candidate prefilter.
+
+    Scale shape (the 100 TB audit): the naive plan is a full-vocabulary
+    groupBy — a shuffle whose width is the DOMAIN (every distinct token
+    of a 10^12-doc corpus). Here scan 1 is map-only (mapInPandas keeps
+    <= k counters per partition and emits <= k+1 rows — the classic
+    mergeable-sketch contract: partitions rendezvous as candidates, not
+    raw values); scan 2 recounts ONLY rows matching the broadcast
+    candidate dim (<= n_partitions*k values), so its groupBy shuffle is
+    candidate-bounded, and map-side partial aggregation absorbs the
+    hot keys (heavy hitters are by definition the hottest keys — the
+    partial agg is what keeps them from becoming reducer skew).
+    The averaging argument makes the prefilter complete: freq > n/k
+    means some partition has freq_p > n_p/k > n_p/(k+1), so the value
+    is in that partition's summary.
+
+    -> (value_col, freq, n_total), exact and partition-invariant.
+    """
+    vals = (df.select(F.col(value_col).alias("v"))
+            .where(F.col("v").isNotNull()))
+    summary = misra_gries_summary(vals, "v", k).localCheckpoint(eager=True)
+    cands = summary.where(F.col("n").isNull()).select("v").distinct()
+    total = summary.groupBy().agg(F.sum("n").alias("n_total"))
+    counts = (vals.join(F.broadcast(cands), "v")
+              .groupBy("v").agg(F.count(F.lit(1)).alias("freq")))
+    return (counts.crossJoin(F.broadcast(total))
+            .where(F.col("freq") * F.lit(int(k)) > F.col("n_total"))
+            .select(F.col("v").alias(value_col), "freq", "n_total"))
