@@ -2904,6 +2904,26 @@ def q_anchor_text(spark, sf_dir):
     return anchor_text_index(_anchor_pages(spark, sf_dir))
 
 
+def q_label_propagation(spark, sf_dir):
+    """Community detection by synchronous label propagation
+    (functions/graph.py label_propagation): 5 deterministic rounds
+    (self-vote, min-label ties) over the same orders star+bridge
+    digraph as pagerank/connected_components — stars converge to their
+    block base in one round, the sparse bridges exercise the majority
+    rule. Oracle: the round unrolled into chained CTEs, like the
+    pagerank oracle — value-for-value, no goldens."""
+    from cartwright_spark.functions.graph import label_propagation
+    o = _t(spark, sf_dir, "orders")
+    star = o.select(F.col("o_orderkey").alias("src"),
+                    (F.col("o_orderkey") - F.col("o_orderkey") % 97)
+                    .alias("dst"))
+    bridge = (o.where((F.col("o_orderkey") % 293 == 0)
+                      & (F.col("o_orderkey") >= 97))
+              .select(F.col("o_orderkey").alias("src"),
+                      (F.col("o_orderkey") - 97).alias("dst")))
+    return label_propagation(star.union(bridge), "src", "dst", iters=5)
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Guaranteed heavy hitters (operators/sketch.py
     heavy_hitters_exact): every token with freq * k > n over the
@@ -3013,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": q_rake_keywords,
         "kmv_intersection": q_kmv_intersection,
         "heavy_hitters": q_heavy_hitters,
+        "label_propagation": q_label_propagation,
         "grouped_quantile": q_grouped_quantile,
         "geohash_encode": q_geohash_encode,
         "exact_quantiles": q_exact_quantiles,
@@ -3104,6 +3125,42 @@ def _pagerank_unrolled(edges_sql: str, d: float = 0.85,
         )""")
     parts.append(f"""
         SELECT id, rank * (SELECT n FROM nn) AS rank_x_n FROM r{iters}""")
+    return "".join(parts)
+
+
+def _lpa_unrolled(edges_sql: str, iters: int = 5) -> str:
+    """Synchronous label propagation unrolled into chained CTEs (the
+    _pagerank_unrolled pattern — fixed-round algorithms oracle as
+    generated straight-line SQL). Semantics mirror functions/graph.py
+    label_propagation exactly: symmetrized distinct edges, label_0 = id,
+    per round most-frequent label among neighbours + self, min-label
+    ties. Every l{k} is MATERIALIZED (referenced twice per round)."""
+    parts = [f"""
+        WITH e0 AS ({edges_sql}),
+        e AS MATERIALIZED (
+          SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM e0
+            UNION ALL
+            SELECT dst AS a, src AS b FROM e0)
+          WHERE a <> b),
+        l0 AS MATERIALIZED (
+          SELECT a AS id, a AS label FROM (SELECT DISTINCT a FROM e))"""]
+    for k in range(1, iters + 1):
+        p = f"l{k - 1}"
+        parts.append(f""",
+        v{k} AS MATERIALIZED (
+          SELECT id, label, count(*) AS cnt FROM (
+            SELECT e.b AS id, l.label FROM e JOIN {p} l ON l.id = e.a
+            UNION ALL
+            SELECT id, label FROM {p})
+          GROUP BY id, label),
+        m{k} AS (SELECT id, max(cnt) AS mx FROM v{k} GROUP BY id),
+        l{k} AS MATERIALIZED (
+          SELECT v.id, min(v.label) AS label
+          FROM v{k} v JOIN m{k} m ON v.id = m.id AND v.cnt = m.mx
+          GROUP BY v.id)""")
+    parts.append(f"""
+        SELECT id, label FROM l{iters}""")
     return "".join(parts)
 
 
@@ -4286,6 +4343,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 20
         """,
         "pagerank": _pagerank_unrolled(_ORDERS_DIGRAPH_SQL),
+        "label_propagation": _lpa_unrolled(_ORDERS_DIGRAPH_SQL),
         "url_normalize": _url_normalize_oracle(),
         "link_graph": _LINK_GRAPH_SQL,
         "host_pagerank": _pagerank_unrolled(

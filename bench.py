@@ -71,7 +71,7 @@ CONTRACT_BENCH_QUERIES = (
     "multimodal_video_frames",
     "html_table_cells", "html_table_profile", "anchor_text",
     "crawl_frontier", "hilbert_order", "rake_keywords",
-    "kmv_intersection", "heavy_hitters",
+    "kmv_intersection", "heavy_hitters", "label_propagation",
 )
 
 

@@ -517,3 +517,55 @@ def cost_distance(points: DataFrame, lat: str = "lat", lon: str = "lon",
         if tuple(a) == tuple(b):
             break
     return dist
+
+
+def label_propagation(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", iters: int = 5) -> DataFrame:
+    """Synchronous label propagation communities (Raghavan/Albert/
+    Kumara 2007, Phys. Rev. E 76) — deterministic variant: undirected
+    symmetrized graph, label_0(v) = v, and each round every node takes
+    the most frequent label among its neighbours AND ITSELF, ties
+    broken by the SMALLEST label. The self-vote replaces the paper's
+    random tie order (which cannot reproduce across engines) and damps
+    the synchronous-update oscillation on bipartite subgraphs; a fixed
+    ``iters`` round count makes the output a pure function of the edge
+    list, so an unrolled SQL re-derivation checks it value-for-value.
+
+    Output: (id, label) after ``iters`` rounds.
+
+    Scale shape (the 100 TB audit): the symmetrized edge list is
+    hash-partitioned on `a` ONCE and localCheckpoint'ed (same contract
+    as pagerank above — per-round shuffle volume is O(nodes), never
+    O(edges)). Each round is: one edges ⋈ labels equi-join, one
+    (node, label) count agg, one per-node max agg, one argmin-label agg
+    — ALL algebraic with map-side partials, so a megahub's million
+    neighbour-label rows combine per-mapper instead of piling onto one
+    reducer; there is no per-node window sort anywhere. Per-round
+    lineage is truncated with an eager localCheckpoint so the DAG
+    stays O(1) deep at any iteration count.
+    """
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .where(F.col(src).isNotNull() & F.col(dst).isNotNull()))
+    e = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+         .where(F.col("a") != F.col("b"))
+         .distinct()
+         .repartition(F.col("a"))
+         .localCheckpoint(eager=True))
+    labels = (e.select(F.col("a").alias("id"))
+              .distinct()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(int(iters)):
+        votes = (e.join(labels.select(F.col("id").alias("a"), "label"),
+                        "a")
+                 .select(F.col("b").alias("id"), "label")
+                 .union(labels.select("id", "label"))   # the self-vote
+                 .groupBy("id", "label")
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+        mx = votes.groupBy("id").agg(F.max("cnt").alias("mx"))
+        labels = (votes.join(mx, "id")
+                  .where(F.col("cnt") == F.col("mx"))
+                  .groupBy("id")
+                  .agg(F.min("label").alias("label"))
+                  .localCheckpoint(eager=True))
+    return labels.select("id", "label")

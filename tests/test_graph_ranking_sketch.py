@@ -855,3 +855,41 @@ def test_kmv_set_estimate_sketch_regime_accuracy(spark):
     assert r.union_kept == 256
     assert abs(r.est_union - 4500) / 4500 < 0.25
     assert abs(r.est_intersection - 1500) / 1500 < 0.4
+
+
+# ------------------------------------------------------- label propagation
+
+def test_lpa_two_cliques_bridge(spark):
+    from cartwright_spark.functions.graph import label_propagation
+    # two 4-cliques joined by one bridge edge: LPA must keep them as
+    # two communities labelled by each clique's min node
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [(3, 10)], ["src", "dst"])
+    got = {r["id"]: r["label"]
+           for r in label_propagation(edges, iters=5).collect()}
+    assert {got[i] for i in range(4)} == {0}
+    assert {got[i] for i in range(10, 14)} == {10}
+
+
+def test_lpa_star_converges_to_center(spark):
+    from cartwright_spark.functions.graph import label_propagation
+    edges = spark.createDataFrame([(i, 0) for i in range(1, 8)],
+                                  ["src", "dst"])
+    got = label_propagation(edges, iters=3).collect()
+    assert {r["label"] for r in got} == {0}
+
+
+def test_lpa_partition_invariant_and_string_ids(spark):
+    from cartwright_spark.functions.graph import label_propagation
+    import pyspark.sql.functions as SF
+    edges = spark.createDataFrame(
+        [(f"h{a}", f"h{b}") for a in range(6) for b in range(6)
+         if a < b and (a // 3 == b // 3)] + [("h2", "h3")],
+        ["src", "dst"])
+    a = sorted(map(tuple, label_propagation(
+        edges.repartition(1), iters=4).collect()))
+    b = sorted(map(tuple, label_propagation(
+        edges.repartition(7), iters=4).collect()))
+    assert a == b
+    assert dict(a)["h4"] == "h3"  # second triangle labelled by its min
