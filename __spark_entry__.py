@@ -2904,6 +2904,20 @@ def q_anchor_text(spark, sf_dir):
     return anchor_text_index(_anchor_pages(spark, sf_dir))
 
 
+def q_containment_join(spark, sf_dir):
+    """EXACT all-pairs word-3-gram CONTAINMENT >= 0.5 self-join
+    (dedup.py containment_join): the asymmetric near-dup relation —
+    A's grams mostly inside B — that Jaccard misses when sizes differ
+    (quote/mirror/wrapper detection). Complete candidates from A-prefix
+    grams against B's full postings, exact refine. Oracle =
+    brute-forced definition over all ordered pairs."""
+    from cartwright_spark.operators.dedup import containment_join
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = containment_join(docs, threshold=0.5, n=3)
+    return out.select("id_a", "id_b", "inter", "size_a",
+                      F.round("containment", 6).alias("containment"))
+
+
 def q_label_propagation(spark, sf_dir):
     """Community detection by synchronous label propagation
     (functions/graph.py label_propagation): 5 deterministic rounds
@@ -3034,6 +3048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_intersection": q_kmv_intersection,
         "heavy_hitters": q_heavy_hitters,
         "label_propagation": q_label_propagation,
+        "containment_join": q_containment_join,
         "grouped_quantile": q_grouped_quantile,
         "geohash_encode": q_geohash_encode,
         "exact_quantiles": q_exact_quantiles,
@@ -4344,6 +4359,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_unrolled(_ORDERS_DIGRAPH_SQL),
         "label_propagation": _lpa_unrolled(_ORDERS_DIGRAPH_SQL),
+        "containment_join": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(0, greatest(len(ws) - 3, 0) + 1),
+                       i -> array_to_string(list_slice(ws, i + 1, i + 3),
+                                            ' '))) AS grams
+              FROM (SELECT doc_id,
+                           str_split_regex(lower(text), '\\s+') AS ws
+                    FROM documents)
+            ),
+            s AS (SELECT doc_id, grams, len(grams) AS L FROM g
+                  WHERE len(grams) > 0),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT)
+                       AS inter,
+                     CAST(a.L AS BIGINT) AS size_a
+              FROM s a JOIN s b ON a.doc_id <> b.doc_id
+            )
+            SELECT id_a, id_b, inter, size_a,
+                   round(CAST(inter AS DOUBLE) / size_a, 6) AS containment
+            FROM p
+            WHERE 2 * inter >= size_a
+        """,
         "url_normalize": _url_normalize_oracle(),
         "link_graph": _LINK_GRAPH_SQL,
         "host_pagerank": _pagerank_unrolled(

@@ -522,6 +522,83 @@ def prefix_jaccard_join(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "inter", "union_sz", "jaccard"))
 
 
+def containment_join(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", threshold: float = 0.5,
+                     n: int = 3) -> DataFrame:
+    """EXACT all-pairs CONTAINMENT self-join: -> (id_a, id_b, inter,
+    size_a, containment) for every ORDERED pair with
+    C(A -> B) = |grams(A) n grams(B)| / |grams(A)| >= ``threshold`` —
+    the asymmetric companion to `prefix_jaccard_join`, catching the
+    quote/mirror/boilerplate-wrapper case Jaccard misses: a short doc
+    wholly embedded in a much longer one has tiny Jaccard but
+    containment 1.0 (Broder 1997's "containment" resemblance twin).
+
+    Completeness: order grams globally rarest-first by (df, gram); A's
+    prefix is its first L_A - ceil(t*L_A) + 1 grams. C(A->B) >= t needs
+    |A n B| >= ceil(t*L_A) common grams; if none sat in A's prefix,
+    the suffix holds only ceil(t*L_A) - 1 of them — contradiction. So
+    an equi-join of A-PREFIX grams against B's FULL gram postings is a
+    complete candidate generator; the exact array_intersect refine
+    keeps precision 1. Only the probe side is pruned — containment
+    puts no length constraint on B, so B must index everything.
+
+    Scale shape (the 100 TB audit): candidate volume is
+    sum over grams of df_prefix(g) * df(g). The full posting list of a
+    hot gram is long, but df_prefix(g) for a hot gram is ~0 — a gram
+    enters a prefix only when it is among that document's RAREST, which
+    a corpus-hot gram almost never is. So the big factor is always
+    multiplied by a near-zero one; residual join skew -> AQE split.
+    Gram sets build map-only after a fan_out (single-file-source
+    guard, the measured prefix_jaccard trap) and are localCheckpoint'ed
+    once, shared by the df-count, prefix, and refine passes.
+
+    Float hygiene: the threshold filter is ceil(t*L_A) with 1e-9 slack
+    on the candidate side (can only ENLARGE candidates) and an exact
+    integer comparison inter >= ceil(t*size_a - eps) in the refine, so
+    IEEE artifacts cannot flip membership; `containment` itself is one
+    final division.
+    """
+    if not (0.0 < float(threshold) <= 1.0):
+        raise ValueError("containment_join: threshold must be in (0, 1]")
+    t = float(threshold)
+    eps = 1e-9
+    from cartwright_spark.functions.partitioning import fan_out
+    grams = (_word_gram_sets(fan_out(df), text_col, id_col, n)
+             .withColumn("L", F.size("grams"))
+             .where(F.col("L") > 0)
+             .localCheckpoint(eager=True))
+
+    toks = grams.select("id", "L", F.explode("grams").alias("tok"))
+    dfc = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "tok")
+    prefix = (toks.join(dfc, "tok")
+              .withColumn("pos", F.row_number().over(w))
+              .where(F.col("pos")
+                     <= F.col("L") - F.ceil(F.col("L") * t - eps) + 1)
+              .select(F.col("id").alias("id_a"), "tok"))
+
+    full = toks.select(F.col("id").alias("id_b"), "tok")
+    cand = (prefix.join(full, "tok")
+            .where(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct())
+
+    ga = grams.select(F.col("id").alias("id_a"),
+                      F.col("grams").alias("g_a"),
+                      F.col("L").alias("size_a"))
+    gb = grams.select(F.col("id").alias("id_b"),
+                      F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("bigint")
+    return (cand.join(ga, "id_a").join(gb, "id_b")
+            .withColumn("inter", inter)
+            .where(F.col("inter")
+                   >= F.ceil(F.col("size_a") * t - eps))
+            .select("id_a", "id_b", "inter",
+                    F.col("size_a").cast("bigint").alias("size_a"),
+                    (F.col("inter") / F.col("size_a"))
+                    .alias("containment")))
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup (cosine over a normalized-vector self-join via buckets)
 # ---------------------------------------------------------------------------

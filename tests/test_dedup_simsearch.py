@@ -461,3 +461,60 @@ def test_prefix_jaccard_guards(spark):
     for bad in (0.0, -0.1, 1.5):
         with pytest.raises(ValueError):
             prefix_jaccard_join(df, threshold=bad)
+
+
+# --- containment_join (exact asymmetric all-pairs self-join) -------------
+
+
+def _brute_containment(texts, t, n=3):
+    out = {}
+    ids = sorted(texts)
+    for a in ids:
+        ga = _gram_set(texts[a], n)
+        if not ga:
+            continue
+        for b in ids:
+            if a == b:
+                continue
+            gb = _gram_set(texts[b], n)
+            inter = len(ga & gb)
+            if inter / len(ga) >= t:
+                out[(a, b)] = (inter, len(ga), inter / len(ga))
+    return out
+
+
+@pytest.mark.parametrize("t", [0.3, 0.5, 0.8, 1.0])
+def test_containment_matches_bruteforce(pj_corpus, t):
+    from cartwright_spark.operators.dedup import containment_join
+    df, texts = pj_corpus
+    got = {(r.id_a, r.id_b): (r.inter, r.size_a, r.containment)
+           for r in containment_join(df, threshold=t).collect()}
+    want = _brute_containment(texts, t)
+    assert set(got) == set(want)
+    for k, (i1, s1, c1) in want.items():
+        i2, s2, c2 = got[k]
+        assert (i2, s2) == (i1, s1)
+        assert c2 == pytest.approx(c1, abs=1e-12)
+
+
+def test_containment_is_asymmetric(spark):
+    """A short doc embedded verbatim in a long one: C(short->long)=1.0
+    even though Jaccard is far below threshold — the quote/mirror case
+    the operator exists for."""
+    from cartwright_spark.operators.dedup import containment_join
+    short = "alpha bravo charlie delta echo"
+    filler = " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, short), (2, filler + " " + short + " " + filler)],
+        ["doc_id", "text"])
+    rows = {(r.id_a, r.id_b): r.containment
+            for r in containment_join(df, threshold=0.9).collect()}
+    assert rows == {(1, 2): pytest.approx(1.0)}
+
+
+def test_containment_guards(spark):
+    from cartwright_spark.operators.dedup import containment_join
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            containment_join(df, threshold=bad)
