@@ -2918,6 +2918,18 @@ def q_containment_join(spark, sf_dir):
                       F.round("containment", 6).alias("containment"))
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training over the documents corpus
+    (operators/bpe.py bpe_merges): 6 learned merge rules with exact
+    adjacency counts. The only corpus-scale pass is the word-frequency
+    dictionary shuffle; every learning round is vocab-scale pair
+    counting + a map-only Catalyst fold merge (no UDFs). Oracle =
+    rounds unrolled with recursive leftmost-replace CTEs."""
+    from cartwright_spark.operators.bpe import bpe_merges
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return bpe_merges(docs, rounds=6)
+
+
 def q_label_propagation(spark, sf_dir):
     """Community detection by synchronous label propagation
     (functions/graph.py label_propagation): 5 deterministic rounds
@@ -3049,6 +3061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "label_propagation": q_label_propagation,
         "containment_join": q_containment_join,
+        "bpe_merges": q_bpe_merges,
         "grouped_quantile": q_grouped_quantile,
         "geohash_encode": q_geohash_encode,
         "exact_quantiles": q_exact_quantiles,
@@ -3176,6 +3189,67 @@ def _lpa_unrolled(edges_sql: str, iters: int = 5) -> str:
           GROUP BY v.id)""")
     parts.append(f"""
         SELECT id, label FROM l{iters}""")
+    return "".join(parts)
+
+
+def _bpe_unrolled(rounds: int = 6) -> str:
+    """BPE merge learning unrolled into chained CTEs, one block per
+    learning round (the _pagerank_unrolled pattern). Semantics mirror
+    operators/bpe.py bpe_merges exactly: word-frequency dictionary over
+    lowercase [a-z]{2,} whitespace tokens, adjacency pair counts
+    weighted by word freq, argmax tie-broken (cnt DESC, a, b), greedy
+    left-to-right non-overlapping merge. The merge itself is a
+    recursive CTE replacing the LEFTMOST occurrence and rescanning —
+    provably the same non-overlapping left-greedy cover the engine's
+    Catalyst fold produces. Symbol strings are chr(1)-separated with
+    boundary separators so pattern hits are exact symbol-boundary
+    matches ([a-z]-only symbols can never contain the separator)."""
+    sep = "chr(1)"
+    pat = f"{sep} || bb.a || {sep} || bb.b || {sep}"
+    parts = [f"""
+        WITH RECURSIVE words AS (
+          SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(str_split_regex(lower(text), '\\s+')) AS w
+                FROM documents)
+          WHERE regexp_full_match(w, '[a-z]{{2,}}')
+          GROUP BY 1),
+        v0 AS MATERIALIZED (
+          SELECT word, freq,
+                 {sep} || array_to_string(string_split(word, ''), {sep})
+                       || {sep} AS s
+          FROM words)"""]
+    for k in range(1, rounds + 1):
+        p = f"v{k - 1}"
+        parts.append(f""",
+        p{k} AS (
+          SELECT sy[i] AS a, sy[i + 1] AS b,
+                 CAST(sum(freq) AS BIGINT) AS cnt
+          FROM (SELECT freq, sy, unnest(range(1, len(sy))) AS i
+                FROM (SELECT freq,
+                             string_split(trim(s, {sep}), {sep}) AS sy
+                      FROM {p}))
+          GROUP BY 1, 2),
+        best{k} AS MATERIALIZED (
+          SELECT a, b, cnt FROM p{k}
+          ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+        r{k} AS (
+          SELECT word, freq, s FROM {p}
+          UNION ALL
+          SELECT r.word, r.freq,
+                 substr(r.s, 1, instr(r.s, {pat}) - 1)
+                 || {sep} || bb.a || bb.b || {sep}
+                 || substr(r.s, instr(r.s, {pat}) + length({pat}))
+          FROM r{k} r, best{k} bb
+          WHERE instr(r.s, {pat}) > 0),
+        v{k} AS MATERIALIZED (
+          SELECT r.word, r.freq, r.s FROM r{k} r, best{k} bb
+          WHERE instr(r.s, {pat}) = 0)""")
+    sel = "\n          UNION ALL ".join(
+        f"SELECT {k} AS step, a AS sym_a, b AS sym_b, a || b AS merged,"
+        f" cnt AS pair_count FROM best{k}"
+        for k in range(1, rounds + 1))
+    parts.append(f"""
+        {sel}""")
     return "".join(parts)
 
 
@@ -4384,6 +4458,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             WHERE 2 * inter >= size_a
         """,
+        "bpe_merges": _bpe_unrolled(rounds=6),
         "url_normalize": _url_normalize_oracle(),
         "link_graph": _LINK_GRAPH_SQL,
         "host_pagerank": _pagerank_unrolled(
