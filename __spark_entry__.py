@@ -2930,6 +2930,49 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_merges(docs, rounds=6)
 
 
+def q_image_near_dup(spark, sf_dir):
+    """Perceptual-hash image near-duplicate pairs (operators/phash.py):
+    200 deterministic rasters in 40 base-image families of 5 variants
+    (each variant inverts a different sparse pixel set), pushed through
+    the REAL binary-media path — encode_png -> binary column ->
+    decode_png -> integer-exact aHash64 -> pigeonhole Hamming band
+    join. Pixels are closed-form in doc_id, so the DuckDB oracle
+    rebuilds the 64-bit hashes in pure SQL (as two 32-bit halves) and
+    brute-forces the pair distances."""
+    import numpy as np
+    import pandas as pd
+
+    from cartwright_spark.operators.multimodal import encode_png
+    from cartwright_spark.operators.phash import image_ahash, ahash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 200)
+    H, W = 16, 24
+
+    def mk(batches):
+        y = np.arange(H)[:, None, None]
+        x = np.arange(W)[None, :, None]
+        c = np.arange(3)[None, None, :]
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            blobs = []
+            for i in ids:
+                b, v = int(i) % 40, int(i) // 40
+                base = (b * 31 + y * (7 + b % 5)
+                        + x * (3 + b % 7) + c * 11) % 256
+                img = np.where((y * W + x) % 53 == v, 255 - base, base) \
+                    .astype(np.uint8)
+                blobs.append(encode_png(img))
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    media = docs.mapInPandas(mk, "media_id long, media binary")
+    hashes = image_ahash(media)
+    return (ahash_near_pairs(hashes, max_hamming=8, band_bits=7)
+            .select(F.col("id_a").cast("long").alias("id_a"),
+                    F.col("id_b").cast("long").alias("id_b"),
+                    F.col("hamming").cast("int").alias("hamming")))
+
+
 def q_label_propagation(spark, sf_dir):
     """Community detection by synchronous label propagation
     (functions/graph.py label_propagation): 5 deterministic rounds
@@ -3062,6 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "containment_join": q_containment_join,
         "bpe_merges": q_bpe_merges,
+        "image_near_dup": q_image_near_dup,
         "grouped_quantile": q_grouped_quantile,
         "geohash_encode": q_geohash_encode,
         "exact_quantiles": q_exact_quantiles,
@@ -4459,6 +4503,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE 2 * inter >= size_a
         """,
         "bpe_merges": _bpe_unrolled(rounds=6),
+        # aHash bits rebuilt in pure SQL as two 32-bit halves (BIGINT
+        # cannot shift into bit 63); cell geometry: 16x24 image, 8x8
+        # grid -> 2x3 cells, brightness = channel sum, integer-exact
+        # mean test 64*cell_sum > total_sum
+        "image_near_dup": """
+            WITH px AS (
+              SELECT d.doc_id AS id, y.r AS y, x.r AS x,
+                     CASE WHEN (y.r * 24 + x.r) % 53 = d.doc_id // 40
+                          THEN 255 - (((d.doc_id % 40) * 31
+                                       + y.r * (7 + (d.doc_id % 40) % 5)
+                                       + x.r * (3 + (d.doc_id % 40) % 7)
+                                       + c.r * 11) % 256)
+                          ELSE ((d.doc_id % 40) * 31
+                                + y.r * (7 + (d.doc_id % 40) % 5)
+                                + x.r * (3 + (d.doc_id % 40) % 7)
+                                + c.r * 11) % 256
+                     END AS v
+              FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+                   range(16) y(r), range(24) x(r), range(3) c(r)
+            ),
+            cells AS (
+              SELECT id, (y // 2) * 8 + (x // 3) AS pos,
+                     CAST(SUM(v) AS BIGINT) AS cs
+              FROM px GROUP BY 1, 2
+            ),
+            tot AS (SELECT id, SUM(cs) AS ts FROM cells GROUP BY 1),
+            h AS (
+              SELECT c.id,
+                     CAST(SUM(CASE WHEN 64 * cs > ts AND pos < 32
+                                   THEN (CAST(1 AS BIGINT) << pos)
+                                   ELSE 0 END) AS BIGINT) AS lo,
+                     CAST(SUM(CASE WHEN 64 * cs > ts AND pos >= 32
+                                   THEN (CAST(1 AS BIGINT) << (pos - 32))
+                                   ELSE 0 END) AS BIGINT) AS hi
+              FROM cells c JOIN tot t ON c.id = t.id
+              GROUP BY 1
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.lo, b.lo))
+                        + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
+            FROM h a JOIN h b ON a.id < b.id
+            WHERE bit_count(xor(a.lo, b.lo))
+                  + bit_count(xor(a.hi, b.hi)) <= 8
+        """,
         "url_normalize": _url_normalize_oracle(),
         "link_graph": _LINK_GRAPH_SQL,
         "host_pagerank": _pagerank_unrolled(
