@@ -2930,6 +2930,23 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_merges(docs, rounds=6)
 
 
+def q_hausdorff_pairs(spark, sf_dir):
+    """Discrete Hausdorff distance join (spatial/hausdorff.py): all
+    trajectory pairs within H <= 45 degrees, exact squared distances.
+    Trajectories = events points grouped by user_id % 40; bbox
+    grid-bucket candidates (provably complete for the threshold),
+    exact max-min refine with map-side partial aggs. Oracle =
+    brute-forced definition over all pairs."""
+    from cartwright_spark.spatial.hausdorff import hausdorff_join
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select((F.col("user_id") % 40).alias("traj_id"),
+                    F.expr(_TRAJ_LAT).alias("lat"),
+                    F.expr(_TRAJ_LON).alias("lon"))
+    return (hausdorff_join(pts, max_dist=45.0)
+            .select("id_a", "id_b",
+                    F.round("hausdorff_sq", 6).alias("hausdorff_sq")))
+
+
 def q_image_near_dup(spark, sf_dir):
     """Perceptual-hash image near-duplicate pairs (operators/phash.py):
     200 deterministic rasters in 40 base-image families of 5 variants
@@ -3106,6 +3123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_join": q_containment_join,
         "bpe_merges": q_bpe_merges,
         "image_near_dup": q_image_near_dup,
+        "hausdorff_pairs": q_hausdorff_pairs,
         "grouped_quantile": q_grouped_quantile,
         "geohash_encode": q_geohash_encode,
         "exact_quantiles": q_exact_quantiles,
@@ -4507,6 +4525,27 @@ def oracle_sql() -> dict[str, str]:
         # cannot shift into bit 63); cell geometry: 16x24 image, 8x8
         # grid -> 2x3 cells, brightness = channel sum, integer-exact
         # mean test 64*cell_sum > total_sum
+        "hausdorff_pairs": f"""
+            WITH pts AS (
+              SELECT DISTINCT user_id % 40 AS tid,
+                     {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon
+              FROM events
+              WHERE {_TRAJ_LAT} IS NOT NULL AND {_TRAJ_LON} IS NOT NULL
+            ),
+            mins AS (
+              SELECT a.tid AS ta, b.tid AS tb, a.lat AS alat, a.lon AS alon,
+                     min((a.lat - b.lat) * (a.lat - b.lat)
+                         + (a.lon - b.lon) * (a.lon - b.lon)) AS md
+              FROM pts a JOIN pts b ON a.tid <> b.tid
+              GROUP BY 1, 2, 3, 4
+            ),
+            h AS (SELECT ta, tb, max(md) AS hd FROM mins GROUP BY 1, 2)
+            SELECT f.ta AS id_a, f.tb AS id_b,
+                   round(greatest(f.hd, r.hd), 6) AS hausdorff_sq
+            FROM h f JOIN h r ON f.ta = r.tb AND f.tb = r.ta
+            WHERE f.ta < f.tb
+              AND greatest(f.hd, r.hd) <= CAST(2025.0 AS DOUBLE)
+        """,
         "image_near_dup": """
             WITH px AS (
               SELECT d.doc_id AS id, y.r AS y, x.r AS x,
