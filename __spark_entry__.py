@@ -2930,6 +2930,17 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_merges(docs, rounds=6)
 
 
+def q_coverage_select(spark, sf_dir):
+    """Greedy max-coverage corpus selection (operators/selection.py):
+    6 documents picked to maximize covered vocabulary, exact marginal
+    gains and running covered totals. One incidence shuffle up front;
+    each round = one anti-join + count agg + 1-row argmax. Oracle =
+    rounds unrolled into chained anti-join CTE blocks."""
+    from cartwright_spark.operators.selection import greedy_max_coverage
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return greedy_max_coverage(docs, k=6, gram_n=2)
+
+
 def q_hausdorff_pairs(spark, sf_dir):
     """Discrete Hausdorff distance join (spatial/hausdorff.py): all
     trajectory pairs within H <= 45 degrees, exact squared distances.
@@ -3124,6 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "image_near_dup": q_image_near_dup,
         "hausdorff_pairs": q_hausdorff_pairs,
+        "coverage_select": q_coverage_select,
         "grouped_quantile": q_grouped_quantile,
         "geohash_encode": q_geohash_encode,
         "exact_quantiles": q_exact_quantiles,
@@ -3310,6 +3322,62 @@ def _bpe_unrolled(rounds: int = 6) -> str:
         f"SELECT {k} AS step, a AS sym_a, b AS sym_b, a || b AS merged,"
         f" cnt AS pair_count FROM best{k}"
         for k in range(1, rounds + 1))
+    parts.append(f"""
+        {sel}""")
+    return "".join(parts)
+
+
+def _coverage_unrolled(k: int = 6, n: int = 1) -> str:
+    """Greedy max-coverage unrolled into k chained CTE blocks
+    (operators/selection.py greedy_max_coverage semantics: marginal
+    gain = count of a document's tokens outside the covered set,
+    argmax tie-broken (gain DESC, doc_id ASC), covered set grows by
+    the pick's tokens; vocabulary unit = word n-gram, the Jaccard
+    family's shared tokenization). Each block: anti-join -> per-doc
+    count -> LIMIT 1 -> covered-set union."""
+    parts = [f"""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                     range(0, greatest(len(ws) - {n}, 0) + 1),
+                     i -> array_to_string(list_slice(ws, i + 1, i + {n}),
+                                          ' ')))) AS tok
+            FROM (SELECT doc_id,
+                         str_split_regex(lower(text), '\\s+') AS ws
+                  FROM documents))
+          WHERE tok <> '')"""]
+    for i in range(1, k + 1):
+        excl = ""
+        if i > 1:
+            prior = " UNION ALL ".join(
+                f"SELECT doc_id FROM b{j}" for j in range(1, i))
+            excl = f" AND t.doc_id NOT IN ({prior})"
+        if i > 1:
+            src = f"""FROM toks t LEFT JOIN cov{i - 1} c ON t.tok = c.tok
+              WHERE c.tok IS NULL{excl}"""
+        else:
+            src = "FROM toks t WHERE TRUE"
+        parts.append(f""",
+        b{i} AS MATERIALIZED (
+          SELECT t.doc_id, CAST(count(*) AS BIGINT) AS gain
+          {src}
+          GROUP BY t.doc_id
+          ORDER BY gain DESC, t.doc_id ASC LIMIT 1)""")
+        if i == 1:
+            parts.append(""",
+        cov1 AS MATERIALIZED (
+          SELECT DISTINCT t.tok FROM toks t
+          JOIN b1 ON t.doc_id = b1.doc_id)""")
+        else:
+            parts.append(f""",
+        cov{i} AS MATERIALIZED (
+          SELECT tok FROM cov{i - 1}
+          UNION
+          SELECT t.tok FROM toks t JOIN b{i} ON t.doc_id = b{i}.doc_id)""")
+    sel = "\n          UNION ALL ".join(
+        f"SELECT {i} AS step, doc_id, gain,"
+        f" (SELECT count(*) FROM cov{i}) AS covered_total FROM b{i}"
+        for i in range(1, k + 1))
     parts.append(f"""
         {sel}""")
     return "".join(parts)
@@ -4525,6 +4593,7 @@ def oracle_sql() -> dict[str, str]:
         # cannot shift into bit 63); cell geometry: 16x24 image, 8x8
         # grid -> 2x3 cells, brightness = channel sum, integer-exact
         # mean test 64*cell_sum > total_sum
+        "coverage_select": _coverage_unrolled(k=6, n=2),
         "hausdorff_pairs": f"""
             WITH pts AS (
               SELECT DISTINCT user_id % 40 AS tid,
