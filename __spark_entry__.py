@@ -2930,6 +2930,27 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_merges(docs, rounds=6)
 
 
+def q_neighborhood_function(spark, sf_dir):
+    """Exact graph neighborhood function N(t), t = 0..4
+    (functions/neighborhood.py): directed reachable-pair counts over
+    the shared orders digraph — the distance-distribution /
+    effective-diameter metric. The exact pair-table path is the
+    verification-scale twin of the HyperBall HLL path (same module),
+    which is accuracy-gated in tests. Oracle = hops unrolled into
+    chained DISTINCT-union CTEs."""
+    from cartwright_spark.functions.neighborhood import (
+        neighborhood_function_exact)
+    o = _t(spark, sf_dir, "orders")
+    star = o.select(F.col("o_orderkey").alias("src"),
+                    (F.col("o_orderkey") - F.col("o_orderkey") % 97)
+                    .alias("dst"))
+    bridge = (o.where((F.col("o_orderkey") % 293 == 0)
+                      & (F.col("o_orderkey") >= 97))
+              .select(F.col("o_orderkey").alias("src"),
+                      (F.col("o_orderkey") - 97).alias("dst")))
+    return neighborhood_function_exact(star.union(bridge), t_max=4)
+
+
 def q_coverage_select(spark, sf_dir):
     """Greedy max-coverage corpus selection (operators/selection.py):
     6 documents picked to maximize covered vocabulary, exact marginal
@@ -3136,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup": q_image_near_dup,
         "hausdorff_pairs": q_hausdorff_pairs,
         "coverage_select": q_coverage_select,
+        "neighborhood_function": q_neighborhood_function,
         "grouped_quantile": q_grouped_quantile,
         "geohash_encode": q_geohash_encode,
         "exact_quantiles": q_exact_quantiles,
@@ -3322,6 +3344,34 @@ def _bpe_unrolled(rounds: int = 6) -> str:
         f"SELECT {k} AS step, a AS sym_a, b AS sym_b, a || b AS merged,"
         f" cnt AS pair_count FROM best{k}"
         for k in range(1, rounds + 1))
+    parts.append(f"""
+        {sel}""")
+    return "".join(parts)
+
+
+def _nf_unrolled(edges_sql: str, t_max: int = 4) -> str:
+    """Exact neighborhood function N(t) unrolled: one CTE block per
+    hop, each = previous pairs UNION (pairs hopped over an edge),
+    DISTINCT. Mirrors functions/neighborhood.py
+    neighborhood_function_exact (whose early-exit padding emits the
+    same converged counts this straight-line form computes)."""
+    parts = [f"""
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM ({edges_sql})
+          WHERE src IS NOT NULL AND dst IS NOT NULL),
+        r0 AS MATERIALIZED (
+          SELECT n AS u, n AS v FROM (
+            SELECT src AS n FROM e UNION SELECT dst FROM e))"""]
+    for t in range(1, t_max + 1):
+        parts.append(f""",
+        r{t} AS MATERIALIZED (
+          SELECT DISTINCT u, v FROM (
+            SELECT u, v FROM r{t - 1}
+            UNION ALL
+            SELECT r.u, e.dst FROM r{t - 1} r JOIN e ON r.v = e.src))""")
+    sel = "\n          UNION ALL ".join(
+        f"SELECT {t} AS t, CAST(count(*) AS BIGINT) AS pairs FROM r{t}"
+        for t in range(0, t_max + 1))
     parts.append(f"""
         {sel}""")
     return "".join(parts)
@@ -4594,6 +4644,7 @@ def oracle_sql() -> dict[str, str]:
         # grid -> 2x3 cells, brightness = channel sum, integer-exact
         # mean test 64*cell_sum > total_sum
         "coverage_select": _coverage_unrolled(k=6, n=2),
+        "neighborhood_function": _nf_unrolled(_ORDERS_DIGRAPH_SQL, t_max=4),
         "hausdorff_pairs": f"""
             WITH pts AS (
               SELECT DISTINCT user_id % 40 AS tid,

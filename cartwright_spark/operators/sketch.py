@@ -173,9 +173,18 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str,
     nondeterministic partial-agg order AND bit-reproducible in the
     DuckDB oracle. (The 32-bit large-range correction only matters near
     2^32 distinct and is intentionally omitted.)"""
+    return hll_estimate_registers(hll_sketch(df, group_col, value_col, p),
+                                  group_col, p)
+
+
+def hll_estimate_registers(sk: DataFrame, group_col: str,
+                           p: int = 6) -> DataFrame:
+    """(group, n_regs, est_distinct) from an already-built (group, reg,
+    rho) register table — the estimator half of hll_distinct, shared
+    with HyperBall (functions/neighborhood.py), whose register tables
+    come from iterated merges rather than a fresh sketch."""
     alpha = _HLL_ALPHA.get(p, 0.7213 / (1 + 1.079 / (1 << p)))
     m = 1 << p
-    sk = hll_sketch(df, group_col, value_col, p)
     agg = sk.groupBy(group_col).agg(
         F.count("*").alias("n_regs"),
         # integer shift keeps each 2^-rho term an EXACT power of two
