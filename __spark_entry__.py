@@ -2930,6 +2930,26 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_merges(docs, rounds=6)
 
 
+def q_kcore(spark, sf_dir):
+    """2-core of a deterministic crawl-shaped graph (functions/graph.py
+    kcore): per 20-doc block, a 13-cycle with a 7-node pendant chain
+    hanging off it — the pendant peels over 7 rounds, the cycles
+    survive, exercising genuinely iterative peeling rather than one
+    leaf-strip. Oracle = the peel unrolled into 10 fixed CTE rounds
+    (converged rounds are no-ops in both engines)."""
+    from cartwright_spark.functions.graph import kcore
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    r = F.col("doc_id") % 20
+    base = F.col("doc_id") - r
+    cyc = d.where(r < 13).select(
+        F.col("doc_id").alias("src"), (base + (r + 1) % 13).alias("dst"))
+    pend = d.where((r >= 13) & (r <= 18)).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
+    root = d.where(r == 13).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 13).alias("dst"))
+    return kcore(cyc.union(pend).union(root), k=2)
+
+
 def q_neighborhood_function(spark, sf_dir):
     """Exact graph neighborhood function N(t), t = 0..4
     (functions/neighborhood.py): directed reachable-pair counts over
@@ -3158,6 +3178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hausdorff_pairs": q_hausdorff_pairs,
         "coverage_select": q_coverage_select,
         "neighborhood_function": q_neighborhood_function,
+        "kcore_membership": q_kcore,
         "grouped_quantile": q_grouped_quantile,
         "geohash_encode": q_geohash_encode,
         "exact_quantiles": q_exact_quantiles,
@@ -3374,6 +3395,46 @@ def _nf_unrolled(edges_sql: str, t_max: int = 4) -> str:
         for t in range(0, t_max + 1))
     parts.append(f"""
         {sel}""")
+    return "".join(parts)
+
+
+_KCORE_EDGES_SQL = """
+          SELECT doc_id AS src,
+                 (doc_id - doc_id % 20) + ((doc_id % 20 + 1) % 13) AS dst
+          FROM documents WHERE doc_id % 20 < 13
+          UNION ALL
+          SELECT doc_id, doc_id + 1
+          FROM documents WHERE doc_id % 20 BETWEEN 13 AND 18
+          UNION ALL
+          SELECT doc_id, doc_id - 13
+          FROM documents WHERE doc_id % 20 = 13
+"""
+
+
+def _kcore_unrolled(edges_sql: str, k: int = 2, rounds: int = 10) -> str:
+    """Iterative k-core peel unrolled into fixed CTE blocks (mirrors
+    functions/graph.py kcore: symmetrized distinct edges, each round
+    keeps nodes with induced degree >= k and drops edges touching a
+    peeled endpoint). `rounds` must be >= the fixture's peel depth —
+    converged rounds are no-ops, so any larger R agrees."""
+    parts = [f"""
+        WITH raw AS ({edges_sql}),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM raw
+            UNION ALL SELECT dst, src FROM raw)
+          WHERE a <> b)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+        v{i} AS MATERIALIZED (
+          SELECT a FROM (SELECT a, count(*) AS c FROM e{i - 1} GROUP BY a)
+          WHERE c >= {k}),
+        e{i} AS MATERIALIZED (
+          SELECT e.a, e.b FROM e{i - 1} e
+          JOIN v{i} x ON e.a = x.a
+          JOIN v{i} y ON e.b = y.a)""")
+    parts.append(f"""
+        SELECT a AS node FROM v{rounds}""")
     return "".join(parts)
 
 
@@ -4645,6 +4706,8 @@ def oracle_sql() -> dict[str, str]:
         # mean test 64*cell_sum > total_sum
         "coverage_select": _coverage_unrolled(k=6, n=2),
         "neighborhood_function": _nf_unrolled(_ORDERS_DIGRAPH_SQL, t_max=4),
+        "kcore_membership": _kcore_unrolled(_KCORE_EDGES_SQL, k=2,
+                                            rounds=10),
         "hausdorff_pairs": f"""
             WITH pts AS (
               SELECT DISTINCT user_id % 40 AS tid,

@@ -75,3 +75,48 @@ def test_guards(spark):
         neighborhood_function_exact(df, -1)
     with pytest.raises(ValueError):
         hyperball(df, -1)
+
+
+# --- kcore (iterative peel) ----------------------------------------------
+
+
+def _brute_kcore(edges, k):
+    adj = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    alive = set(adj)
+    while True:
+        drop = {u for u in alive
+                if len(adj[u] & alive) < k}
+        if not drop:
+            return alive
+        alive -= drop
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_kcore_matches_bruteforce(graph, k):
+    from cartwright_spark.functions.graph import kcore
+    df, edges = graph
+    got = {r.node for r in kcore(df, k=k).collect()}
+    assert got == _brute_kcore(edges, k)
+
+
+def test_kcore_pendant_chain_peels_iteratively(spark):
+    """Cycle 0-1-2-3-0 with pendant chain 3-10-11-12-13: the chain
+    peels one node per round (4 rounds), the cycle survives."""
+    from cartwright_spark.functions.graph import kcore
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0),
+             (3, 10), (10, 11), (11, 12), (12, 13)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert {r.node for r in kcore(df, k=2).collect()} == {0, 1, 2, 3}
+
+
+def test_kcore_empty_core(spark):
+    from cartwright_spark.functions.graph import kcore
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert kcore(df, k=2).count() == 0        # a path has no 2-core
+    with pytest.raises(ValueError):
+        kcore(df, k=0)
