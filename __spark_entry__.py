@@ -2930,6 +2930,18 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_merges(docs, rounds=6)
 
 
+def q_passage_chunks(spark, sf_dir):
+    """RAG passage chunking (operators/chunking.py): 24-token windows
+    at stride 16 over documents — map-only codegen explode, integer
+    div window counts so boundaries are engine-exact. Oracle = the
+    same window rule in DuckDB list arithmetic."""
+    from cartwright_spark.operators.chunking import passage_chunks
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (passage_chunks(docs, size=24, stride=16)
+            .select(F.col("id").alias("doc_id"), "chunk_idx",
+                    "start_tok", "n_tokens", "chunk_text"))
+
+
 def q_kcore(spark, sf_dir):
     """2-core of a deterministic crawl-shaped graph (functions/graph.py
     kcore): per 20-doc block, a 13-cycle with a 7-node pendant chain
@@ -3179,6 +3191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_select": q_coverage_select,
         "neighborhood_function": q_neighborhood_function,
         "kcore_membership": q_kcore,
+        "passage_chunks": q_passage_chunks,
         "grouped_quantile": q_grouped_quantile,
         "geohash_encode": q_geohash_encode,
         "exact_quantiles": q_exact_quantiles,
@@ -4708,6 +4721,26 @@ def oracle_sql() -> dict[str, str]:
         "neighborhood_function": _nf_unrolled(_ORDERS_DIGRAPH_SQL, t_max=4),
         "kcore_membership": _kcore_unrolled(_KCORE_EDGES_SQL, k=2,
                                             rounds=10),
+        "passage_chunks": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(str_split_regex(text, '\\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            c AS (
+              SELECT doc_id, ws, len(ws) AS n,
+                     CASE WHEN len(ws) <= 24 THEN 1
+                          ELSE (len(ws) - 24 + 16 - 1) // 16 + 1
+                     END AS nc
+              FROM t WHERE len(ws) > 0)
+            SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+                   CAST(i * 16 AS BIGINT) AS start_tok,
+                   CAST(least(24, n - i * 16) AS BIGINT) AS n_tokens,
+                   array_to_string(
+                     list_slice(ws, i * 16 + 1,
+                                least(i * 16 + 24, n)), ' ') AS chunk_text
+            FROM (SELECT doc_id, ws, n, unnest(range(0, nc)) AS i FROM c)
+        """,
         "hausdorff_pairs": f"""
             WITH pts AS (
               SELECT DISTINCT user_id % 40 AS tid,
