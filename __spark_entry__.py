@@ -2930,6 +2930,51 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_merges(docs, rounds=6)
 
 
+def _fs_customer_weights():
+    """Field weights for the entity-resolution fixture, computed ONCE
+    here and injected as literals into BOTH engines (no runtime log())."""
+    from cartwright_spark.operators.entity import fs_weights
+    return {"name": fs_weights(0.95, 0.001),
+            "addr": fs_weights(0.90, 0.010),
+            "phone": fs_weights(0.85, 0.005)}
+
+
+def q_entity_resolution(spark, sf_dir):
+    """Fellegi-Sunter probabilistic record linkage (operators/entity.py):
+    customers matched against a deterministically-dirtied twin (name
+    typos, moved addresses, re-dialed phones), blocked on nationkey.
+    Field weights are log2 likelihood ratios computed once in Python
+    and embedded as identical double literals in engine and oracle, so
+    score sums are IEEE-exact. Threshold 5.0 keeps true matches with
+    one disagreeing field and rejects the near-name false pairs."""
+    from cartwright_spark.operators.entity import fs_match_pairs
+    w = _fs_customer_weights()
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    # address/phone synthesized from the key (the table carries
+    # neither) — identical CASTs in the DuckDB oracle
+    addr = F.concat(F.lit("st-"), ((k * 7) % 100000).cast("string"))
+    phone = ((k * 131) % 10000000).cast("string")
+    a = c.select(k.alias("id_a"), "c_nationkey", "c_name",
+                 addr.alias("c_address"), phone.alias("c_phone"))
+    b = c.select(
+        (k + 1000000).alias("id_b"), "c_nationkey",
+        F.when(k % 3 == 0, F.concat(F.col("c_name"), F.lit("x")))
+        .when(k % 7 == 0, F.concat(F.col("c_name"), F.lit("zz")))
+        .otherwise(F.col("c_name")).alias("name_b"),
+        F.when(k % 5 == 0, F.concat(F.lit("MOVED "), addr))
+        .otherwise(addr).alias("addr_b"),
+        F.when(k % 11 == 0, F.concat(F.lit("999"), phone))
+        .otherwise(phone).alias("phone_b"))
+    out = fs_match_pairs(
+        a, b, block_col="c_nationkey",
+        fields=[("c_name", "name_b", 1, *w["name"]),
+                ("c_address", "addr_b", 0, *w["addr"]),
+                ("c_phone", "phone_b", 0, *w["phone"])],
+        threshold=5.0)
+    return out.select("id_a", "id_b", F.round("score", 6).alias("score"))
+
+
 def q_passage_chunks(spark, sf_dir):
     """RAG passage chunking (operators/chunking.py): 24-token windows
     at stride 16 over documents — map-only codegen explode, integer
@@ -3192,6 +3237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_function": q_neighborhood_function,
         "kcore_membership": q_kcore,
         "passage_chunks": q_passage_chunks,
+        "entity_resolution": q_entity_resolution,
         "grouped_quantile": q_grouped_quantile,
         "geohash_encode": q_geohash_encode,
         "exact_quantiles": q_exact_quantiles,
@@ -4721,6 +4767,38 @@ def oracle_sql() -> dict[str, str]:
         "neighborhood_function": _nf_unrolled(_ORDERS_DIGRAPH_SQL, t_max=4),
         "kcore_membership": _kcore_unrolled(_KCORE_EDGES_SQL, k=2,
                                             rounds=10),
+        "entity_resolution": (lambda w: f"""
+            WITH base AS (
+              SELECT c_custkey, c_nationkey, c_name,
+                     'st-' || CAST((c_custkey * 7) % 100000 AS VARCHAR)
+                       AS c_address,
+                     CAST((c_custkey * 131) % 10000000 AS VARCHAR)
+                       AS c_phone
+              FROM customer),
+            b AS (
+              SELECT c_custkey + 1000000 AS id_b, c_nationkey,
+                     CASE WHEN c_custkey % 3 = 0 THEN c_name || 'x'
+                          WHEN c_custkey % 7 = 0 THEN c_name || 'zz'
+                          ELSE c_name END AS name_b,
+                     CASE WHEN c_custkey % 5 = 0
+                          THEN 'MOVED ' || c_address
+                          ELSE c_address END AS addr_b,
+                     CASE WHEN c_custkey % 11 = 0 THEN '999' || c_phone
+                          ELSE c_phone END AS phone_b
+              FROM base),
+            p AS (
+              SELECT a.c_custkey AS id_a, b.id_b,
+                     ((CASE WHEN levenshtein(a.c_name, b.name_b) <= 1
+                            THEN {w["name"][0]!r} ELSE {w["name"][1]!r} END
+                       + CASE WHEN a.c_address = b.addr_b
+                              THEN {w["addr"][0]!r} ELSE {w["addr"][1]!r} END)
+                      + CASE WHEN a.c_phone = b.phone_b
+                             THEN {w["phone"][0]!r} ELSE {w["phone"][1]!r} END)
+                     AS score
+              FROM base a JOIN b ON a.c_nationkey = b.c_nationkey)
+            SELECT id_a, id_b, round(score, 6) AS score
+            FROM p WHERE score >= 5.0
+        """)(_fs_customer_weights()),
         "passage_chunks": """
             WITH t AS (
               SELECT doc_id,
