@@ -2930,6 +2930,42 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_merges(docs, rounds=6)
 
 
+# Deterministic sitemap XML per document — a dual-engine SQL expression
+# (CAST AS STRING and || work identically in Spark SQL and DuckDB).
+# Block 1: loc with surrounding whitespace + lastmod + priority;
+# block 2: loc + changefreq only; block 3: MALFORMED (no <loc>, must be
+# dropped); block 4: relative loc only.
+_SITEMAP_XML_SQL = (
+    "'<urlset>"
+    "<url><loc> https://h' || CAST(doc_id % 20 AS STRING) ||"
+    " '.example.com/p/' || CAST(doc_id * 3 AS STRING) || ' </loc>"
+    "<lastmod>2026-0' || CAST(doc_id % 9 + 1 AS STRING) || '-01</lastmod>"
+    "<priority>0.' || CAST(doc_id % 10 AS STRING) || '</priority></url>"
+    "<url><loc>https://h' || CAST(doc_id % 20 AS STRING) ||"
+    " '.example.com/p/' || CAST(doc_id * 3 + 1 AS STRING) || '</loc>"
+    "<changefreq>daily</changefreq></url>"
+    "<url><lastmod>2026-01-01</lastmod></url>"
+    "<url><loc>/rel/' || CAST(doc_id * 3 + 2 AS STRING) || '</loc></url>"
+    "</urlset>'"
+)
+
+
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap ingest (operators/sitemap.py parse_sitemaps): 300
+    deterministic urlset documents -> exploded (loc, lastmod,
+    changefreq, priority) rows; the no-<loc> block is dropped, missing
+    optional tags are NULL, loc whitespace is trimmed. Pure regexp
+    codegen; oracle runs the identical RE2 patterns in DuckDB."""
+    from cartwright_spark.operators.sitemap import parse_sitemaps
+    docs = (_t(spark, sf_dir, "documents").select("doc_id")
+            .where(F.col("doc_id") < 300)
+            .select(F.col("doc_id").alias("site_id"),
+                    F.expr(_SITEMAP_XML_SQL).alias("xml")))
+    return (parse_sitemaps(docs)
+            .select(F.col("id").alias("site_id"), "loc", "lastmod",
+                    "changefreq", "priority"))
+
+
 def _fs_customer_weights():
     """Field weights for the entity-resolution fixture, computed ONCE
     here and injected as literals into BOTH engines (no runtime log())."""
@@ -3238,6 +3274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_membership": q_kcore,
         "passage_chunks": q_passage_chunks,
         "entity_resolution": q_entity_resolution,
+        "sitemap_urls": q_sitemap_urls,
         "grouped_quantile": q_grouped_quantile,
         "geohash_encode": q_geohash_encode,
         "exact_quantiles": q_exact_quantiles,
@@ -4767,6 +4804,30 @@ def oracle_sql() -> dict[str, str]:
         "neighborhood_function": _nf_unrolled(_ORDERS_DIGRAPH_SQL, t_max=4),
         "kcore_membership": _kcore_unrolled(_KCORE_EDGES_SQL, k=2,
                                             rounds=10),
+        "sitemap_urls": f"""
+            WITH sm AS (
+              SELECT doc_id AS site_id, {_SITEMAP_XML_SQL} AS xml
+              FROM documents WHERE doc_id < 300),
+            b AS (
+              SELECT site_id,
+                     unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1))
+                       AS blk
+              FROM sm)
+            SELECT site_id,
+                   NULLIF(regexp_extract(blk,
+                     '<loc>\\s*(.*?)\\s*</loc>', 1), '') AS loc,
+                   NULLIF(regexp_extract(blk,
+                     '<lastmod>\\s*(.*?)\\s*</lastmod>', 1), '') AS lastmod,
+                   NULLIF(regexp_extract(blk,
+                     '<changefreq>\\s*(.*?)\\s*</changefreq>', 1), '')
+                     AS changefreq,
+                   CAST(NULLIF(regexp_extract(blk,
+                     '<priority>\\s*(.*?)\\s*</priority>', 1), '')
+                     AS DOUBLE) AS priority
+            FROM b
+            WHERE NULLIF(regexp_extract(blk,
+                  '<loc>\\s*(.*?)\\s*</loc>', 1), '') IS NOT NULL
+        """,
         "entity_resolution": (lambda w: f"""
             WITH base AS (
               SELECT c_custkey, c_nationkey, c_name,
