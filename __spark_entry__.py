@@ -2508,6 +2508,34 @@ def q_douglas_peucker(spark, sf_dir):
     return douglas_peucker(pts, eps2=900, max_depth=12)
 
 
+def q_raster_overlay(spark, sf_dir):
+    """Pairwise polygon overlay (spatial/raster.py raster_overlay):
+    intersection/union areas of the 25 L-shape-with-hole nation
+    polygons on the unit-cell raster — cell-exact, one co-location
+    join on the cell key after the shared even-odd rasterize. Oracle
+    reuses the rasterize CTEs and self-joins the inside mask."""
+    from cartwright_spark.spatial.raster import raster_overlay
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("pid"))
+    n = n.select(
+        "pid",
+        (10 + (F.col("pid") % 5) * 3).alias("s"),
+        ((F.col("pid") * 17) % 50).alias("cx"),
+        ((F.col("pid") * 29) % 50).alias("cy"))
+    cx, cy, s = F.col("cx"), F.col("cy"), F.col("s")
+    outer = n.select(
+        "pid",
+        F.array(cx, cx + 2 * s, cx + 2 * s, cx + s, cx + s, cx)
+        .alias("xs"),
+        F.array(cy, cy, cy + s, cy + s, cy + 2 * s, cy + 2 * s)
+        .alias("ys"))
+    hole = n.where(F.col("pid") % 2 == 0).select(
+        "pid",
+        F.array(cx + 2, cx + 5, cx + 5, cx + 2).alias("xs"),
+        F.array(cy + 2, cy + 2, cy + 5, cy + 5).alias("ys"))
+    return raster_overlay(outer.unionByName(hole), id_col="pid")
+
+
 def q_dissolve_boundary(spark, sf_dir):
     """Polygon UNION via raster dissolve + re-vectorization — the
     composed roundtrip: rasterize the 25 L-shape-with-hole nation
@@ -3275,6 +3303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_chunks": q_passage_chunks,
         "entity_resolution": q_entity_resolution,
         "sitemap_urls": q_sitemap_urls,
+        "raster_overlay": q_raster_overlay,
         "grouped_quantile": q_grouped_quantile,
         "geohash_encode": q_geohash_encode,
         "exact_quantiles": q_exact_quantiles,
@@ -4174,6 +4203,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rasterize_polygons": _raster_ctes_sql() + """
             SELECT pid AS poly_id, gx, gy FROM hits WHERE k % 2 = 1
+        """,
+        "raster_overlay": _raster_ctes_sql() + """
+            , inside AS (
+              SELECT pid, gx, gy FROM hits WHERE k % 2 = 1),
+            areas AS (
+              SELECT pid, CAST(count(*) AS BIGINT) AS area
+              FROM inside GROUP BY pid),
+            pairs AS (
+              SELECT a.pid AS id_a, b.pid AS id_b,
+                     CAST(count(*) AS BIGINT) AS inter_area
+              FROM inside a JOIN inside b
+                ON a.gx = b.gx AND a.gy = b.gy AND a.pid < b.pid
+              GROUP BY 1, 2)
+            SELECT p.id_a, p.id_b, p.inter_area,
+                   x.area AS area_a, y.area AS area_b
+            FROM pairs p
+            JOIN areas x ON p.id_a = x.pid
+            JOIN areas y ON p.id_b = y.pid
         """,
         "gini_concentration": """
             WITH v AS (

@@ -130,3 +130,37 @@ def rasterize_polygons(polys: DataFrame,
             .applyInPandas(
                 lambda c, r: _raster_group(c, r),
                 schema="poly_id bigint, gx bigint, gy bigint"))
+
+
+def raster_overlay(polys: DataFrame, id_col: str = "poly_id",
+                   xs_col: str = "xs", ys_col: str = "ys") -> DataFrame:
+    """Pairwise polygon overlay on the unit-cell raster: ->
+    (id_a, id_b, inter_area, area_a, area_b) for every unordered pair
+    with a non-empty intersection — the GIS intersect/overlay operator
+    in its scalable cell-exact form (exact on the grid the layer was
+    rasterized to; the same contract as the dissolve/union composition
+    in __spark_entry__.q_dissolve_boundary). Union area and IoU derive
+    by inclusion-exclusion: area_a + area_b - inter_area.
+
+    Scale shape: rasterize once (the cogrouped even-odd kernel), then
+    ONE equi-join on the cell key (gx, gy) — a co-location join whose
+    fan-out per cell is the polygon stack depth at that cell, never an
+    all-pairs product; the pair count aggregates with map-side
+    partials. Deep stacks (k polygons on one cell -> k^2 join rows)
+    are the inherent overlay cost and AQE-splittable.
+    """
+    cells = rasterize_polygons(polys, id_col, xs_col, ys_col) \
+        .localCheckpoint(eager=True)            # reused 3x
+    areas = cells.groupBy("poly_id").agg(F.count("*").alias("area"))
+    l = cells.select(F.col("poly_id").alias("id_a"), "gx", "gy")
+    r = cells.select(F.col("poly_id").alias("id_b"), "gx", "gy")
+    inter = (l.join(r, ["gx", "gy"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("inter_area")))
+    return (inter
+            .join(areas.select(F.col("poly_id").alias("id_a"),
+                               F.col("area").alias("area_a")), "id_a")
+            .join(areas.select(F.col("poly_id").alias("id_b"),
+                               F.col("area").alias("area_b")), "id_b")
+            .select("id_a", "id_b", "inter_area", "area_a", "area_b"))

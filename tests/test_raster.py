@@ -81,3 +81,39 @@ def test_triangle_and_random_rectilinear_parity(spark):
 def test_degenerate_bbox_dropped(spark):
     polys = {3: [[(5, 0), (5, 9), (5, 4)]]}  # zero-width polygon
     assert _got(spark, polys) == set()
+
+
+# --- raster_overlay -------------------------------------------------------
+
+
+def test_raster_overlay_matches_cell_set_intersections(spark):
+    from cartwright_spark.spatial.raster import (raster_overlay,
+                                                 rasterize_polygons)
+    # three overlapping squares + one disjoint, one with a hole
+    rows = [
+        (1, [0, 10, 10, 0], [0, 0, 10, 10]),
+        (2, [5, 15, 15, 5], [5, 5, 15, 15]),
+        (3, [8, 12, 12, 8], [0, 0, 20, 20]),
+        (4, [100, 105, 105, 100], [100, 100, 105, 105]),   # disjoint
+        (5, [0, 20, 20, 0], [0, 0, 20, 20]),               # outer
+        (5, [2, 6, 6, 2], [2, 2, 6, 6]),                   # hole ring
+    ]
+    df = spark.createDataFrame(
+        rows, "poly_id long, xs array<bigint>, ys array<bigint>")
+    cells = {}
+    for r in rasterize_polygons(df).collect():
+        cells.setdefault(r.poly_id, set()).add((r.gx, r.gy))
+    got = {(r.id_a, r.id_b): (r.inter_area, r.area_a, r.area_b)
+           for r in raster_overlay(df).collect()}
+    ids = sorted(cells)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(cells[a] & cells[b])
+            if inter:
+                want[(a, b)] = (inter, len(cells[a]), len(cells[b]))
+    assert got == want
+    assert (1, 4) not in got                       # disjoint pair absent
+    # hole is excluded from polygon 5's area and intersections
+    assert got[(1, 5)][0] == len(cells[1] & cells[5])
+    assert (2, 2) not in cells[5] and (3, 3) not in cells[5]
