@@ -342,6 +342,25 @@ def q_interval_overlap(spark, sf_dir):
     return out.select("okey_a", "okey_b", "a_lo", "a_hi", "b_lo", "b_hi")
 
 
+def q_interval_coverage(spark, sf_dir):
+    """Union length of overlapping intervals per group
+    (operators/temporal_join.py interval_coverage): the gaps-and-islands
+    sweep as pure window arithmetic — one shuffle on the group key, no
+    self-join, no UDF. Intervals are sparse order-date windows (1-in-11
+    orders, spans 1–5 days) grouped by (priority, orderkey mod 7) so
+    each group has real gaps. Oracle: the identical window formulation
+    in DuckDB SQL. Integer-exact."""
+    from cartwright_spark.operators.temporal_join import interval_coverage
+    orders = _t(spark, sf_dir, "orders")
+    day = F.datediff("o_orderdate", F.lit("1970-01-01"))
+    iv = (orders.where(F.col("o_orderkey") % 11 == 0)
+          .select(F.col("o_orderpriority").alias("priority"),
+                  (F.col("o_orderkey") % 7).alias("bucket"),
+                  day.alias("lo"),
+                  (day + 1 + F.col("o_orderkey") % 5).alias("hi")))
+    return interval_coverage(iv, ["priority", "bucket"], "lo", "hi")
+
+
 def q_pii_redact(spark, sf_dir):
     """PII redaction (operators/hygiene.py): portable Java∩RE2 regexes,
     per-class counts + redacted length. The corpus is synthetic words,
@@ -3223,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events": q_asof_events,
         "range_join_orders": q_range_join_orders,
         "interval_overlap": q_interval_overlap,
+        "interval_coverage": q_interval_coverage,
         "pii_redact": q_pii_redact,
         "contamination": q_contamination,
         "connected_components": q_connected_components,
@@ -5333,6 +5353,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT okey_a, okey_b, a_lo, a_hi, b_lo, b_hi
             FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+        """,
+        "interval_coverage": """
+            WITH iv AS (
+              SELECT o_orderpriority AS priority,
+                     o_orderkey % 7 AS bucket,
+                     date_diff('day', DATE '1970-01-01', o_orderdate)
+                       AS lo,
+                     date_diff('day', DATE '1970-01-01', o_orderdate)
+                       + 1 + o_orderkey % 5 AS hi
+              FROM orders WHERE o_orderkey % 11 = 0
+            ), flagged AS (
+              SELECT priority, bucket, lo, hi,
+                     CASE WHEN lo > coalesce(
+                         max(hi) OVER (PARTITION BY priority, bucket
+                                       ORDER BY lo, hi
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING),
+                         lo - 1)
+                     THEN 1 ELSE 0 END AS start
+              FROM iv
+            ), islands AS (
+              SELECT priority, bucket, lo, hi,
+                     sum(start) OVER (PARTITION BY priority, bucket
+                                      ORDER BY lo, hi
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS island
+              FROM flagged
+            ), per_island AS (
+              SELECT priority, bucket, island,
+                     max(hi) - min(lo) AS extent, count(*) AS n
+              FROM islands GROUP BY priority, bucket, island
+            )
+            SELECT priority, bucket,
+                   CAST(sum(extent) AS BIGINT) AS covered,
+                   CAST(count(*) AS BIGINT) AS n_islands,
+                   CAST(sum(n) AS BIGINT) AS n_intervals
+            FROM per_island GROUP BY priority, bucket
         """,
         "pii_redact": r"""
             WITH seeded AS (

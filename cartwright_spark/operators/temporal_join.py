@@ -193,3 +193,48 @@ def binned_interval_join(left: DataFrame, right: DataFrame,
         & (F.floor(F.greatest(F.col(llo), F.col(rlo)) / F.lit(bin_size))
            == F.col("__bin")))
     return joined.drop("__bin")
+
+
+def interval_coverage(intervals: DataFrame, group_cols: list[str],
+                      lo_col: str, hi_col: str) -> DataFrame:
+    """Union length of possibly-overlapping intervals per group — the
+    classic sweep ("gaps and islands") expressed as pure window
+    arithmetic, no UDF and no self-join.
+
+    Semantics (inclusive-exclusive ``[lo, hi)`` in any numeric domain):
+    sort each group's intervals by ``(lo, hi)``; a row STARTS a new
+    island iff its ``lo`` exceeds the running max of every earlier
+    ``hi``; islands are numbered with a cumulative sum of the start
+    flags; each island contributes ``max(hi) - min(lo)``. Output one
+    row per group: ``covered`` (sum of island extents), ``n_islands``,
+    ``n_intervals``.
+
+    Scale shape: ONE shuffle keyed on the group columns; both windows
+    and the island rollup reuse that partitioning (Catalyst collapses
+    them into a single sort + two window passes). A pathological hot
+    group serializes into one task's sort — the same caveat as
+    :func:`asof_join`; pre-split hot groups on a coarse ``lo`` range
+    and union the boundary islands if one group approaches task-memory
+    scale. Naive alternative is an O(n²) self-join per group.
+
+    Ties: rows sharing ``lo`` cannot start an island after the first
+    (any earlier row's ``hi >= lo``), so the result is deterministic
+    under any tie order.
+    """
+    order = W.partitionBy(*group_cols).orderBy(lo_col, hi_col)
+    prev_max_hi = F.max(hi_col).over(
+        order.rowsBetween(W.unboundedPreceding, -1))
+    flagged = intervals.withColumn(
+        "__start",
+        F.when(prev_max_hi.isNull() | (F.col(lo_col) > prev_max_hi), 1)
+        .otherwise(0))
+    islands = flagged.withColumn(
+        "__island",
+        F.sum("__start").over(order.rowsBetween(W.unboundedPreceding, 0)))
+    per_island = (islands.groupBy(*group_cols, "__island")
+                  .agg((F.max(hi_col) - F.min(lo_col)).alias("__extent"),
+                       F.count(F.lit(1)).alias("__n")))
+    return (per_island.groupBy(*group_cols)
+            .agg(F.sum("__extent").alias("covered"),
+                 F.count(F.lit(1)).alias("n_islands"),
+                 F.sum("__n").alias("n_intervals")))

@@ -383,3 +383,63 @@ def test_heading_octants_single_exchange(spark):
     plan = heading_octants(_moves_df(spark, rows).repartition(6)) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def _brute_union_len(ivs):
+    """Union length of [lo, hi) intervals, brute force."""
+    pts = sorted(ivs)
+    merged = []
+    for lo, hi in pts:
+        if merged and lo <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    return sum(hi - lo for lo, hi in merged), len(merged)
+
+
+def test_interval_coverage_matches_brute_force(spark):
+    from cartwright_spark.operators.temporal_join import interval_coverage
+    import random
+    rng = random.Random(42)
+    rows = []
+    truth = {}
+    for g in ["a", "b", "c"]:
+        ivs = []
+        for _ in range(200):
+            lo = rng.randrange(0, 1000)
+            hi = lo + rng.randrange(1, 40)
+            ivs.append((lo, hi))
+            rows.append((g, lo, hi))
+        truth[g] = _brute_union_len(ivs)
+    df = spark.createDataFrame(rows, ["g", "lo", "hi"]).repartition(8)
+    out = {r["g"]: (r["covered"], r["n_islands"], r["n_intervals"])
+           for r in interval_coverage(df, ["g"], "lo", "hi").collect()}
+    for g in ["a", "b", "c"]:
+        cov, isl = truth[g]
+        assert out[g] == (cov, isl, 200), (g, out[g], truth[g])
+
+
+def test_interval_coverage_edge_cases(spark):
+    from cartwright_spark.operators.temporal_join import interval_coverage
+    # touching intervals merge ([0,5) + [5,9) -> one island, len 9);
+    # nested intervals collapse; a lone point-interval counts.
+    rows = [("t", 0, 5), ("t", 5, 9),
+            ("n", 0, 100), ("n", 10, 20), ("n", 90, 120),
+            ("p", 7, 8)]
+    out = {r["g"]: (r["covered"], r["n_islands"])
+           for r in interval_coverage(
+               spark.createDataFrame(rows, ["g", "lo", "hi"]),
+               ["g"], "lo", "hi").collect()}
+    assert out["t"] == (9, 1)
+    assert out["n"] == (120, 1)
+    assert out["p"] == (1, 1)
+
+
+def test_interval_coverage_single_shuffle(spark):
+    from cartwright_spark.operators.temporal_join import interval_coverage
+    df = spark.createDataFrame([("a", 0, 5)], ["g", "lo", "hi"])
+    plan = interval_coverage(df, ["g"], "lo", "hi")._jdf \
+        .queryExecution().executedPlan().toString()
+    # one exchange for the group key; the island rollup and final agg
+    # reuse it (partial aggs run map-side)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
