@@ -1075,6 +1075,19 @@ def q_bm25_scores(spark, sf_dir):
     return bm25_scores(docs, ["spark", "join", "window"])
 
 
+def q_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency fit per language slice
+    (operators/textstats.py zipf_fit): OLS of ln(freq) on ln(rank)
+    over each slice's top-128 terms — corpus-health power-law check.
+    The engine's top-V rank is the skew-proof two-stage (salted bucket
+    top-V, then exact re-rank of survivors); the oracle ranks in one
+    window (same (freq DESC, term ASC) tie-break) and computes the
+    identical explicit-sums OLS. Both round to 4 decimals."""
+    from cartwright_spark.operators.textstats import zipf_fit
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_fit(docs, "lang", "text", top_v=128)
+
+
 def q_centroid_outlier(spark, sf_dir):
     """Embedding centroid outlier score (operators/simsearch.py): one
     algebraic (group, pos) aggregation builds the centroid, broadcast
@@ -3296,6 +3309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_cells": q_compact_cells,
         "psi_drift": q_psi_drift,
         "bm25_scores": q_bm25_scores,
+        "zipf_slope": q_zipf_slope,
         "kmv_distinct": q_kmv_distinct,
         "centroid_outlier": q_centroid_outlier,
         "linear_score": q_linear_score,
@@ -5972,6 +5986,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         # expression shapes/parenthesization mirror operators/ranking.py
         # exactly so doubles agree past the hash tolerance.
+        "zipf_slope": r"""
+            WITH w AS (
+              SELECT lang,
+                     unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS term
+              FROM documents
+            ),
+            counts AS (
+              SELECT lang, term, count(*) AS freq FROM w GROUP BY lang, term
+            ),
+            ranked AS (
+              SELECT lang,
+                     ln(CAST(row_number() OVER (
+                         PARTITION BY lang
+                         ORDER BY freq DESC, term ASC) AS DOUBLE)) AS x,
+                     ln(CAST(freq AS DOUBLE)) AS y
+              FROM counts
+              QUALIFY row_number() OVER (PARTITION BY lang
+                                         ORDER BY freq DESC, term ASC) <= 128
+            ),
+            agg AS (
+              SELECT lang,
+                     count(*) AS n_terms,
+                     (count(*) * sum(x * y) - sum(x) * sum(y))
+                       / (count(*) * sum(x * x) - sum(x) * sum(x)) AS slope,
+                     sum(x) AS sx, sum(y) AS sy,
+                     CAST(count(*) AS DOUBLE) AS n
+              FROM ranked GROUP BY lang
+            )
+            SELECT lang, n_terms,
+                   round(slope, 4) AS zipf_slope,
+                   round((sy - slope * sx) / n, 4) AS zipf_intercept
+            FROM agg
+        """,
         "bm25_scores": r"""
             WITH w AS (
               SELECT doc_id,

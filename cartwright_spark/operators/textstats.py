@@ -277,3 +277,61 @@ def term_cooccurrence(docs: DataFrame, id_col: str = "doc_id",
                      * F.col("n_docs").cast("double")
                      / (F.col("df_a").cast("double")
                         * F.col("df_b").cast("double"))).alias("lift")))
+
+
+def zipf_fit(docs: DataFrame, group_col: str = "lang",
+             text_col: str = "text", top_v: int = 512,
+             salt_buckets: int = 32) -> DataFrame:
+    """Zipf rank-frequency fit per corpus slice: OLS of ln(freq) on
+    ln(rank) over each slice's top ``top_v`` terms — the standard
+    corpus-health check that a crawl slice's term distribution still
+    follows a power law (a flat slope flags template/spam floods, a
+    cliff flags truncation).
+
+    Scale shape: the term count is ONE (group, term) shuffle with
+    map-side partials. The top-V rank would naively be a per-group
+    global sort (hot slice = one task), so it runs TWO-STAGE: stage 1
+    ranks inside ``(group, xxhash64(term) % salt_buckets)`` and keeps
+    each bucket's top ``top_v`` (the global top-V is a subset of the
+    union of per-bucket top-Vs — a bucket contributes at most its own
+    top-V to the global list); stage 2 re-ranks the <= buckets*top_v
+    survivors per group. The final OLS is a plain algebraic aggregate.
+    Ranks tie-break on (freq DESC, term ASC) so the fit is
+    deterministic.
+
+    Returns one row per group: ``n_terms`` (ranked vocabulary size,
+    <= top_v), ``zipf_slope``, ``zipf_intercept`` (both rounded to 4
+    decimals; slope ~ -1 for natural language).
+    """
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(group_col),
+        F.explode(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                           lambda t: t != "")).alias("term"))
+    counts = (toks.groupBy(group_col, "term")
+              .agg(F.count(F.lit(1)).alias("freq")))
+    salted = counts.withColumn(
+        "__salt", F.pmod(F.xxhash64("term"), F.lit(salt_buckets)))
+    w1 = (W.partitionBy(group_col, "__salt")
+          .orderBy(F.desc("freq"), F.asc("term")))
+    survivors = (salted.withColumn("__rn", F.row_number().over(w1))
+                 .where(F.col("__rn") <= top_v))
+    w2 = W.partitionBy(group_col).orderBy(F.desc("freq"), F.asc("term"))
+    ranked = (survivors.withColumn("rank", F.row_number().over(w2))
+              .where(F.col("rank") <= top_v)
+              .select(group_col,
+                      F.log(F.col("rank").cast("double")).alias("x"),
+                      F.log(F.col("freq").cast("double")).alias("y")))
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy, sxx = F.sum(F.col("x") * F.col("y")), F.sum(F.col("x") * F.col("x"))
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("__slope"),
+        sy.alias("__sy"), sx.alias("__sx"), n.alias("__n"))
+    return agg.select(
+        group_col, "n_terms",
+        F.round("__slope", 4).alias("zipf_slope"),
+        F.round((F.col("__sy") - F.col("__slope") * F.col("__sx"))
+                / F.col("__n"), 4).alias("zipf_intercept"))

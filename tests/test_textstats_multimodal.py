@@ -544,3 +544,49 @@ def test_term_cooccurrence_guards(spark):
         term_cooccurrence(d, min_df=3, max_df=2)
     with _pt.raises(ValueError):
         term_cooccurrence(d, max_terms_per_doc=1)
+
+
+def test_zipf_fit_recovers_exact_power_law(spark):
+    """A corpus whose term frequencies are exactly freq = round(1000 *
+    rank^-1) must fit slope ~ -1."""
+    from cartwright_spark.operators.textstats import zipf_fit
+    words = []
+    for rank in range(1, 51):
+        words += [f"w{rank:03d}"] * max(1, round(1000 / rank))
+    # chunk into docs of 97 words so tokenization is exercised
+    docs = [("xx", " ".join(words[i:i + 97]))
+            for i in range(0, len(words), 97)]
+    df = spark.createDataFrame(docs, ["lang", "text"]).repartition(8)
+    row = zipf_fit(df, "lang", "text", top_v=50).collect()[0]
+    assert row["n_terms"] == 50
+    assert abs(row["zipf_slope"] + 1.0) < 0.02, row["zipf_slope"]
+
+
+def test_zipf_fit_two_stage_rank_equals_single_window(spark):
+    """The salted two-stage top-V must select exactly the global
+    top-V: compare against a one-window reference on the same counts."""
+    from pyspark.sql import Window, functions as F
+    from cartwright_spark.operators.textstats import zipf_fit
+    import random
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(400)]
+    docs = [("yy", " ".join(rng.choices(vocab, k=200))) for _ in range(40)]
+    df = spark.createDataFrame(docs, ["lang", "text"])
+    out = zipf_fit(df, "lang", "text", top_v=64, salt_buckets=8).collect()[0]
+
+    toks = df.select("lang", F.explode(
+        F.filter(F.split(F.lower("text"), r"\s+"),
+                 lambda t: t != "")).alias("term"))
+    counts = toks.groupBy("lang", "term").count()
+    w = Window.partitionBy("lang").orderBy(F.desc("count"), F.asc("term"))
+    ref = (counts.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= 64)
+           .select(F.log(F.col("rank").cast("double")).alias("x"),
+                   F.log(F.col("count").cast("double")).alias("y"))
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+                F.sum("y").alias("sy"), F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx")).collect()[0])
+    slope = ((ref["n"] * ref["sxy"] - ref["sx"] * ref["sy"])
+             / (ref["n"] * ref["sxx"] - ref["sx"] ** 2))
+    assert out["n_terms"] == 64
+    assert abs(out["zipf_slope"] - round(slope, 4)) < 1e-9
