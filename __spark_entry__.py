@@ -563,6 +563,24 @@ def q_pagerank(spark, sf_dir):
     return pagerank(star.union(bridge), "src", "dst", iters=10)
 
 
+def q_hits_scores(spark, sf_dir):
+    """Fixed-iteration HITS (functions/graph.py hits): hubs &
+    authorities over the same deterministic orders digraph as pagerank
+    — leaves are pure hubs, block bases pure authorities, bridges mix
+    both. Oracle: the mutual recursion unrolled into 8 rounds of
+    chained CTEs, value-for-value (the _pagerank_unrolled pattern)."""
+    from cartwright_spark.functions.graph import hits
+    o = _t(spark, sf_dir, "orders")
+    star = o.select(F.col("o_orderkey").alias("src"),
+                    (F.col("o_orderkey") - F.col("o_orderkey") % 97)
+                    .alias("dst"))
+    bridge = (o.where((F.col("o_orderkey") % 293 == 0)
+                      & (F.col("o_orderkey") >= 97))
+              .select(F.col("o_orderkey").alias("src"),
+                      (F.col("o_orderkey") - 97).alias("dst")))
+    return hits(star.union(bridge), "src", "dst", iters=8)
+
+
 def q_grid_cluster(spark, sf_dir):
     """Density-grid spatial clustering (functions/graph.py grid_cluster):
     snap points to 5° cells, connected-components over 8-neighbor
@@ -3262,6 +3280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "cms_freq": q_cms_freq,
         "pagerank": q_pagerank,
+        "hits_scores": q_hits_scores,
         "url_normalize": q_url_normalize,
         "link_graph": q_link_graph,
         "host_pagerank": q_host_pagerank,
@@ -3382,6 +3401,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "j9_salted_rollup": q_j9_salted_rollup,
     }
+
+
+def _hits_unrolled(edges_sql: str, iters: int = 8) -> str:
+    """HITS mutual recursion unrolled into chained CTEs (the
+    _pagerank_unrolled pattern — aggregation over a recursive reference
+    is forbidden, fixed-round algorithms oracle as straight-line SQL).
+    Semantics mirror functions/graph.py hits exactly: uniform hub init,
+    L1 normalization after every half-step, missing-link scores 0,
+    output scores · N. Per-round CTEs are MATERIALIZED (each is
+    referenced twice: contribution sum + normalization total)."""
+    parts = [f"""
+        WITH e0 AS ({edges_sql}),
+        e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        h0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS hub FROM nodes)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+        ra{k} AS MATERIALIZED (
+          SELECT e.dst AS id, sum(h.hub) AS s
+          FROM e JOIN h{k - 1} h ON e.src = h.id
+          GROUP BY e.dst
+        ),
+        a{k} AS MATERIALIZED (
+          SELECT nodes.id,
+                 coalesce(ra.s, 0.0) / (SELECT sum(s) FROM ra{k}) AS auth
+          FROM nodes LEFT JOIN ra{k} ra ON nodes.id = ra.id
+        ),
+        rh{k} AS MATERIALIZED (
+          SELECT e.src AS id, sum(a.auth) AS s
+          FROM e JOIN a{k} a ON e.dst = a.id
+          GROUP BY e.src
+        ),
+        h{k} AS MATERIALIZED (
+          SELECT nodes.id,
+                 coalesce(rh.s, 0.0) / (SELECT sum(s) FROM rh{k}) AS hub
+          FROM nodes LEFT JOIN rh{k} rh ON nodes.id = rh.id
+        )""")
+    parts.append(f"""
+        SELECT a.id,
+               a.auth * (SELECT n FROM nn) AS auth_x_n,
+               h.hub * (SELECT n FROM nn) AS hub_x_n
+        FROM a{iters} a JOIN h{iters} h ON a.id = h.id""")
+    return "".join(parts)
 
 
 def _pagerank_unrolled(edges_sql: str, d: float = 0.85,
@@ -4850,6 +4913,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 20
         """,
         "pagerank": _pagerank_unrolled(_ORDERS_DIGRAPH_SQL),
+        "hits_scores": _hits_unrolled(_ORDERS_DIGRAPH_SQL),
         "label_propagation": _lpa_unrolled(_ORDERS_DIGRAPH_SQL),
         "containment_join": """
             WITH g AS (

@@ -893,3 +893,41 @@ def test_lpa_partition_invariant_and_string_ids(spark):
         edges.repartition(7), iters=4).collect()))
     assert a == b
     assert dict(a)["h4"] == "h3"  # second triangle labelled by its min
+
+
+def test_hits_numpy_reference(spark):
+    """HITS on a small digraph must match a dense numpy power iteration
+    with the same L1 half-step normalization."""
+    import numpy as np
+    from cartwright_spark.functions.graph import hits
+    edges = [(1, 4), (1, 5), (2, 4), (2, 5), (3, 5), (4, 6), (5, 6)]
+    ids = sorted({u for e in edges for u in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)))
+    for u, v in edges:
+        A[idx[u], idx[v]] = 1.0
+    h = np.full(len(ids), 1.0 / len(ids))
+    for _ in range(8):
+        a = A.T @ h
+        a /= a.sum()
+        h = A @ a
+        h /= h.sum()
+    out = {r["id"]: (r["auth_x_n"], r["hub_x_n"])
+           for r in hits(spark.createDataFrame(edges, ["src", "dst"]),
+                         iters=8).collect()}
+    for v in ids:
+        assert abs(out[v][0] - a[idx[v]] * len(ids)) < 1e-9
+        assert abs(out[v][1] - h[idx[v]] * len(ids)) < 1e-9
+
+
+def test_hits_pure_hub_and_authority(spark):
+    """In a star u1,u2,u3 -> c, the center is a pure authority (hub 0)
+    and the leaves pure hubs (auth 0)."""
+    from cartwright_spark.functions.graph import hits
+    out = {r["id"]: r for r in hits(
+        spark.createDataFrame([(1, 9), (2, 9), (3, 9)], ["src", "dst"]),
+        iters=4).collect()}
+    assert out[9]["hub_x_n"] == 0.0 and out[9]["auth_x_n"] == 4.0
+    for leaf in (1, 2, 3):
+        assert out[leaf]["auth_x_n"] == 0.0
+        assert abs(out[leaf]["hub_x_n"] - 4.0 / 3.0) < 1e-12
