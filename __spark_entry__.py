@@ -581,6 +581,26 @@ def q_hits_scores(spark, sf_dir):
     return hits(star.union(bridge), "src", "dst", iters=8)
 
 
+def q_sssp_weighted(spark, sf_dir):
+    """Bounded-hop cheapest path (functions/graph.py sssp_bounded):
+    6-round weighted Bellman-Ford from the 1-in-211 seed set over the
+    orders digraph with per-edge cost 1 + src % 13. Integer-exact.
+    Oracle: the relaxation unrolled into 6 chained union+min CTEs."""
+    from cartwright_spark.functions.graph import sssp_bounded
+    o = _t(spark, sf_dir, "orders")
+    w = (F.lit(1) + F.col("o_orderkey") % 13).alias("w")
+    star = o.select(F.col("o_orderkey").alias("src"),
+                    (F.col("o_orderkey") - F.col("o_orderkey") % 97)
+                    .alias("dst"), w)
+    bridge = (o.where((F.col("o_orderkey") % 293 == 0)
+                      & (F.col("o_orderkey") >= 97))
+              .select(F.col("o_orderkey").alias("src"),
+                      (F.col("o_orderkey") - 97).alias("dst"), w))
+    seeds = o.where(F.col("o_orderkey") % 211 == 0) \
+             .select(F.col("o_orderkey").alias("id"))
+    return sssp_bounded(star.union(bridge), seeds, rounds=6)
+
+
 def q_grid_cluster(spark, sf_dir):
     """Density-grid spatial clustering (functions/graph.py grid_cluster):
     snap points to 5° cells, connected-components over 8-neighbor
@@ -3281,6 +3301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_freq": q_cms_freq,
         "pagerank": q_pagerank,
         "hits_scores": q_hits_scores,
+        "sssp_weighted": q_sssp_weighted,
         "url_normalize": q_url_normalize,
         "link_graph": q_link_graph,
         "host_pagerank": q_host_pagerank,
@@ -3444,6 +3465,40 @@ def _hits_unrolled(edges_sql: str, iters: int = 8) -> str:
                a.auth * (SELECT n FROM nn) AS auth_x_n,
                h.hub * (SELECT n FROM nn) AS hub_x_n
         FROM a{iters} a JOIN h{iters} h ON a.id = h.id""")
+    return "".join(parts)
+
+
+def _sssp_unrolled(edges_sql: str, sources_sql: str,
+                   rounds: int = 6) -> str:
+    """k-round Bellman-Ford unrolled into chained CTEs (the
+    _pagerank_unrolled pattern). Semantics mirror functions/graph.py
+    sssp_bounded exactly: parallel edges collapse to their min weight,
+    dist_0 = 0 on sources, each round relaxes every edge once via
+    union + min re-aggregation. Integer-exact — no float tolerance.
+    ``edges_sql`` must yield (src, dst, w); ``sources_sql`` one id
+    column."""
+    parts = [f"""
+        WITH e0 AS ({edges_sql}),
+        e AS MATERIALIZED (
+          SELECT src, dst, min(w) AS w FROM e0
+          WHERE src <> dst GROUP BY src, dst
+        ),
+        d0 AS MATERIALIZED (
+          SELECT DISTINCT id, CAST(0 AS BIGINT) AS dist
+          FROM ({sources_sql})
+        )"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+        d{k} AS MATERIALIZED (
+          SELECT id, min(dist) AS dist FROM (
+            SELECT id, dist FROM d{k - 1}
+            UNION ALL
+            SELECT e.dst AS id, d.dist + e.w AS dist
+            FROM e JOIN d{k - 1} d ON e.src = d.id
+          ) GROUP BY id
+        )""")
+    parts.append(f"""
+        SELECT id, dist FROM d{rounds}""")
     return "".join(parts)
 
 
@@ -4914,6 +4969,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_unrolled(_ORDERS_DIGRAPH_SQL),
         "hits_scores": _hits_unrolled(_ORDERS_DIGRAPH_SQL),
+        "sssp_weighted": _sssp_unrolled(
+            """
+          SELECT o_orderkey AS src,
+                 o_orderkey - (o_orderkey % 97) AS dst,
+                 1 + o_orderkey % 13 AS w
+          FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_orderkey - 97, 1 + o_orderkey % 13
+          FROM orders
+          WHERE o_orderkey % 293 = 0 AND o_orderkey >= 97
+            """,
+            "SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 211 = 0"),
         "label_propagation": _lpa_unrolled(_ORDERS_DIGRAPH_SQL),
         "containment_join": """
             WITH g AS (

@@ -686,3 +686,49 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     return (auths.join(hubs, "id")
             .select("id", (F.col("auth") * n).alias("auth_x_n"),
                     (F.col("hub") * n).alias("hub_x_n")))
+
+
+def sssp_bounded(edges: DataFrame, sources: DataFrame, rounds: int,
+                 src: str = "src", dst: str = "dst",
+                 weight: str = "w") -> DataFrame:
+    """Bounded-hop cheapest path: the cost of the cheapest directed
+    path of at most ``rounds`` edges from any source node — k rounds of
+    Bellman-Ford relaxation, the weighted generalization of
+    :func:`grid_bfs_hops`. For a crawl graph this is "cheapest
+    click-path from the seed set" with per-edge costs (latency,
+    politeness delay, link depth).
+
+    Semantics (exact in the integer domain — an unrolled SQL
+    re-derivation checks it value-for-value):
+      dist_0(v) = 0 for sources, unreached otherwise
+      dist_t(v) = min(dist_{t-1}(v), min_{u→v} dist_{t-1}(u) + w(u,v))
+    Output: (id, dist) for every node reached within ``rounds`` hops.
+    Extra rounds past convergence are no-ops, so ``rounds`` >= graph
+    diameter yields the true single-source distances.
+
+    Scale shape: the weighted edge list is hash-partitioned on ``src``
+    ONCE and checkpointed; each round's relax join reuses it, so
+    per-round shuffle volume is O(frontier), not O(edges). The min
+    over in-edges is an algebraic aggregate (map-side partials absorb
+    megahub in-link skew); the union+min re-aggregation replaces a
+    full-outer join. Per-round eager localCheckpoints keep the DAG
+    O(1) deep. ``sources`` must be a 1-column (id) DataFrame."""
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"),
+                      F.col(weight).alias("w"))
+         .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+         .where(F.col(src) != F.col(dst))
+         .groupBy("a", "b").agg(F.min("w").alias("w"))
+         .repartition(F.col("a"))
+         .localCheckpoint(eager=True))
+    dist = (sources.select(F.col(sources.columns[0]).alias("id"))
+            .distinct()
+            .withColumn("dist", F.lit(0).cast("long"))
+            .localCheckpoint(eager=True))
+    for _ in range(rounds):
+        relaxed = (e.join(dist.select(F.col("id").alias("a"), "dist"), "a")
+                   .select(F.col("b").alias("id"),
+                           (F.col("dist") + F.col("w")).alias("dist")))
+        dist = (dist.unionByName(relaxed)
+                .groupBy("id").agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True))
+    return dist

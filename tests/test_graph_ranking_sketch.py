@@ -931,3 +931,34 @@ def test_hits_pure_hub_and_authority(spark):
     for leaf in (1, 2, 3):
         assert out[leaf]["auth_x_n"] == 0.0
         assert abs(out[leaf]["hub_x_n"] - 4.0 / 3.0) < 1e-12
+
+
+def test_sssp_bounded_chain_and_hop_cap(spark):
+    """On a weighted chain 0-1-2-3-4 the k-round result must expose
+    exactly the <=k-hop distances; full rounds match dijkstra by hand;
+    a cheaper parallel edge wins the min."""
+    from cartwright_spark.functions.graph import sssp_bounded
+    edges = [(0, 1, 5), (1, 2, 1), (2, 3, 1), (3, 4, 1),
+             (0, 2, 9), (0, 2, 7)]  # parallel edges collapse to 7
+    e = spark.createDataFrame(edges, ["src", "dst", "w"])
+    seeds = spark.createDataFrame([(0,)], ["id"])
+    d2 = {r["id"]: r["dist"]
+          for r in sssp_bounded(e, seeds, rounds=2).collect()}
+    assert d2 == {0: 0, 1: 5, 2: 6, 3: 8}  # 4 unreachable in 2 hops
+    d4 = {r["id"]: r["dist"]
+          for r in sssp_bounded(e, seeds, rounds=4).collect()}
+    assert d4 == {0: 0, 1: 5, 2: 6, 3: 7, 4: 8}
+    # extra rounds past convergence are no-ops
+    d6 = {r["id"]: r["dist"]
+          for r in sssp_bounded(e, seeds, rounds=6).collect()}
+    assert d6 == d4
+
+
+def test_sssp_bounded_multi_source_min(spark):
+    from cartwright_spark.functions.graph import sssp_bounded
+    e = spark.createDataFrame(
+        [(0, 5, 10), (1, 5, 3), (5, 6, 1)], ["src", "dst", "w"])
+    seeds = spark.createDataFrame([(0,), (1,)], ["id"])
+    d = {r["id"]: r["dist"]
+         for r in sssp_bounded(e, seeds, rounds=3).collect()}
+    assert d == {0: 0, 1: 0, 5: 3, 6: 4}
