@@ -2766,6 +2766,42 @@ def q_psi_drift(spark, sf_dir):
                       F.round("psi", 7).alias("psi"))
 
 
+def q_template_groups(spark, sf_dir):
+    """DOM-structure template detection (operators/template.py): pages
+    synthesized from 5 fixed CMS-style skeletons with per-doc text
+    inside — the fingerprint (ordered opening-tag names, md5) must
+    collapse the corpus to exactly the 5 structural groups regardless
+    of text. Pure codegen: regexp_extract_all + concat_ws + md5; one
+    signature shuffle; the share denominator is a broadcast scalar.
+    Oracle rebuilds byte-identical HTML and replays the same regex +
+    md5 in DuckDB."""
+    from cartwright_spark.operators.template import (
+        dom_fingerprint,
+        template_stats,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    t = F.substring("text", 1, 40)
+    d = F.col("doc_id") % 5
+    html = (
+        F.when(d == 0, F.concat(
+            F.lit('<html><head><title>t</title></head><body><h1>'), t,
+            F.lit('</h1><p>p</p></body></html>')))
+        .when(d == 1, F.concat(
+            F.lit('<html><body><div><p>'), t,
+            F.lit('</p><p>m</p></div><footer>f</footer></body></html>')))
+        .when(d == 2, F.concat(
+            F.lit('<html><body><ul><li>'), t,
+            F.lit('</li><li>b</li><li>c</li></ul></body></html>')))
+        .when(d == 3, F.concat(
+            F.lit('<html><body><table><tr><td>'), t,
+            F.lit('</td><td>x</td></tr></table></body></html>')))
+        .otherwise(F.concat(
+            F.lit('<html><body><article><section><p>'), t,
+            F.lit('</p></section><aside>a</aside></article></body></html>'))))
+    pages = docs.select("doc_id", html.alias("html"))
+    return template_stats(dom_fingerprint(pages))
+
+
 def _html_table_pages(spark, sf_dir):
     """Synthesize one Common-Crawl-style page per document carrying two
     <table>s: a header+2-data-row grid whose columns are a station string,
@@ -3302,6 +3338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "hits_scores": q_hits_scores,
         "sssp_weighted": q_sssp_weighted,
+        "template_groups": q_template_groups,
         "url_normalize": q_url_normalize,
         "link_graph": q_link_graph,
         "host_pagerank": q_host_pagerank,
@@ -6117,6 +6154,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         # expression shapes/parenthesization mirror operators/ranking.py
         # exactly so doubles agree past the hash tolerance.
+        "template_groups": """
+            WITH pages AS (
+              SELECT doc_id,
+                CASE doc_id % 5
+                  WHEN 0 THEN '<html><head><title>t</title></head><body><h1>'
+                              || substr(text, 1, 40)
+                              || '</h1><p>p</p></body></html>'
+                  WHEN 1 THEN '<html><body><div><p>' || substr(text, 1, 40)
+                              || '</p><p>m</p></div><footer>f</footer></body></html>'
+                  WHEN 2 THEN '<html><body><ul><li>' || substr(text, 1, 40)
+                              || '</li><li>b</li><li>c</li></ul></body></html>'
+                  WHEN 3 THEN '<html><body><table><tr><td>'
+                              || substr(text, 1, 40)
+                              || '</td><td>x</td></tr></table></body></html>'
+                  ELSE '<html><body><article><section><p>'
+                       || substr(text, 1, 40)
+                       || '</p></section><aside>a</aside></article></body></html>'
+                END AS html
+              FROM documents
+            ),
+            fp AS (
+              SELECT doc_id,
+                     md5(array_to_string(list_slice(
+                         regexp_extract_all(lower(html),
+                                            '<([a-z][a-z0-9]*)', 1),
+                         1, 512), ',')) AS dom_sig,
+                     CAST(len(list_slice(
+                         regexp_extract_all(lower(html),
+                                            '<([a-z][a-z0-9]*)', 1),
+                         1, 512)) AS BIGINT) AS n_tags
+              FROM pages
+            ),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM fp)
+            SELECT dom_sig,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   min(doc_id) AS exemplar,
+                   min(n_tags) AS n_tags,
+                   round(count(*) / (SELECT t FROM tot), 6) AS share
+            FROM fp GROUP BY dom_sig
+        """,
         "zipf_slope": r"""
             WITH w AS (
               SELECT lang,
