@@ -601,6 +601,21 @@ def q_sssp_weighted(spark, sf_dir):
     return sssp_bounded(star.union(bridge), seeds, rounds=6)
 
 
+def q_kmeans_centroids(spark, sf_dir):
+    """Fixed-iteration Lloyd k-means (spatial/kmeans.py): 8 clusters,
+    4 rounds over integer lattice points derived from orders. Integer
+    inputs make the whole fit bit-identical across engines (exact int
+    sums below 2^53 + the same IEEE expression tree), so the oracle —
+    Lloyd unrolled into chained CTEs — compares value-for-value with
+    no tolerance. Per-round cost: broadcast k centroids + one
+    algebraic groupBy; the corpus is never re-shuffled."""
+    from cartwright_spark.spatial.kmeans import kmeans_lloyd
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select((F.col("o_orderkey") % 1000).alias("x"),
+                   ((F.col("o_orderkey") * 13) % 1000).alias("y"))
+    return kmeans_lloyd(pts, "x", "y", k=8, iters=4)
+
+
 def q_grid_cluster(spark, sf_dir):
     """Density-grid spatial clustering (functions/graph.py grid_cluster):
     snap points to 5° cells, connected-components over 8-neighbor
@@ -3339,6 +3354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "sssp_weighted": q_sssp_weighted,
         "template_groups": q_template_groups,
+        "kmeans_centroids": q_kmeans_centroids,
         "url_normalize": q_url_normalize,
         "link_graph": q_link_graph,
         "host_pagerank": q_host_pagerank,
@@ -3536,6 +3552,62 @@ def _sssp_unrolled(edges_sql: str, sources_sql: str,
         )""")
     parts.append(f"""
         SELECT id, dist FROM d{rounds}""")
+    return "".join(parts)
+
+
+def _kmeans_unrolled(points_sql: str, k: int = 8, iters: int = 4) -> str:
+    """Lloyd's algorithm unrolled into chained CTEs (the
+    _pagerank_unrolled pattern). Semantics mirror spatial/kmeans.py
+    kmeans_lloyd exactly — integer inputs make every centroid
+    bit-identical across engines (exact int sums below 2^53, then the
+    same IEEE division), so the comparison is value-for-value with no
+    tolerance. ``points_sql`` must yield integer (x, y)."""
+    denom = float(max(k - 1, 1))
+    parts = [f"""
+        WITH p0 AS ({points_sql}),
+        p AS MATERIALIZED (
+          SELECT x, y, count(*) AS w FROM p0 GROUP BY x, y
+        ),
+        b AS (SELECT min(x) AS x0, max(x) AS x1,
+                     min(y) AS y0, max(y) AS y1 FROM p),
+        c0 AS MATERIALIZED (
+          SELECT r.cid,
+                 x0 + r.cid * (x1 - x0) / {denom!r} AS cx,
+                 y0 + r.cid * (y1 - y0) / {denom!r} AS cy
+          FROM b CROSS JOIN (SELECT unnest(range(0, {k})) AS cid) r
+        )"""]
+    assign = """(
+          SELECT x, y, w, cid FROM (
+            SELECT p.x, p.y, p.w, c.cid,
+                   row_number() OVER (PARTITION BY p.x, p.y ORDER BY
+                     (p.x - c.cx) * (p.x - c.cx)
+                     + (p.y - c.cy) * (p.y - c.cy), c.cid) AS rn
+            FROM p CROSS JOIN {cents} c
+          ) WHERE rn = 1
+        )"""
+    for i in range(1, iters + 1):
+        parts.append(f""",
+        a{i} AS {assign.format(cents=f'c{i - 1}')},
+        u{i} AS (
+          SELECT cid, sum(x * w) AS sx, sum(y * w) AS sy, sum(w) AS n
+          FROM a{i} GROUP BY cid
+        ),
+        c{i} AS MATERIALIZED (
+          SELECT c.cid,
+                 CASE WHEN u.n IS NOT NULL
+                      THEN CAST(u.sx AS DOUBLE) / CAST(u.n AS DOUBLE)
+                      ELSE c.cx END AS cx,
+                 CASE WHEN u.n IS NOT NULL
+                      THEN CAST(u.sy AS DOUBLE) / CAST(u.n AS DOUBLE)
+                      ELSE c.cy END AS cy
+          FROM c{i - 1} c LEFT JOIN u{i} u ON c.cid = u.cid
+        )""")
+    parts.append(f""",
+        af AS {assign.format(cents=f'c{iters}')},
+        nf AS (SELECT cid, sum(w) AS np FROM af GROUP BY cid)
+        SELECT c.cid, c.cx, c.cy,
+               CAST(coalesce(nf.np, 0) AS BIGINT) AS n_points
+        FROM c{iters} c LEFT JOIN nf ON c.cid = nf.cid""")
     return "".join(parts)
 
 
@@ -5006,6 +5078,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_unrolled(_ORDERS_DIGRAPH_SQL),
         "hits_scores": _hits_unrolled(_ORDERS_DIGRAPH_SQL),
+        "kmeans_centroids": _kmeans_unrolled(
+            """
+          SELECT o_orderkey % 1000 AS x,
+                 (o_orderkey * 13) % 1000 AS y
+          FROM orders
+            """, k=8, iters=4),
         "sssp_weighted": _sssp_unrolled(
             """
           SELECT o_orderkey AS src,
