@@ -1141,6 +1141,27 @@ def q_zipf_slope(spark, sf_dir):
     return zipf_fit(docs, "lang", "text", top_v=128)
 
 
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (operators/ranking.py rrf_fuse): fuse
+    three independent document rankings — by length, by crawl order,
+    and a truncated top-200 pseudo-relevance list — into one top-50.
+    Fixed-point contributions (10^12 div (60+rank)) keep the fused
+    order exact across engines; oracle replays the same three windows
+    and the integer sum in DuckDB."""
+    from pyspark.sql import Window
+    from cartwright_spark.operators.ranking import rrf_fuse
+    docs = _t(spark, sf_dir, "documents")
+    r1 = docs.select("doc_id", F.row_number().over(
+        Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))).alias("rank"))
+    r2 = docs.select("doc_id", F.row_number().over(
+        Window.orderBy(F.asc("doc_id"))).alias("rank"))
+    r3 = (docs.select("doc_id", F.row_number().over(
+        Window.orderBy(F.asc((F.col("doc_id") * 7) % 1009),
+                       F.asc("doc_id"))).alias("rank"))
+          .where(F.col("rank") <= 200))
+    return rrf_fuse([r1, r2, r3], topk=50)
+
+
 def q_centroid_outlier(spark, sf_dir):
     """Embedding centroid outlier score (operators/simsearch.py): one
     algebraic (group, pos) aggregation builds the centroid, broadcast
@@ -3355,6 +3376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_weighted": q_sssp_weighted,
         "template_groups": q_template_groups,
         "kmeans_centroids": q_kmeans_centroids,
+        "rrf_fusion": q_rrf_fusion,
         "url_normalize": q_url_normalize,
         "link_graph": q_link_graph,
         "host_pagerank": q_host_pagerank,
@@ -6232,6 +6254,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         # expression shapes/parenthesization mirror operators/ranking.py
         # exactly so doubles agree past the hash tolerance.
+        "rrf_fusion": """
+            WITH r1 AS (
+              SELECT doc_id, row_number() OVER (
+                ORDER BY n_chars DESC, doc_id) AS rank FROM documents
+            ),
+            r2 AS (
+              SELECT doc_id, row_number() OVER (
+                ORDER BY doc_id) AS rank FROM documents
+            ),
+            r3 AS (
+              SELECT doc_id, rank FROM (
+                SELECT doc_id, row_number() OVER (
+                  ORDER BY (doc_id * 7) % 1009, doc_id) AS rank
+                FROM documents
+              ) WHERE rank <= 200
+            ),
+            u AS (
+              SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM r1
+              UNION ALL
+              SELECT doc_id, 1000000000000 // (60 + rank) FROM r2
+              UNION ALL
+              SELECT doc_id, 1000000000000 // (60 + rank) FROM r3
+            ),
+            f AS (
+              SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS rrf_score_e12,
+                     CAST(count(*) AS BIGINT) AS n_lists
+              FROM u GROUP BY doc_id
+            )
+            SELECT doc_id, rrf_score_e12, n_lists,
+                   row_number() OVER (
+                     ORDER BY rrf_score_e12 DESC, doc_id) AS rrf_rank
+            FROM f
+            QUALIFY rrf_rank <= 50
+        """,
         "template_groups": """
             WITH pages AS (
               SELECT doc_id,

@@ -170,3 +170,58 @@ def inverted_index(docs: DataFrame, id_col: str = "doc_id",
                     lambda d: d.cast("string"))).alias("postings")))
     return (stats.join(postings, "term", "left")
             .select("term", "df", "postings"))
+
+
+def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
+             rank_col: str = "rank", k0: int = 60,
+             topk: int = 50) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009): combine
+    N independent rankings of the same corpus into one list by
+    score(d) = \u03a3_i 1/(k0 + rank_i(d)) \u2014 the standard zero-training way
+    to fuse lexical (BM25), link (PageRank) and semantic (ANN) rankers
+    in a retrieval pipeline, robust to incomparable score scales
+    because only RANKS enter the sum.
+
+    The sum runs in FIXED POINT: each list contributes
+    ``10^12 div (k0 + rank)`` (integer division), so scores are exact
+    integers \u2014 no float re-association can flip the fused order
+    between partitions, runs, or engines (a pair of docs holding the
+    same contribution multiset would otherwise sort by 1-ulp noise).
+    ``rrf_score_e12`` is the scaled score; divide by 1e12 for the
+    textbook value.
+
+    Inputs: each DataFrame carries (id_col, rank_col) with integer
+    ranks starting at 1. A document absent from a ranking contributes
+    nothing for it (standard RRF). Output: (id, rrf_score_e12,
+    n_lists, rrf_rank) for the fused top ``topk``, ranked by
+    (score DESC, id ASC).
+
+    Scale shape: a unionByName + ONE algebraic groupBy(id) (map-side
+    partials \u2014 a doc appearing in all N lists is N rows, not a join
+    fan-out); the global top-k is rank-pruned per partition first, so
+    the final single-task window only sees partitions\u00b7topk rows,
+    never the corpus."""
+    scale = 10 ** 12
+    tagged = [r.select(F.col(id_col).alias("id"),
+                       F.expr(f"{scale} div ({k0} + {rank_col})")
+                       .alias("contrib"))
+              for r in rankings]
+    allc = tagged[0]
+    for t in tagged[1:]:
+        allc = allc.unionByName(t)
+    fused = (allc.groupBy("id")
+             .agg(F.sum("contrib").alias("rrf_score_e12"),
+                  F.count(F.lit(1)).alias("n_lists")))
+    # per-partition prune: anything below a partition's top-k can never
+    # reach the global top-k
+    pruned = (fused
+              .withColumn("__pos", F.spark_partition_id())
+              .withColumn("__rn", F.row_number().over(
+                  Window.partitionBy("__pos")
+                  .orderBy(F.desc("rrf_score_e12"), F.asc("id"))))
+              .where(F.col("__rn") <= topk))
+    final = Window.orderBy(F.desc("rrf_score_e12"), F.asc("id"))
+    return (pruned.withColumn("rrf_rank", F.row_number().over(final))
+            .where(F.col("rrf_rank") <= topk)
+            .select(F.col("id").alias(id_col), "rrf_score_e12",
+                    "n_lists", "rrf_rank"))

@@ -962,3 +962,39 @@ def test_sssp_bounded_multi_source_min(spark):
     d = {r["id"]: r["dist"]
          for r in sssp_bounded(e, seeds, rounds=3).collect()}
     assert d == {0: 0, 1: 0, 5: 3, 6: 4}
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Three tiny rankings, fused scores computed by hand in exact
+    fixed point."""
+    from cartwright_spark.operators.ranking import rrf_fuse
+    r1 = spark.createDataFrame([(10, 1), (20, 2), (30, 3)],
+                               ["doc_id", "rank"])
+    r2 = spark.createDataFrame([(20, 1), (10, 2)], ["doc_id", "rank"])
+    out = {r["doc_id"]: r
+           for r in rrf_fuse([r1, r2], k0=60, topk=10).collect()}
+    s = 10 ** 12
+    assert out[10]["rrf_score_e12"] == s // 61 + s // 62
+    assert out[20]["rrf_score_e12"] == s // 62 + s // 61
+    assert out[30]["rrf_score_e12"] == s // 63
+    assert out[30]["n_lists"] == 1
+    # 10 and 20 tie exactly (same contribution multiset) -> doc_id
+    # breaks the tie deterministically
+    assert out[10]["rrf_rank"] == 1 and out[20]["rrf_rank"] == 2
+    assert out[30]["rrf_rank"] == 3
+
+
+def test_rrf_fuse_topk_prune_equals_unpruned(spark):
+    """The per-partition prune must not change the global top-k."""
+    from cartwright_spark.operators.ranking import rrf_fuse
+    rows1 = [(i, i + 1) for i in range(500)]
+    rows2 = [(i, 500 - i) for i in range(500)]
+    r1 = spark.createDataFrame(rows1, ["doc_id", "rank"]).repartition(16)
+    r2 = spark.createDataFrame(rows2, ["doc_id", "rank"]).repartition(16)
+    got = rrf_fuse([r1, r2], topk=20).collect()
+    s = 10 ** 12
+    truth = sorted(
+        ((i, s // (60 + i + 1) + s // (60 + 500 - i)) for i in range(500)),
+        key=lambda t: (-t[1], t[0]))[:20]
+    assert [(r["doc_id"], r["rrf_score_e12"]) for r in
+            sorted(got, key=lambda r: r["rrf_rank"])] == truth
