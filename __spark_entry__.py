@@ -1141,6 +1141,19 @@ def q_zipf_slope(spark, sf_dir):
     return zipf_fit(docs, "lang", "text", top_v=128)
 
 
+def q_crawl_budget(spark, sf_dir):
+    """Largest-remainder crawl-budget apportionment
+    (operators/crawl.py crawl_budget): split a 1000-fetch recrawl
+    budget across hosts proportional to page counts; quotas sum to
+    exactly 1000 with remainder ties broken by host. Integer-exact;
+    oracle replays the same floor/mod/rank arithmetic."""
+    from cartwright_spark.operators.crawl import crawl_budget
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy(F.col("source").alias("host")) \
+                 .agg(F.count(F.lit(1)).alias("n_pages"))
+    return crawl_budget(counts, budget=1000)
+
+
 def q_rrf_fusion(spark, sf_dir):
     """Reciprocal-rank fusion (operators/ranking.py rrf_fuse): fuse
     three independent document rankings — by length, by crawl order,
@@ -3377,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_groups": q_template_groups,
         "kmeans_centroids": q_kmeans_centroids,
         "rrf_fusion": q_rrf_fusion,
+        "crawl_budget": q_crawl_budget,
         "url_normalize": q_url_normalize,
         "link_graph": q_link_graph,
         "host_pagerank": q_host_pagerank,
@@ -6254,6 +6268,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         # expression shapes/parenthesization mirror operators/ranking.py
         # exactly so doubles agree past the hash tolerance.
+        "crawl_budget": """
+            WITH counts AS (
+              SELECT source AS host, count(*) AS n_pages
+              FROM documents GROUP BY source
+            ),
+            tot AS (SELECT sum(n_pages) AS c FROM counts),
+            base AS (
+              SELECT host, n_pages,
+                     (1000 * n_pages) // (SELECT c FROM tot) AS base,
+                     (1000 * n_pages) % (SELECT c FROM tot) AS rem
+              FROM counts
+            ),
+            extra AS (SELECT 1000 - sum(base) AS k FROM base),
+            winners AS (
+              SELECT host FROM (
+                SELECT host, row_number() OVER (
+                  ORDER BY rem DESC, host) AS rn
+                FROM base
+              ) WHERE rn <= (SELECT k FROM extra)
+            )
+            SELECT b.host,
+                   CAST(b.n_pages AS BIGINT) AS n_pages,
+                   CAST(b.base + CASE WHEN w.host IS NOT NULL
+                                      THEN 1 ELSE 0 END AS BIGINT)
+                     AS quota
+            FROM base b LEFT JOIN winners w ON b.host = w.host
+        """,
         "rrf_fusion": """
             WITH r1 AS (
               SELECT doc_id, row_number() OVER (

@@ -63,3 +63,72 @@ def crawl_frontier(urls: DataFrame, url_col: str = "url_norm",
         "priority", "wave",
         ((F.col("wave") - 1).cast("double") * F.lit(float(delay_s)))
         .alias("fetch_offset_s"))
+
+
+def crawl_budget(host_counts: DataFrame, budget: int,
+                 host_col: str = "host",
+                 count_col: str = "n_pages") -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a global crawl
+    budget across hosts, proportional to each host's page count — the
+    standard way a recrawl scheduler turns "fetch N pages next cycle"
+    into exact per-host quotas that sum to N, with no host rounded
+    into starvation by pure floor division.
+
+    Semantics (integer-exact, so the SQL oracle matches
+    value-for-value):
+      base_h  = floor(budget · c_h / C)        where C = Σ c_h
+      rem_h   = (budget · c_h) mod C
+      the (budget − Σ base) hosts with the largest remainders get +1
+      (ties on remainder break by host ascending).
+    Output: (host, n_pages, quota); Σ quota == budget exactly.
+
+    Scale shape: C is a 1-row aggregate broadcast back; base/remainder
+    are per-row arithmetic. The +1 ranking needs a global order over
+    HOSTS (not pages) — hosts are ~10^5–10^8 when pages are 10^12, and
+    the sort is rank-pruned per partition first (only rows that could
+    win a +1 survive to the single-task window), the same bounded
+    pattern as ranking.rrf_fuse. Products stay in int64: requires
+    budget · max(c_h) < 2^63 (raise-checked)."""
+    from pyspark.sql import Window
+
+    counts = host_counts.select(F.col(host_col).alias("host"),
+                                F.col(count_col).cast("long")
+                                .alias("n_pages"))
+    tot = counts.agg(
+        F.sum("n_pages").alias("c_total"),
+        F.max("n_pages").alias("c_max"),
+        F.count(F.lit(1)).alias("n_hosts"))
+    base = (counts.crossJoin(F.broadcast(tot))
+            # products go through try_multiply so ANSI overflow can't
+            # pre-empt the loud guard: NULL product -> when() falls to
+            # otherwise -> raise_error. Guard lives in a FILTER so
+            # column pruning can't drop it.
+            .where(F.when(
+                F.try_multiply(F.lit(int(budget)), F.col("c_max"))
+                < F.lit(2 ** 62),
+                F.lit(True))
+                .otherwise(F.raise_error(F.lit(
+                    "crawl_budget: budget * max(count) overflows int64"))))
+            .select("host", "n_pages", "c_total", "n_hosts",
+                    F.expr(f"try_multiply({budget}L, n_pages) div c_total")
+                    .alias("base"),
+                    (F.try_multiply(F.lit(int(budget)), F.col("n_pages"))
+                     % F.col("c_total")).alias("rem")))
+    # how many +1s to hand out = budget - sum(base), a broadcast scalar
+    extra = base.agg((F.lit(int(budget)) - F.sum("base")).alias("k"))
+    ranked = (base.crossJoin(F.broadcast(extra))
+              .withColumn("__pos", F.spark_partition_id())
+              .withColumn("__rn", F.row_number().over(
+                  Window.partitionBy("__pos")
+                  .orderBy(F.desc("rem"), F.asc("host"))))
+              # a row ranked below k inside ANY partition can never be
+              # in the global top-k remainders
+              .where(F.col("__rn") <= F.col("k")))
+    winners = (ranked.withColumn("__gr", F.row_number().over(
+        Window.orderBy(F.desc("rem"), F.asc("host"))))
+        .where(F.col("__gr") <= F.col("k"))
+        .select("host", F.lit(1).alias("plus")))
+    return (base.join(winners, "host", "left")
+            .select("host", "n_pages",
+                    (F.col("base") + F.coalesce(F.col("plus"), F.lit(0)))
+                    .alias("quota")))

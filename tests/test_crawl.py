@@ -43,3 +43,39 @@ def test_single_host_exchange_reused(spark):
     plan = crawl_frontier(_frontier(spark))._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_crawl_budget_exact_hamilton(spark):
+    """Hand-checked largest-remainder apportionment: quotas sum to the
+    budget, floors respected, +1s go to the largest remainders with
+    host-ascending ties."""
+    from cartwright_spark.operators.crawl import crawl_budget
+    counts = spark.createDataFrame(
+        [("a", 7), ("b", 7), ("c", 3), ("d", 3)], ["host", "n_pages"])
+    # budget 10, C=20: shares 3.5, 3.5, 1.5, 1.5 -> base 3,3,1,1 (sum 8),
+    # remainders all equal (10) -> +1 to 'a' and 'b' by host order
+    out = {r["host"]: r["quota"]
+           for r in crawl_budget(counts, budget=10).collect()}
+    assert out == {"a": 4, "b": 4, "c": 1, "d": 1}
+
+
+def test_crawl_budget_sums_and_proportionality(spark):
+    from cartwright_spark.operators.crawl import crawl_budget
+    import random
+    rng = random.Random(11)
+    counts = [(f"h{i:03d}", rng.randrange(1, 5000)) for i in range(200)]
+    df = spark.createDataFrame(counts, ["host", "n_pages"]).repartition(16)
+    rows = crawl_budget(df, budget=12345).collect()
+    total_pages = sum(c for _, c in counts)
+    assert sum(r["quota"] for r in rows) == 12345
+    for r in rows:
+        exact = 12345 * dict(counts)[r["host"]] / total_pages
+        assert exact - 1 < r["quota"] < exact + 1  # Hamilton stays within 1
+
+
+def test_crawl_budget_overflow_guard(spark):
+    from cartwright_spark.operators.crawl import crawl_budget
+    import pytest
+    df = spark.createDataFrame([("a", 2 ** 40)], ["host", "n_pages"])
+    with pytest.raises(Exception, match="overflows int64"):
+        crawl_budget(df, budget=2 ** 40).collect()
