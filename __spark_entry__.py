@@ -1154,6 +1154,30 @@ def q_crawl_budget(spark, sf_dir):
     return crawl_budget(counts, budget=1000)
 
 
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution (operators/crawl.py
+    resolve_redirects): pointer-doubling over a synthetic 3xx map on
+    the documents key space — downward chains of length 1..63 with
+    terminals at multiples of 64, plus 2-cycles hung off every third
+    terminal — resolved under a 32-hop fetcher cap. Chains <=32 hops
+    resolve with exact hop counts; longer chains and loops come back
+    resolved=false. Oracle: the walk replayed step-by-step as a
+    DuckDB recursive CTE with the same hop cap."""
+    from cartwright_spark.operators.crawl import resolve_redirects
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    u = lambda c: F.concat(F.lit("u"), c.cast("string"))
+    e1 = docs.where(F.col("doc_id") % 64 != 0).select(
+        u(F.col("doc_id")).alias("src"),
+        u(F.col("doc_id") - 1).alias("dst"))
+    cyc = docs.where(F.col("doc_id") % 192 == 0)
+    loop = F.concat(F.lit("loop"), F.col("doc_id").cast("string"))
+    e2 = cyc.select(u(F.col("doc_id")).alias("src"), loop.alias("dst"))
+    e3 = cyc.select(loop.alias("src"), u(F.col("doc_id")).alias("dst"))
+    out = resolve_redirects(e1.union(e2).union(e3), max_hops=32)
+    return out.select("src", "final_url", "hops",
+                      F.col("resolved").cast("int").alias("resolved"))
+
+
 def q_rrf_fusion(spark, sf_dir):
     """Reciprocal-rank fusion (operators/ranking.py rrf_fuse): fuse
     three independent document rankings — by length, by crawl order,
@@ -3391,6 +3415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": q_kmeans_centroids,
         "rrf_fusion": q_rrf_fusion,
         "crawl_budget": q_crawl_budget,
+        "redirect_resolve": q_redirect_resolve,
         "url_normalize": q_url_normalize,
         "link_graph": q_link_graph,
         "host_pagerank": q_host_pagerank,
@@ -6294,6 +6319,42 @@ def oracle_sql() -> dict[str, str]:
                                       THEN 1 ELSE 0 END AS BIGINT)
                      AS quota
             FROM base b LEFT JOIN winners w ON b.host = w.host
+        """,
+        "redirect_resolve": """
+            WITH RECURSIVE edges_raw AS (
+              SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+                     'u' || CAST(doc_id - 1 AS VARCHAR) AS dst
+              FROM documents WHERE doc_id % 64 <> 0
+              UNION ALL
+              SELECT 'u' || CAST(doc_id AS VARCHAR),
+                     'loop' || CAST(doc_id AS VARCHAR)
+              FROM documents WHERE doc_id % 192 = 0
+              UNION ALL
+              SELECT 'loop' || CAST(doc_id AS VARCHAR),
+                     'u' || CAST(doc_id AS VARCHAR)
+              FROM documents WHERE doc_id % 192 = 0
+            ),
+            edges AS (
+              SELECT src, min(dst) AS dst FROM edges_raw GROUP BY src
+            ),
+            walk AS (
+              SELECT src, dst AS cur, 1 AS hops FROM edges
+              UNION ALL
+              SELECT w.src, e.dst, w.hops + 1
+              FROM walk w JOIN edges e ON w.cur = e.src
+              WHERE w.hops < 32
+            ),
+            term AS (
+              SELECT w.src, w.cur, w.hops FROM walk w
+              WHERE w.hops <= 32
+                AND w.cur NOT IN (SELECT src FROM edges)
+            )
+            SELECT e.src,
+                   coalesce(t.cur, '') AS final_url,
+                   CAST(coalesce(t.hops, 0) AS BIGINT) AS hops,
+                   CASE WHEN t.src IS NOT NULL THEN 1 ELSE 0 END
+                     AS resolved
+            FROM edges e LEFT JOIN term t ON e.src = t.src
         """,
         "rrf_fusion": """
             WITH r1 AS (

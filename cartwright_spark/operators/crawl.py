@@ -132,3 +132,78 @@ def crawl_budget(host_counts: DataFrame, budget: int,
             .select("host", "n_pages",
                     (F.col("base") + F.coalesce(F.col("plus"), F.lit(0)))
                     .alias("quota")))
+
+
+def resolve_redirects(redirects: DataFrame, src_col: str = "src",
+                      dst_col: str = "dst",
+                      max_hops: int = 32) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling: collapse every
+    3xx chain in a crawl's (src_url -> dst_url) redirect map to its
+    terminal URL, counting hops, in O(log max_hops) rounds instead of
+    O(chain length).
+
+    Semantics (what a fetcher following at most ``max_hops`` redirects
+    would see — RFC 9110 §15.4 loop/limit guidance):
+      * a URL with no outgoing redirect is TERMINAL;
+      * src resolves to the first terminal reached within max_hops
+        single steps -> (src, final_url, hops, resolved=true);
+      * chains longer than max_hops and redirect LOOPS come back
+        resolved=false with final_url='' and hops=0 — the crawler
+        drops them, it never fetches a loop forever.
+    Duplicate (src -> several dsts) rows collapse to min(dst) first so
+    the walk is a deterministic function.
+
+    Scale shape (10^12-edge redirect maps): the classic sequential walk
+    is O(chain) dependent fetch rounds; here each round composes the
+    jump table with itself — J(x) <- J(J(x).next), hops adding — so a
+    pointer advances min(2^r, dist) steps after r rounds, and
+    ceil(log2(max_hops))+1 rounds decide EVERY source (resolved ones
+    reach their terminal; loops and over-long chains provably exceed
+    the hop cap). Per round: ONE self equi-join on the current pointer
+    (hash exchange on a URL key — near-uniform by construction) plus an
+    eager localCheckpoint to keep the plan O(1) deep. Data volume per
+    round is exactly one row per source — never the transitive closure.
+
+    Reference parity: jataware/cartwright has no crawl layer; this
+    serves the Common-Crawl ingest tier beside url_normalize (a crawl
+    dedups on the POST-redirect canonical URL).
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    edges = (redirects
+             .groupBy(F.col(src_col).alias("node"))
+             .agg(F.min(dst_col).alias("nxt"))
+             .withColumn("hops", F.lit(1).cast("long")))
+    # rounds r with 2^r > max_hops: unresolved-but-live pointers carry
+    # hops = 2^r > max_hops, so the final filter classifies them
+    # correctly without a separate cycle detector
+    rounds = 1
+    while (1 << rounds) <= max_hops:
+        rounds += 1
+    j = edges.localCheckpoint(eager=True)
+    hop_table = edges.select(F.col("node").alias("__via"),
+                             F.col("nxt").alias("__via_nxt"),
+                             F.col("hops").alias("__via_hops"))
+    for _ in range(rounds):
+        j = (j.join(hop_table, j["nxt"] == hop_table["__via"], "left")
+             .select("node",
+                     F.coalesce("__via_nxt", "nxt").alias("nxt"),
+                     (F.col("hops") + F.coalesce(F.col("__via_hops"),
+                                                 F.lit(0))).alias("hops"))
+             .localCheckpoint(eager=True))
+        hop_table = j.select(F.col("node").alias("__via"),
+                             F.col("nxt").alias("__via_nxt"),
+                             F.col("hops").alias("__via_hops"))
+    # terminal test: the pointer target has no outgoing redirect
+    srcs = edges.select(F.col("node").alias("__s")).distinct()
+    out = (j.join(srcs, j["nxt"] == srcs["__s"], "left")
+           .select(F.col("node").alias("src"),
+                   F.when(F.col("__s").isNull()
+                          & (F.col("hops") <= max_hops), F.col("nxt"))
+                   .otherwise(F.lit("")).alias("final_url"),
+                   F.when(F.col("__s").isNull()
+                          & (F.col("hops") <= max_hops), F.col("hops"))
+                   .otherwise(F.lit(0)).cast("long").alias("hops"),
+                   (F.col("__s").isNull()
+                    & (F.col("hops") <= max_hops)).alias("resolved")))
+    return out

@@ -79,3 +79,49 @@ def test_crawl_budget_overflow_guard(spark):
     df = spark.createDataFrame([("a", 2 ** 40)], ["host", "n_pages"])
     with pytest.raises(Exception, match="overflows int64"):
         crawl_budget(df, budget=2 ** 40).collect()
+
+
+def _resolve(spark, edges, **kw):
+    from cartwright_spark.operators.crawl import resolve_redirects
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {r.src: r for r in resolve_redirects(df, **kw).collect()}
+
+
+def test_redirects_chain_exact_hops(spark):
+    # a -> b -> c -> T : every prefix resolves to T with exact hops
+    out = _resolve(spark, [("a", "b"), ("b", "c"), ("c", "T")])
+    assert (out["a"].final_url, out["a"].hops, out["a"].resolved) == ("T", 3, True)
+    assert (out["b"].final_url, out["b"].hops) == ("T", 2)
+    assert (out["c"].final_url, out["c"].hops) == ("T", 1)
+
+
+def test_redirects_hop_cap_and_boundary(spark):
+    # chain of length 5 under max_hops=4: head fails, tail resolves;
+    # the node exactly AT the cap resolves
+    edges = [(f"n{i}", f"n{i+1}") for i in range(5)]  # n0..n4 -> n5 terminal
+    out = _resolve(spark, edges, max_hops=4)
+    assert out["n0"].resolved is False and out["n0"].final_url == "" and out["n0"].hops == 0
+    assert (out["n1"].final_url, out["n1"].hops, out["n1"].resolved) == ("n5", 4, True)
+    assert (out["n4"].hops, out["n4"].resolved) == (1, True)
+
+
+def test_redirects_loops_unresolved(spark):
+    # 2-cycle, self-loop, and a chain feeding into a cycle: all unresolved
+    out = _resolve(spark, [("p", "q"), ("q", "p"), ("s", "s"), ("x", "p")])
+    for k in ("p", "q", "s", "x"):
+        assert out[k].resolved is False and out[k].hops == 0
+
+
+def test_redirects_duplicate_src_min_dst(spark):
+    # duplicate src rows collapse to min(dst) before the walk
+    out = _resolve(spark, [("a", "zzz"), ("a", "b"), ("b", "T")])
+    assert (out["a"].final_url, out["a"].hops) == ("T", 2)
+    assert out["a"].resolved is True
+
+
+def test_redirects_max_hops_validation(spark):
+    import pytest
+    from cartwright_spark.operators.crawl import resolve_redirects
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with pytest.raises(ValueError, match="max_hops"):
+        resolve_redirects(df, max_hops=0)
