@@ -1406,6 +1406,48 @@ def q_multimodal_video_frames(spark, sf_dir):
         sums, "media_id long, frame long, t_ms long, px_sum long")
 
 
+def q_multimodal_wav_stats(spark, sf_dir):
+    """AUDIO decode (operators/wav.py — from-scratch RIFF/WAVE PCM
+    codec): deterministic stereo 16-bit waveforms built closed-form
+    from (doc_id, channel, sample index), encoded to real WAVE bytes
+    and decoded back distributed inside mapInPandas, then integer-exact
+    per-channel stats — energy (sum of squares), peak magnitude, and
+    zero crossings under the hold-last-sign convention — plus the
+    sample rate read back from the fmt chunk. Every output value is
+    closed-form in (doc_id, channel, i), so the DuckDB oracle
+    re-derives energy/peak by direct aggregation and the crossing count
+    with an IGNORE NULLS last_value sign-hold window — the audio
+    modality joining the PNG/JPEG/GIF/MJPEG tier."""
+    import numpy as np
+    import pandas as pd
+
+    from cartwright_spark.operators.wav import (decode_wav, encode_wav,
+                                                wav_channel_stats)
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 200)
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].to_numpy(np.int64):
+                d = int(d)
+                n = 64 + d % 64
+                i = np.arange(n, dtype=np.int64)[:, None]
+                c = np.arange(2, dtype=np.int64)[None, :]
+                s = ((d * 13 + c * 7 + i * 5) % 200) - 100
+                decoded, rate = decode_wav(encode_wav(s, 8000 + d,
+                                                      bits=16))
+                for ch, ns, sq, peak, zc in wav_channel_stats(decoded):
+                    rows.append((d, ch, rate, ns, sq, peak, zc))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "channel", "rate", "n_samples", "sum_sq",
+                "peak_abs", "zero_cross"])
+
+    return docs.mapInPandas(
+        fn, "media_id long, channel long, rate long, n_samples long, "
+            "sum_sq long, peak_abs long, zero_cross long")
+
+
 def q_grouped_quantile(spark, sf_dir):
     """Per-group exact p90 (operators/quantile.py grouped_exact_quantile)
     over a deliberately skewed grouping: one 'hot' group holds ~75% of
@@ -3472,6 +3514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_records": q_warc_records,
         "multimodal_gif_frames": q_multimodal_gif_frames,
         "multimodal_video_frames": q_multimodal_video_frames,
+        "multimodal_wav_stats": q_multimodal_wav_stats,
         "html_table_cells": q_html_table_cells,
         "html_table_profile": q_html_table_profile,
         "anchor_text": q_anchor_text,
@@ -6787,6 +6830,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v) * 64 * 3 AS BIGINT) AS px_sum
             FROM px
             GROUP BY doc_id, f
+        """,
+        "multimodal_wav_stats": """
+            WITH ids AS (
+              SELECT doc_id FROM documents WHERE doc_id < 200
+            ),
+            base AS (
+              SELECT doc_id, c.c AS channel, i.i AS i,
+                     ((doc_id * 13 + c.c * 7 + i.i * 5) % 200) - 100 AS v
+              FROM ids
+              CROSS JOIN generate_series(0, 1) c(c)
+              JOIN generate_series(0, 127) i(i)
+                ON i.i < 64 + doc_id % 64
+            ),
+            held AS (
+              SELECT doc_id, channel, i, v,
+                     last_value(CASE WHEN v > 0 THEN 1
+                                     WHEN v < 0 THEN -1 END IGNORE NULLS)
+                       OVER (PARTITION BY doc_id, channel ORDER BY i
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS s
+              FROM base
+            ),
+            tr AS (
+              SELECT *, lag(s) OVER (PARTITION BY doc_id, channel
+                                     ORDER BY i) AS ps
+              FROM held
+            )
+            SELECT doc_id AS media_id,
+                   CAST(channel AS BIGINT) AS channel,
+                   CAST(8000 + doc_id AS BIGINT) AS rate,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(sum(v * v) AS BIGINT) AS sum_sq,
+                   CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+                   CAST(coalesce(sum(CASE WHEN s IS NOT NULL
+                                          AND ps IS NOT NULL
+                                          AND s <> ps THEN 1 END), 0)
+                     AS BIGINT) AS zero_cross
+            FROM tr
+            GROUP BY doc_id, channel
         """,
         "grouped_quantile": """
             WITH g AS (
