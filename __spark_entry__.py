@@ -1077,6 +1077,24 @@ def q_trajectory_sessions(spark, sf_dir):
     return trajectory_sessions(pts, gap_deg=10.0, gap_s=604800)
 
 
+def q_stay_points(spark, sf_dir):
+    """Li et al. (ACM GIS 2008) stay-point detection
+    (operators/trajectory.py stay_points): anchor-scan dwell mining
+    over the shared _TRAJ synthetic traces — from each anchor, extend
+    while points stay within 5 degrees OF THE ANCHOR; segments dwelling
+    >= 24 h emit (anchor jumps to the escape index), otherwise the
+    anchor slides by one. Inherently sequential per user, so the engine
+    runs an Arrow applyInPandas kernel per trace; the oracle
+    precomputes every anchor's escape index with a bounded self-join
+    and replays the anchor walk as a recursive CTE."""
+    from cartwright_spark.operators.trajectory import stay_points
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select("event_id", "user_id", "ts",
+                    F.expr(_TRAJ_LAT).alias("lat"),
+                    F.expr(_TRAJ_LON).alias("lon"))
+    return stay_points(pts, dist_deg=5.0, min_dwell_s=86400)
+
+
 def q_kde_heatmap(spark, sf_dir):
     """Kernel-density heatmap (spatial/kde.py): grid-bounded cell
     rollup, bounded (2k+1)^2 offset explode of the CELL table, rational
@@ -3469,6 +3487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gistar_hotspots": q_gistar_hotspots,
         "kde_heatmap": q_kde_heatmap,
         "trajectory_sessions": q_trajectory_sessions,
+        "stay_points": q_stay_points,
         "trend_hotspots": q_trend_hotspots,
         "tile_pyramid": q_tile_pyramid,
         "sen_slope": q_sen_slope,
@@ -6246,6 +6265,61 @@ def oracle_sql() -> dict[str, str]:
             FROM per_cell
         """,
         "trajectory_sessions": _TRAJ_SESSIONS_SQL,
+        "stay_points": f"""
+            WITH RECURSIVE pts0 AS (
+              SELECT user_id, epoch_us(ts) AS us, event_id,
+                     {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon
+              FROM events
+            ),
+            pts AS (
+              SELECT user_id, us, lat, lon,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY us, event_id) - 1 AS j
+              FROM pts0
+            ),
+            cnt AS (
+              SELECT user_id, count(*) AS n FROM pts GROUP BY user_id
+            ),
+            nxt AS (
+              SELECT a.user_id, a.j AS a,
+                     coalesce(min(b.j), min(c.n)) AS e
+              FROM pts a
+              JOIN cnt c ON c.user_id = a.user_id
+              LEFT JOIN pts b ON b.user_id = a.user_id AND b.j > a.j
+                AND (b.lat - a.lat) * (b.lat - a.lat)
+                  + (b.lon - a.lon) * (b.lon - a.lon) > 25.0
+              GROUP BY a.user_id, a.j
+            ),
+            seg AS (
+              SELECT x.user_id, x.a, x.e,
+                     pe.us - pa.us >= 86400000000 AS ok,
+                     x.e - x.a AS n_pts,
+                     pa.us AS t_start_us, pe.us AS t_end_us,
+                     pa.lat AS anchor_lat, pa.lon AS anchor_lon
+              FROM nxt x
+              JOIN pts pa ON pa.user_id = x.user_id AND pa.j = x.a
+              JOIN pts pe ON pe.user_id = x.user_id AND pe.j = x.e - 1
+            ),
+            walk AS (
+              SELECT user_id, CAST(0 AS BIGINT) AS a
+              FROM cnt WHERE n > 0
+              UNION ALL
+              SELECT w.user_id,
+                     CASE WHEN s.ok THEN s.e ELSE w.a + 1 END
+              FROM walk w
+              JOIN seg s ON s.user_id = w.user_id AND s.a = w.a
+              JOIN cnt c ON c.user_id = w.user_id
+              WHERE CASE WHEN s.ok THEN s.e ELSE w.a + 1 END < c.n
+            )
+            SELECT s.user_id,
+                   row_number() OVER (PARTITION BY s.user_id
+                                      ORDER BY s.a) AS sp_id,
+                   s.n_pts, s.t_start_us, s.t_end_us,
+                   s.anchor_lat, s.anchor_lon
+            FROM walk w
+            JOIN seg s ON s.user_id = w.user_id AND s.a = w.a
+            WHERE s.ok
+        """,
         "od_matrix": f"""
             WITH cells AS (
               SELECT user_id, session_id,

@@ -162,3 +162,84 @@ def heading_octants(events: DataFrame, user_col: str = "user_id",
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_moves"),
                  F.sum(F.abs(F.col("dx")) + F.abs(F.col("dy")))
                  .cast("bigint").alias("l1_total")))
+
+
+def stay_points(events: DataFrame, user_col: str = "user_id",
+                ts_col: str = "ts", lat_col: str = "lat",
+                lon_col: str = "lon", order_col: str = "event_id",
+                dist_deg: float = 5.0,
+                min_dwell_s: int = 3600) -> DataFrame:
+    """Stay-point detection — the classic anchor-scan algorithm of
+    Li et al. (ACM GIS 2008, the GeoLife stay-point miner): walk each
+    user's trace in time order; from an anchor point a, extend while
+    every following point stays within `dist_deg` (degree-space
+    Euclidean — exact doubles, no transcendentals) of the ANCHOR; when
+    the first point escapes at index e, the candidate segment is
+    [a, e-1]. If its time span >= `min_dwell_s` it is a stay point and
+    the walk jumps to e; otherwise the anchor advances by one. Unlike
+    `trajectory_sessions` (which SPLITS on jumps between consecutive
+    points), this finds maximal dwells around a fixed anchor — the two
+    disagree exactly when a trace drifts slowly out of a disc.
+
+    -> (user_id, sp_id 1.., n_pts, t_start_us, t_end_us, anchor_lat,
+    anchor_lon). Anchor coords are emitted verbatim (no centroid
+    arithmetic), keeping every output value engine-exact.
+
+    Scale shape: the algorithm is inherently sequential PER USER (each
+    decision depends on the previous anchor), so the user is the unit
+    of parallel work — one shuffle groups traces, then an Arrow-batched
+    applyInPandas kernel scans each trace with geometrically-growing
+    vectorized distance chunks (per-anchor cost ~ O(segment length),
+    never a full n^2 rescan). Hot users are a salting problem only if
+    a single trace outgrows a task — at crawl scale traces are bounded
+    by retention windows. Reference scope note: cartwright has no
+    trajectory layer (see module header); engine scope from the
+    geospatial tier.
+    """
+    import numpy as np
+    import pandas as pd
+
+    thr = float(dist_deg) ** 2
+    min_dwell_us = int(min_dwell_s) * 1_000_000
+
+    def _first_beyond(lat, lon, a, n):
+        step = 64
+        j = a + 1
+        while j < n:
+            hi = min(n, j + step)
+            d2 = (lat[j:hi] - lat[a]) ** 2 + (lon[j:hi] - lon[a]) ** 2
+            k = np.nonzero(d2 > thr)[0]
+            if k.size:
+                return j + int(k[0])
+            j = hi
+            step *= 2
+        return n
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["__us", order_col], kind="mergesort")
+        lat = pdf[lat_col].to_numpy(np.float64)
+        lon = pdf[lon_col].to_numpy(np.float64)
+        us = pdf["__us"].to_numpy(np.int64)
+        uid = pdf[user_col].iloc[0]
+        n = len(pdf)
+        rows = []
+        a = 0
+        while a < n:
+            e = _first_beyond(lat, lon, a, n)
+            if us[e - 1] - us[a] >= min_dwell_us:
+                rows.append((uid, len(rows) + 1, e - a,
+                             int(us[a]), int(us[e - 1]),
+                             float(lat[a]), float(lon[a])))
+                a = e
+            else:
+                a += 1
+        return pd.DataFrame(rows, columns=[
+            "user_id", "sp_id", "n_pts", "t_start_us", "t_end_us",
+            "anchor_lat", "anchor_lon"])
+
+    tagged = events.select(
+        F.col(user_col), F.col(order_col), F.col(lat_col), F.col(lon_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"))
+    return tagged.groupBy(user_col).applyInPandas(
+        kernel, "user_id long, sp_id long, n_pts long, t_start_us long, "
+                "t_end_us long, anchor_lat double, anchor_lon double")
