@@ -2277,6 +2277,21 @@ def q_doc_fingerprint(spark, sf_dir):
     return fingerprint(docs).select("doc_id", "fp_min_gram", "fp_doc")
 
 
+def q_winnow_fingerprint(spark, sf_dir):
+    """MOSS winnowing fingerprints (operators/winnow.py
+    winnow_fingerprints, Schleimer et al. SIGMOD 2003): in every
+    window of 4 consecutive 8-gram hashes keep the minimum (rightmost
+    tie) — the guaranteed-density local fingerprint set behind
+    plagiarism/near-dup detection. Hashes are position-invariant
+    polynomial k-gram hashes built from CDC-style absolute-position
+    prefix sums normalized by a broadcast modular-inverse power table,
+    so the DuckDB oracle re-derives every selected (pos, fp) with the
+    same exact int64 arithmetic, enumerating windows explicitly."""
+    from cartwright_spark.operators.winnow import winnow_fingerprints
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_fingerprints(docs, k=8, w=4, max_len=800)
+
+
 def q_deletion_join(spark, sf_dir):
     """SymSpell deletion-neighbourhood edit-distance self-join
     (operators/fuzzyjoin.py deletion_join): every unordered pair of
@@ -3589,6 +3604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p8_date_format": q_p8_date_format,
         "j4_continent_fuzzy": q_j4_continent_fuzzy,
         "doc_fingerprint": q_doc_fingerprint,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "knn_hex": q_knn_hex,
         "p10_latlon_dedup": q_p10_latlon_dedup,
         "incremental_microbatch": q_incremental_microbatch,
@@ -4482,6 +4498,64 @@ def oracle_sql() -> dict[str, str]:
                           / (CAST(c_cur + 1 AS DOUBLE)
                              / CAST(n_cur + 20 AS DOUBLE)))), 7) AS psi
             FROM t GROUP BY 1
+        """,
+        "winnow_fingerprint": """
+            WITH RECURSIVE powers(pos, pw, ipw) AS (
+              SELECT 1, CAST(31 AS BIGINT), CAST(129032259 AS BIGINT)
+              UNION ALL
+              SELECT pos + 1, (pw * 31) % 1000000007,
+                     (ipw * 129032259) % 1000000007
+              FROM powers WHERE pos < 800
+            ),
+            chars AS (
+              SELECT doc_id,
+                     CAST(generate_subscripts(cs, 1) AS BIGINT) AS pos,
+                     unnest(cs) AS c
+              FROM (SELECT doc_id,
+                           str_split(substr(text, 1, 800), '') AS cs
+                    FROM documents)
+            ),
+            t AS (
+              SELECT doc_id, pos, ipw,
+                     CAST((ascii(c) * pw) % 1000000007 AS BIGINT) AS t
+              FROM chars JOIN powers USING (pos)
+            ),
+            s AS (
+              SELECT doc_id, pos, ipw,
+                     CAST(sum(t) OVER (PARTITION BY doc_id
+                                       ORDER BY pos) AS BIGINT) AS pk
+              FROM t
+            ),
+            g AS (
+              SELECT doc_id, pos,
+                     (((lead_pk - prev_pk) % 1000000007) * ipw)
+                       % 1000000007 AS h
+              FROM (SELECT doc_id, pos, ipw,
+                           lead(pk, 7) OVER w AS lead_pk,
+                           coalesce(lag(pk, 1) OVER w, 0) AS prev_pk
+                    FROM s
+                    WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+              WHERE lead_pk IS NOT NULL
+            ),
+            nk AS (
+              SELECT doc_id, count(*) AS nk FROM g GROUP BY doc_id
+            ),
+            wins AS (
+              SELECT g.doc_id, g.pos - o.o AS t, g.pos, g.h
+              FROM g
+              JOIN nk USING (doc_id)
+              CROSS JOIN generate_series(0, 3) o(o)
+              WHERE g.pos - o.o >= 1
+                AND g.pos - o.o <= greatest(1, nk.nk - 3)
+            ),
+            picked AS (
+              SELECT doc_id, pos, h,
+                     row_number() OVER (PARTITION BY doc_id, t
+                                        ORDER BY h ASC, pos DESC) AS rn
+              FROM wins
+            )
+            SELECT DISTINCT doc_id, pos, CAST(h AS BIGINT) AS fp
+            FROM picked WHERE rn = 1
         """,
         "cdc_dedup": """
             WITH RECURSIVE powers(pos, pw) AS (
