@@ -647,6 +647,24 @@ def q_morans_i(spark, sf_dir):
     return morans_i(pts, cell_deg=5.0)
 
 
+def q_gearys_c(spark, sf_dir):
+    """Global + local Geary's C spatial autocorrelation
+    (spatial/autocorr.py gearys_c): Moran's I's companion statistic
+    over the same grid rollup — binary 8-neighbour weights collapse
+    sum_ij w_ij (x_i - x_j)^2 to exact BIGINT moments (2*(sxxd - sxs)),
+    and local c_i = (deg*x^2 - 2*x*s + q)/m2 needs only one extra
+    neighbour moment q = sum of neighbour x^2. Float math is single
+    shared-generator expressions in both engines."""
+    from cartwright_spark.spatial.autocorr import gearys_c
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        ((F.col("event_id") * 37 % 1801).cast("double") / 10.0 - 90.0)
+        .alias("lat"),
+        ((F.col("event_id") * 73 % 3600).cast("double") / 10.0 - 180.0)
+        .alias("lon"))
+    return gearys_c(pts, cell_deg=5.0)
+
+
 def q_bigram_lm_score(spark, sf_dir):
     """CCNet-style char-bigram LM quality score (operators/langmodel.py):
     model trained in one vocab-bounded aggregation, ln p computed once
@@ -3497,6 +3515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prior_weighted_sample": q_prior_weighted_sample,
         "grid_cluster": q_grid_cluster,
         "morans_i": q_morans_i,
+        "gearys_c": q_gearys_c,
         "segment_intersections": q_segment_intersections,
         "bigram_lm_score": q_bigram_lm_score,
         "gistar_hotspots": q_gistar_hotspots,
@@ -4312,6 +4331,8 @@ def oracle_sql() -> dict[str, str]:
         gistar_sql as _gistar_sql,
         moran_global_sql as _moran_global_sql,
         moran_local_sql as _moran_local_sql,
+        geary_global_sql as _geary_global_sql,
+        geary_local_sql as _geary_local_sql,
     )
     from cartwright_spark.operators.trajectory import (
         octant_sql as _octant_sql_fn,
@@ -5979,6 +6000,54 @@ def oracle_sql() -> dict[str, str]:
         # float exprs emitted by the SAME generator as the Spark plan
         # (spatial/autocorr.py moran_*_sql) over integer-exact moments —
         # one generator, two engines, no float-sum ordering anywhere.
+        "gearys_c": f"""
+            WITH pts AS (
+              SELECT CAST((event_id * 37) % 1801 AS DOUBLE)
+                       / CAST(10.0 AS DOUBLE) - CAST(90.0 AS DOUBLE) AS lat,
+                     CAST((event_id * 73) % 3600 AS DOUBLE)
+                       / CAST(10.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon
+              FROM events
+            ),
+            cells AS (
+              SELECT CAST(floor((lat + CAST(90.0 AS DOUBLE))
+                                / CAST(5.0 AS DOUBLE)) AS BIGINT) AS cell_row,
+                     CAST(floor((lon + CAST(180.0 AS DOUBLE))
+                                / CAST(5.0 AS DOUBLE)) AS BIGINT) AS cell_col,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM pts GROUP BY 1, 2
+            ),
+            offs(dr, dc) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                                    (0,1),(1,-1),(1,0),(1,1)),
+            hits AS (
+              SELECT c.cell_row, c.cell_col,
+                     CAST(count(*) AS BIGINT) AS deg,
+                     CAST(sum(n.x) AS BIGINT) AS s,
+                     CAST(sum(n.x * n.x) AS BIGINT) AS q
+              FROM cells c CROSS JOIN offs o
+              JOIN cells n ON n.cell_row = c.cell_row + o.dr
+                          AND n.cell_col = ((c.cell_col + o.dc) % 72 + 72) % 72
+              GROUP BY 1, 2
+            ),
+            per_cell AS (
+              SELECT c.cell_row, c.cell_col, c.x,
+                     COALESCE(h.deg, 0) AS deg, COALESCE(h.s, 0) AS s,
+                     COALESCE(h.q, 0) AS q
+              FROM cells c LEFT JOIN hits h USING (cell_row, cell_col)
+            ),
+            stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(deg) AS BIGINT) AS w,
+                     CAST(sum(x * s) AS BIGINT) AS sxs,
+                     CAST(sum(x * x * deg) AS BIGINT) AS sxxd
+              FROM per_cell
+            )
+            SELECT cell_row, cell_col, x, deg, s, q,
+                   {_geary_local_sql()} AS local_c,
+                   {_geary_global_sql()} AS gearys_c
+            FROM per_cell CROSS JOIN stats
+        """,
         "morans_i": f"""
             WITH pts AS (
               SELECT CAST((event_id * 37) % 1801 AS DOUBLE)

@@ -84,10 +84,12 @@ def cell_counts(points: DataFrame, lat_col: str = "lat",
             .agg(F.count(F.lit(1)).alias("x")))
 
 
-def neighbour_stats(cells: DataFrame, cell_deg: float = 5.0) -> DataFrame:
-    """(cell_row, cell_col, x) -> + (deg, s): occupied 8-neighbour count
-    and neighbour-x sum, longitude-wrapped. Explodes the CELL table 8x
-    (grid-bounded), never the points."""
+def neighbour_stats(cells: DataFrame, cell_deg: float = 5.0,
+                    include_sq: bool = False) -> DataFrame:
+    """(cell_row, cell_col, x) -> + (deg, s[, q]): occupied 8-neighbour
+    count, neighbour-x sum, and (with ``include_sq``) neighbour-x^2 sum
+    `q` (the extra moment local Geary needs), longitude-wrapped.
+    Explodes the CELL table 8x (grid-bounded), never the points."""
     ncols = int(round(360.0 / float(cell_deg)))
     off_arr = "array(" + ",".join(
         f"named_struct('dr', {dr}L, 'dc', {dc}L)" for dr, dc in _OFFS) + ")"
@@ -103,11 +105,16 @@ def neighbour_stats(cells: DataFrame, cell_deg: float = 5.0) -> DataFrame:
                        F.col("x").alias("nx"))
     hits = (probes.join(nbr, ["nr", "nc"], "inner")
             .groupBy("cell_row", "cell_col")
-            .agg(F.count(F.lit(1)).alias("deg"), F.sum("nx").alias("s")))
-    return (cells.join(hits, ["cell_row", "cell_col"], "left")
-            .select("cell_row", "cell_col", "x",
-                    F.coalesce("deg", F.lit(0)).cast("bigint").alias("deg"),
-                    F.coalesce("s", F.lit(0)).cast("bigint").alias("s")))
+            .agg(F.count(F.lit(1)).alias("deg"), F.sum("nx").alias("s"),
+                 F.sum(F.col("nx") * F.col("nx")).alias("q")))
+    out = (cells.join(hits, ["cell_row", "cell_col"], "left")
+           .select("cell_row", "cell_col", "x",
+                   F.coalesce("deg", F.lit(0)).cast("bigint").alias("deg"),
+                   F.coalesce("s", F.lit(0)).cast("bigint").alias("s"),
+                   F.coalesce("q", F.lit(0)).cast("bigint").alias("q")))
+    if not include_sq:
+        out = out.drop("q")
+    return out
 
 
 def morans_i(points: DataFrame, lat_col: str = "lat", lon_col: str = "lon",
@@ -129,6 +136,64 @@ def morans_i(points: DataFrame, lat_col: str = "lat", lon_col: str = "lon",
             .select("cell_row", "cell_col", "x", "deg", "s",
                     F.expr(moran_local_sql()).alias("local_i"),
                     F.expr(moran_global_sql()).alias("morans_i")))
+
+
+def geary_global_sql() -> str:
+    """Global Geary's C (Geary 1954) as one expression over the exact
+    BIGINT aggregates. With binary symmetric weights the double sum
+    collapses to integer moments:
+
+        sum_ij w_ij (x_i - x_j)^2 = 2 * (sxxd - sxs)
+        C = ((n-1)/(2W)) * 2(sxxd - sxs) / (sxx - sx^2/n)
+
+    (sxxd = sum x^2*deg, sxs = sum x*s, via sum_i q_i = sxxd for
+    symmetric weights). NULL when W or the variance is zero — the same
+    one-generator/two-engines contract as `moran_global_sql`."""
+    den = ("(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+           " / CAST(n_cells AS DOUBLE))")
+    return (f"((CAST(n_cells AS DOUBLE) - 1.0)"
+            f" / CAST(nullif(w, 0) AS DOUBLE))"
+            f" * ((CAST(sxxd AS DOUBLE) - CAST(sxs AS DOUBLE))"
+            f" / nullif({den}, 0.0))")
+
+
+def geary_local_sql() -> str:
+    """Local Geary c_i = sum_{j in N(i)} (x_i - x_j)^2 / m2 with
+    m2 = sum (x - m)^2 / n (Anselin 1995 local-Geary form on raw
+    counts): the per-cell numerator expands to exact integers
+    deg*x^2 - 2*x*s + q."""
+    m2 = ("((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+          " / CAST(n_cells AS DOUBLE)) / CAST(n_cells AS DOUBLE))")
+    num = ("(CAST(deg AS DOUBLE) * CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
+           " - 2.0 * CAST(x AS DOUBLE) * CAST(s AS DOUBLE)"
+           " + CAST(q AS DOUBLE))")
+    return f"({num} / nullif({m2}, 0.0))"
+
+
+def gearys_c(points: DataFrame, lat_col: str = "lat",
+             lon_col: str = "lon", cell_deg: float = 5.0) -> DataFrame:
+    """Per-cell Geary frame: (cell_row, cell_col, x, deg, s, q,
+    local_c, gearys_c) — Moran's I's rate-of-change companion (C < 1
+    clustered, C > 1 dispersed; local c_i flags cells unlike their
+    neighbours, which Moran's covariance form can miss when a hot cell
+    borders hot cells of very different magnitude). Same scale shape
+    as `morans_i`: grid-bounded cell rollup, 8x cell-table explode,
+    1-row broadcast stats frame; all float math is single expressions
+    over exact BIGINT moments from the shared generators."""
+    per_cell = neighbour_stats(
+        cell_counts(points, lat_col, lon_col, cell_deg), cell_deg,
+        include_sq=True)
+    stats = per_cell.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("deg").alias("w"),
+        F.sum(F.col("x") * F.col("s")).alias("sxs"),
+        F.sum(F.col("x") * F.col("x") * F.col("deg")).alias("sxxd"))
+    return (per_cell.crossJoin(F.broadcast(stats))
+            .select("cell_row", "cell_col", "x", "deg", "s", "q",
+                    F.expr(geary_local_sql()).alias("local_c"),
+                    F.expr(geary_global_sql()).alias("gearys_c")))
 
 
 def gistar_sql() -> str:

@@ -433,3 +433,75 @@ def test_ripley_k_uniform_vs_clustered(spark):
     k0u = ku[ku.d2 == 0]["k_hat"].iloc[0]
     k0c = kc[kc.d2 == 0]["k_hat"].iloc[0]
     assert k0c > 50 * k0u
+
+
+def _reference_geary(counts, ncols):
+    """Direct-definition Geary's C (binary 8-neighbour weights,
+    occupied cells, lon wrap) — independent of the moment identity."""
+    cells = sorted(counts)
+    x = np.array([counts[c] for c in cells], dtype=float)
+    m = x.mean()
+    num = 0.0
+    w_sum = 0
+    local = {}
+    for i, (r, c) in enumerate(cells):
+        li = 0.0
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if (dr, dc) == (0, 0):
+                    continue
+                nb = (r + dr, ((c + dc) % ncols + ncols) % ncols)
+                if nb in counts:
+                    j = cells.index(nb)
+                    li += (x[i] - x[j]) ** 2
+                    w_sum += 1
+        num += li
+        local[(r, c)] = li
+    den = ((x - m) ** 2).sum()
+    m2 = den / len(cells)
+    c_stat = ((len(cells) - 1) / (2 * w_sum)) * num / den
+    return c_stat, {k: v / m2 for k, v in local.items()}
+
+
+def test_geary_matches_reference_definition(spark):
+    from cartwright_spark.spatial.autocorr import gearys_c
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(-89.9, 89.9, 400)
+    lon = rng.uniform(-179.9, 179.9, 400)
+    rows = [(float(a), float(b)) for a, b in zip(lat, lon)]
+    out = gearys_c(_pts(spark, rows), cell_deg=30.0).toPandas()
+    counts = {}
+    for a, b in rows:
+        key = (int((a + 90) // 30), int((b + 180) // 30))
+        counts[key] = counts.get(key, 0) + 1
+    expect_c, expect_local = _reference_geary(counts, ncols=12)
+    assert out["gearys_c"].iloc[0] == pytest.approx(expect_c, rel=1e-9)
+    assert out["gearys_c"].nunique() == 1
+    for _, r in out.iterrows():
+        assert r["local_c"] == pytest.approx(
+            expect_local[(r["cell_row"], r["cell_col"])], rel=1e-9)
+
+
+def test_geary_clustered_below_one_dispersed_above(spark):
+    from cartwright_spark.spatial.autocorr import gearys_c
+    # smooth gradient: neighbours alike -> C < 1
+    smooth = [(float(r * 10 - 85 + 0.01 * k), float(c * 10 - 175))
+              for r in range(6) for c in range(6)
+              for k in range(r + c + 1)]
+    # checkerboard: neighbours maximally unlike -> C > 1
+    checker = [(float(r * 10 - 85), float(c * 10 - 175))
+               for r in range(6) for c in range(6)
+               for _ in range(1 + 9 * ((r + c) % 2))]
+    c_smooth = gearys_c(_pts(spark, smooth), cell_deg=10.0) \
+        .select("gearys_c").head()[0]
+    c_checker = gearys_c(_pts(spark, checker), cell_deg=10.0) \
+        .select("gearys_c").head()[0]
+    assert c_smooth < 1.0 < c_checker
+
+
+def test_geary_constant_surface_is_null(spark):
+    from cartwright_spark.spatial.autocorr import gearys_c
+    rows = [(float(r * 10 - 85), float(c * 10 - 175))
+            for r in range(3) for c in range(3)]
+    out = gearys_c(_pts(spark, rows), cell_deg=10.0).toPandas()
+    assert out["gearys_c"].isna().all()  # zero variance -> NULL
