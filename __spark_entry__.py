@@ -647,6 +647,18 @@ def q_morans_i(spark, sf_dir):
     return morans_i(pts, cell_deg=5.0)
 
 
+def q_proximity_pairs(spark, sf_dir):
+    """Positional proximity search (operators/ranking.py
+    proximity_pairs): documents where 'join' and 'hash' co-occur
+    within 5 token positions — pair counts and minimum gap from a
+    binned (J11-style) band join over term-filtered positions, never
+    an inequality join over the token stream. Oracle: the naive
+    position cross join with the same |i-j| predicate."""
+    from cartwright_spark.operators.ranking import proximity_pairs
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return proximity_pairs(docs, "join", "hash", window=5)
+
+
 def q_gearys_c(spark, sf_dir):
     """Global + local Geary's C spatial autocorrelation
     (spatial/autocorr.py gearys_c): Moran's I's companion statistic
@@ -3516,6 +3528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cluster": q_grid_cluster,
         "morans_i": q_morans_i,
         "gearys_c": q_gearys_c,
+        "proximity_pairs": q_proximity_pairs,
         "segment_intersections": q_segment_intersections,
         "bigram_lm_score": q_bigram_lm_score,
         "gistar_hotspots": q_gistar_hotspots,
@@ -6000,6 +6013,27 @@ def oracle_sql() -> dict[str, str]:
         # float exprs emitted by the SAME generator as the Spark plan
         # (spatial/autocorr.py moran_*_sql) over integer-exact moments —
         # one generator, two engines, no float-sum ordering anywhere.
+        "proximity_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(generate_subscripts(ws, 1) AS BIGINT) AS pos,
+                     unnest(ws) AS w
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(
+                               lower(text), '\\s+'), x -> x <> '') AS ws
+                    FROM documents)
+            ),
+            a AS (SELECT doc_id, pos AS pa FROM toks WHERE w = 'join'),
+            b AS (SELECT doc_id, pos AS pb FROM toks WHERE w = 'hash'),
+            pairs AS (
+              SELECT a.doc_id, abs(a.pa - b.pb) AS gap
+              FROM a JOIN b ON a.doc_id = b.doc_id
+              WHERE abs(a.pa - b.pb) <= 5
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(min(gap) AS BIGINT) AS min_gap
+            FROM pairs GROUP BY doc_id
+        """,
         "gearys_c": f"""
             WITH pts AS (
               SELECT CAST((event_id * 37) % 1801 AS DOUBLE)

@@ -225,3 +225,53 @@ def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
             .where(F.col("rrf_rank") <= topk)
             .select(F.col("id").alias(id_col), "rrf_score_e12",
                     "n_lists", "rrf_rank"))
+
+
+def proximity_pairs(docs: DataFrame, term_a: str, term_b: str,
+                    window: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Positional proximity search: per document, count the (i, j)
+    token-position pairs where `term_a` sits at i, `term_b` at j, and
+    |i - j| <= `window` — the phrase/NEAR operator the positionless
+    `inverted_index` cannot answer. -> (doc_id, n_pairs, min_gap) for
+    documents with at least one qualifying pair.
+
+    Tokens are the same lowercase whitespace words bm25/inverted_index
+    use (positions over the empty-filtered list), so all three agree
+    on vocabulary AND offsets.
+
+    Scale shape (the 100 TB audit): the term filter lands right after
+    the posexplode, so only the two terms' positions ever reach an
+    exchange — corpus-sized token streams never shuffle. The |i-j|
+    band is a BINNED equi-join (the J11 range-join trick): bucket
+    positions by `window`, probe the a-side into buckets {b-1, b, b+1}
+    (3x explode of the already-tiny filtered side), equi-join on
+    (doc, bucket), refine exactly — each candidate pair is tested
+    exactly once (the b-position owns one bucket), no inequality-join
+    blowup, no per-doc quadratic work beyond true matches.
+    """
+    if term_a == term_b:
+        raise ValueError("proximity_pairs needs two distinct terms")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    toks = (docs
+            .select(F.col(id_col).alias("doc"),
+                    F.posexplode(_words(text_col)).alias("p0", "w"))
+            .select("doc", (F.col("p0") + 1).alias("pos"), "w"))
+    a = toks.where(F.col("w") == term_a).select(
+        "doc", F.col("pos").alias("pa"))
+    b = (toks.where(F.col("w") == term_b)
+         .select("doc", F.col("pos").alias("pb"),
+                 F.floor(F.col("pos") / window).alias("bk")))
+    probes = a.select(
+        "doc", "pa",
+        F.explode(F.array(*[
+            (F.floor(F.col("pa") / window) + F.lit(d)).alias("bk")
+            for d in (-1, 0, 1)])).alias("bk"))
+    pairs = (probes.join(b, ["doc", "bk"])
+             .where(F.abs(F.col("pa") - F.col("pb")) <= window))
+    return (pairs.groupBy("doc")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.min(F.abs(F.col("pa") - F.col("pb")))
+                 .cast("bigint").alias("min_gap"))
+            .select(F.col("doc").alias("doc_id"), "n_pairs", "min_gap"))

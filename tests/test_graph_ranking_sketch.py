@@ -998,3 +998,63 @@ def test_rrf_fuse_topk_prune_equals_unpruned(spark):
         key=lambda t: (-t[1], t[0]))[:20]
     assert [(r["doc_id"], r["rrf_score_e12"]) for r in
             sorted(got, key=lambda r: r["rrf_rank"])] == truth
+
+
+# ------------------------------------------------------- proximity search
+
+def test_proximity_pairs_counts_and_gap(spark):
+    from cartwright_spark.operators.ranking import proximity_pairs
+    docs = spark.createDataFrame([
+        (1, "alpha beta ALPHA gamma beta"),     # case-folded positions
+        (2, "alpha x x x x x beta"),            # gap 6 > window 5 -> out
+        (3, "beta alpha"),                      # order-free, gap 1
+        (4, "alpha alpha beta"),                # two a-positions -> 2 pairs
+        (5, "nothing relevant here"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: (r.n_pairs, r.min_gap)
+           for r in proximity_pairs(docs, "alpha", "beta", window=5)
+           .collect()}
+    # doc1: alpha@{1,3}, beta@{2,5}: pairs (1,2)g1 (1,5)g4 (3,2)g1 (3,5)g2
+    assert out[1] == (4, 1)
+    assert 2 not in out
+    assert out[3] == (1, 1)
+    assert out[4] == (2, 1)
+    assert 5 not in out
+
+
+def test_proximity_window_boundary_inclusive(spark):
+    from cartwright_spark.operators.ranking import proximity_pairs
+    docs = spark.createDataFrame(
+        [(1, "a x x x x b")], "doc_id long, text string")
+    assert proximity_pairs(docs, "a", "b", window=5).count() == 1
+    assert proximity_pairs(docs, "a", "b", window=4).count() == 0
+
+
+def test_proximity_bucket_edges(spark):
+    from cartwright_spark.operators.ranking import proximity_pairs
+    # positions straddling bucket boundaries at several windows: the
+    # banded join must find exactly the brute-force pairs
+    text = " ".join(["a" if i % 7 == 0 else
+                     "b" if i % 5 == 0 else "x" for i in range(60)])
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    toks = text.split()
+    for w in (1, 3, 8):
+        pa = [i + 1 for i, t in enumerate(toks) if t == "a"]
+        pb = [i + 1 for i, t in enumerate(toks) if t == "b"]
+        brute = [(i, j) for i in pa for j in pb if abs(i - j) <= w]
+        got = proximity_pairs(docs, "a", "b", window=w).collect()
+        if brute:
+            assert got[0].n_pairs == len(brute)
+            assert got[0].min_gap == min(abs(i - j) for i, j in brute)
+        else:
+            assert got == []
+
+
+def test_proximity_validation(spark):
+    import pytest
+    from cartwright_spark.operators.ranking import proximity_pairs
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="distinct"):
+        proximity_pairs(docs, "a", "a")
+    with pytest.raises(ValueError, match="window"):
+        proximity_pairs(docs, "a", "b", window=0)
