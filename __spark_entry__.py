@@ -520,6 +520,20 @@ def q_host_pagerank(spark, sf_dir):
     return pagerank(edges, "src_host", "dst_host", iters=10)
 
 
+def q_link_prediction(spark, sf_dir):
+    """Common-neighbor + Adamic-Adar link prediction
+    (functions/graph.py link_prediction) over the host graph that
+    link_graph builds: candidate pairs generated THROUGH the shared
+    neighbour (hub-capped — the output-size analog of the minhash
+    bucket cap), existing edges anti-joined out. Oracle: the same
+    undirected canonicalization, wedge join, and 1/ln(deg) rollup in
+    plain SQL over the shared link-graph CTE."""
+    from cartwright_spark.functions.graph import link_prediction
+    from cartwright_spark.operators.urltools import host_edges
+    edges = host_edges(_synth_pages(spark, sf_dir))
+    return link_prediction(edges, "src_host", "dst_host", max_hub=1024)
+
+
 def q_prior_weighted_sample(spark, sf_dir):
     """The full web-curation composition in one query: synthesize pages →
     extract+canonicalize the link graph (urltools) → PageRank the host
@@ -3524,6 +3538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "link_graph": q_link_graph,
         "host_pagerank": q_host_pagerank,
+        "link_prediction": q_link_prediction,
         "prior_weighted_sample": q_prior_weighted_sample,
         "grid_cluster": q_grid_cluster,
         "morans_i": q_morans_i,
@@ -5500,6 +5515,37 @@ def oracle_sql() -> dict[str, str]:
                   + bit_count(xor(a.hi, b.hi)) <= 8
         """,
         "url_normalize": _url_normalize_oracle(),
+        "link_prediction": f"""
+            WITH lg AS ({_LINK_GRAPH_SQL}),
+            e AS (
+              SELECT DISTINCT least(src_host, dst_host) AS u,
+                     greatest(src_host, dst_host) AS v
+              FROM lg WHERE src_host <> dst_host
+            ),
+            adj AS (
+              SELECT u AS z, v AS n FROM e
+              UNION ALL
+              SELECT v AS z, u AS n FROM e
+            ),
+            deg AS (
+              SELECT z, count(*) AS dz FROM adj GROUP BY z
+            ),
+            za AS (
+              SELECT a.z, a.n, d.dz FROM adj a
+              JOIN deg d ON d.z = a.z WHERE d.dz <= 1024
+            ),
+            pairs AS (
+              SELECT l.n AS u, r.n AS v,
+                     CAST(count(*) AS BIGINT) AS common,
+                     sum(1.0 / ln(CAST(l.dz AS DOUBLE))) AS aa
+              FROM za l JOIN za r ON l.z = r.z AND l.n < r.n
+              GROUP BY 1, 2
+            )
+            SELECT p.u, p.v, p.common, p.aa
+            FROM pairs p
+            LEFT JOIN e ON e.u = p.u AND e.v = p.v
+            WHERE e.u IS NULL AND p.common >= 1
+        """,
         "link_graph": _LINK_GRAPH_SQL,
         "host_pagerank": _pagerank_unrolled(
             f"SELECT src_host AS src, dst_host AS dst FROM ({_LINK_GRAPH_SQL})"),

@@ -1058,3 +1058,52 @@ def test_proximity_validation(spark):
         proximity_pairs(docs, "a", "a")
     with pytest.raises(ValueError, match="window"):
         proximity_pairs(docs, "a", "b", window=0)
+
+
+# ------------------------------------------------------- link prediction
+
+def test_link_prediction_hand_graph(spark):
+    import math
+    from cartwright_spark.functions.graph import link_prediction
+    # square a-b-c-d-a plus chord hub e linked to a and c
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+             ("e", "a"), ("e", "c")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {(r.u, r.v): (r.common, r.aa)
+           for r in link_prediction(df).collect()}
+    # a and c share b (deg2), d (deg2), e (deg2): common 3, aa 3/ln2
+    assert out[("a", "c")][0] == 3
+    assert abs(out[("a", "c")][1] - 3 / math.log(2)) < 1e-12
+    # b and d share a (deg3) and c (deg3)
+    assert out[("b", "d")][0] == 2
+    assert abs(out[("b", "d")][1] - 2 / math.log(3)) < 1e-12
+    # b-e share a and c; no EXISTING edge ever appears
+    assert out[("b", "e")][0] == 2
+    assert ("a", "b") not in out and ("a", "e") not in out
+
+
+def test_link_prediction_dedups_direction_and_multiplicity(spark):
+    from cartwright_spark.functions.graph import link_prediction
+    edges = [("x", "y"), ("y", "x"), ("x", "y"),   # one undirected edge
+             ("x", "z"), ("w", "y"), ("w", "z")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {(r.u, r.v): r.common for r in link_prediction(df).collect()}
+    # y-z share x and w
+    assert out[("y", "z")] == 2
+
+
+def test_link_prediction_hub_cap_drops_megahub(spark):
+    from cartwright_spark.functions.graph import link_prediction
+    # star: hub h connected to 10 leaves; leaves share ONLY h
+    edges = [("h", f"l{i}") for i in range(10)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    assert link_prediction(df, max_hub=1024).count() == 45
+    assert link_prediction(df, max_hub=9).count() == 0
+
+
+def test_link_prediction_validation(spark):
+    import pytest
+    from cartwright_spark.functions.graph import link_prediction
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with pytest.raises(ValueError, match="max_hub"):
+        link_prediction(df, max_hub=1)
