@@ -673,6 +673,18 @@ def q_proximity_pairs(spark, sf_dir):
     return proximity_pairs(docs, "join", "hash", window=5)
 
 
+def q_best_snippet(spark, sf_dir):
+    """Snippet selection (operators/ranking.py best_snippet): the
+    10-token span covering the most {join, hash, merge} occurrences
+    per document, earliest-start tiebreak. Candidates are the hit
+    positions themselves (the optimal span starts at a hit), covered
+    counts from ONE logical RANGE frame — no self-join. Oracle: the
+    identical RANGE frame and arg-min pick in DuckDB."""
+    from cartwright_spark.operators.ranking import best_snippet
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return best_snippet(docs, ["join", "hash", "merge"], window=10)
+
+
 def q_gearys_c(spark, sf_dir):
     """Global + local Geary's C spatial autocorrelation
     (spatial/autocorr.py gearys_c): Moran's I's companion statistic
@@ -3544,6 +3556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i": q_morans_i,
         "gearys_c": q_gearys_c,
         "proximity_pairs": q_proximity_pairs,
+        "best_snippet": q_best_snippet,
         "segment_intersections": q_segment_intersections,
         "bigram_lm_score": q_bigram_lm_score,
         "gistar_hotspots": q_gistar_hotspots,
@@ -6059,6 +6072,38 @@ def oracle_sql() -> dict[str, str]:
         # float exprs emitted by the SAME generator as the Spark plan
         # (spatial/autocorr.py moran_*_sql) over integer-exact moments —
         # one generator, two engines, no float-sum ordering anywhere.
+        "best_snippet": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(generate_subscripts(ws, 1) AS BIGINT) AS pos,
+                     unnest(ws) AS w
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(
+                               lower(text), '\\s+'), x -> x <> '') AS ws
+                    FROM documents)
+            ),
+            hits AS (
+              SELECT doc_id, pos FROM toks
+              WHERE w IN ('join', 'hash', 'merge')
+            ),
+            counted AS (
+              SELECT doc_id, pos,
+                     CAST(count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                         RANGE BETWEEN CURRENT ROW
+                                         AND 9 FOLLOWING) AS BIGINT)
+                       AS n_hits
+              FROM hits
+            ),
+            picked AS (
+              SELECT doc_id, pos, n_hits,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY n_hits DESC, pos ASC)
+                       AS rn
+              FROM counted
+            )
+            SELECT doc_id, pos AS start_pos, n_hits
+            FROM picked WHERE rn = 1
+        """,
         "proximity_pairs": """
             WITH toks AS (
               SELECT doc_id,

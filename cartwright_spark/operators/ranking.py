@@ -275,3 +275,47 @@ def proximity_pairs(docs: DataFrame, term_a: str, term_b: str,
                  F.min(F.abs(F.col("pa") - F.col("pb")))
                  .cast("bigint").alias("min_gap"))
             .select(F.col("doc").alias("doc_id"), "n_pairs", "min_gap"))
+
+
+def best_snippet(docs: DataFrame, terms: list[str], window: int = 10,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Snippet selection: per document, the token position whose
+    ``window``-token span [p, p + window) covers the most query-term
+    occurrences — the search-result highlight primitive. Earliest
+    position wins ties. -> (doc_id, start_pos, n_hits) for documents
+    containing at least one query term.
+
+    The optimal span can be assumed to start AT a query-term hit
+    (sliding left to the first covered hit never loses a hit), so the
+    candidate set is the hit positions themselves, and the per-
+    candidate cover count is ONE logical-range window frame
+    (RANGE BETWEEN CURRENT ROW AND window-1 FOLLOWING over the
+    position order) — no self-join, no band explode. Tokens are the
+    shared bm25/inverted_index vocabulary.
+
+    Scale shape: the term filter lands right after the posexplode, so
+    only hit positions shuffle (one doc-key exchange shared by the
+    range frame and the arg-max row_number); everything else is
+    codegen.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    hits = (docs
+            .select(F.col(id_col).alias("doc"),
+                    F.posexplode(_words(text_col)).alias("p0", "w"))
+            .where(F.col("w").isin(list(terms)))
+            .select("doc", (F.col("p0") + 1).alias("pos")))
+    frame = (Window.partitionBy("doc").orderBy("pos")
+             .rangeBetween(Window.currentRow, window - 1))
+    counted = hits.withColumn(
+        "n_hits", F.count(F.lit(1)).over(frame).cast("bigint"))
+    pick = Window.partitionBy("doc").orderBy(
+        F.col("n_hits").desc(), F.col("pos").asc())
+    return (counted.withColumn("rn", F.row_number().over(pick))
+            .where(F.col("rn") == 1)
+            .select(F.col("doc").alias("doc_id"),
+                    F.col("pos").cast("bigint").alias("start_pos"),
+                    "n_hits"))

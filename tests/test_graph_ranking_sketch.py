@@ -1107,3 +1107,53 @@ def test_link_prediction_validation(spark):
     df = spark.createDataFrame([("a", "b")], ["src", "dst"])
     with pytest.raises(ValueError, match="max_hub"):
         link_prediction(df, max_hub=1)
+
+
+# ------------------------------------------------------- snippet selection
+
+def test_best_snippet_dense_window_wins(spark):
+    from cartwright_spark.operators.ranking import best_snippet
+    docs = spark.createDataFrame([
+        (1, "q x x x x x x x x x q q x q"),   # dense cluster at the end
+        (2, "no hits at all"),
+        (3, "q"),                              # single hit
+    ], "doc_id long, text string")
+    out = {r.doc_id: (r.start_pos, r.n_hits)
+           for r in best_snippet(docs, ["q"], window=5).collect()}
+    # doc1 hits at 1, 11, 12, 14; window 5 from 11 covers {11,12,14}=3
+    assert out[1] == (11, 3)
+    assert 2 not in out
+    assert out[3] == (1, 1)
+
+
+def test_best_snippet_tie_earliest_start(spark):
+    from cartwright_spark.operators.ranking import best_snippet
+    docs = spark.createDataFrame(
+        [(1, "q q x x x x x x q q")], "doc_id long, text string")
+    r = best_snippet(docs, ["q"], window=3).collect()[0]
+    assert (r.start_pos, r.n_hits) == (1, 2)  # both clusters tie at 2
+
+
+def test_best_snippet_brute_force_parity(spark):
+    import itertools
+    from cartwright_spark.operators.ranking import best_snippet
+    rngtext = " ".join("abc"[(i * 7 + i * i) % 3] for i in range(80))
+    docs = spark.createDataFrame([(1, rngtext)],
+                                 "doc_id long, text string")
+    toks = rngtext.split()
+    for w in (1, 4, 9):
+        hits = [i + 1 for i, t in enumerate(toks) if t in ("a", "b")]
+        best = max(((p, sum(1 for h in hits if p <= h < p + w))
+                    for p in hits), key=lambda t: (t[1], -t[0]))
+        r = best_snippet(docs, ["a", "b"], window=w).collect()[0]
+        assert (r.start_pos, r.n_hits) == best
+
+
+def test_best_snippet_validation(spark):
+    import pytest
+    from cartwright_spark.operators.ranking import best_snippet
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="window"):
+        best_snippet(docs, ["a"], window=0)
+    with pytest.raises(ValueError, match="terms"):
+        best_snippet(docs, [], window=3)
