@@ -685,6 +685,32 @@ def q_best_snippet(spark, sf_dir):
     return best_snippet(docs, ["join", "hash", "merge"], window=10)
 
 
+def q_ndcg_eval(spark, sf_dir):
+    """NDCG@10 retrieval evaluation (operators/ranking.py ndcg_at_k):
+    for each of three term queries over the shared tokenizer, the
+    system ranking is term density (occ/dl — deliberately imperfect)
+    and graded relevance is least(occ, 3); per-query DCG/IDCG/NDCG
+    with exact BIGINT 2^rel - 1 gains and the shared ln(2)/ln(r+1)
+    discount expression. Top-k windows are partition-rank-pruned (the
+    rrf_fuse pattern). Oracle: identical candidate build + windows in
+    DuckDB."""
+    from cartwright_spark.operators.ranking import ndcg_at_k
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                     lambda w: w != "")
+    cand = (docs.select("doc_id", words.alias("__w"))
+            .withColumn("dl", F.size("__w"))
+            .select("doc_id", "dl", F.explode("__w").alias("w"))
+            .where(F.col("w").isin(["join", "hash", "merge"]))
+            .groupBy(F.col("w").alias("qid"), F.col("doc_id"), F.col("dl"))
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .select("qid", "doc_id",
+                    (F.col("occ").cast("double") / F.col("dl"))
+                    .alias("score"),
+                    F.least(F.col("occ"), F.lit(3)).alias("rel")))
+    return ndcg_at_k(cand, k=10)
+
+
 def q_gearys_c(spark, sf_dir):
     """Global + local Geary's C spatial autocorrelation
     (spatial/autocorr.py gearys_c): Moran's I's companion statistic
@@ -3557,6 +3583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gearys_c": q_gearys_c,
         "proximity_pairs": q_proximity_pairs,
         "best_snippet": q_best_snippet,
+        "ndcg_eval": q_ndcg_eval,
         "segment_intersections": q_segment_intersections,
         "bigram_lm_score": q_bigram_lm_score,
         "gistar_hotspots": q_gistar_hotspots,
@@ -6103,6 +6130,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, pos AS start_pos, n_hits
             FROM picked WHERE rn = 1
+        """,
+        "ndcg_eval": """
+            WITH toks AS (
+              SELECT doc_id, len(ws) AS dl, unnest(ws) AS w
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(
+                               lower(text), '\\s+'), x -> x <> '') AS ws
+                    FROM documents)
+            ),
+            cand AS (
+              SELECT w AS qid, doc_id, dl, count(*) AS occ
+              FROM toks WHERE w IN ('join', 'hash', 'merge')
+              GROUP BY w, doc_id, dl
+            ),
+            gained AS (
+              SELECT qid, doc_id,
+                     CAST(occ AS DOUBLE) / dl AS score,
+                     CAST((1::BIGINT << CAST(least(occ, 3) AS INT)) - 1
+                          AS BIGINT) AS gain
+              FROM cand
+            ),
+            sys AS (
+              SELECT qid, gain,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY score DESC, doc_id ASC)
+                       AS r
+              FROM gained
+            ),
+            ideal AS (
+              SELECT qid, gain,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY gain DESC, doc_id ASC)
+                       AS r
+              FROM gained
+            ),
+            dcg AS (
+              SELECT qid, CAST(count(*) AS BIGINT) AS n_ranked,
+                     sum(CAST(gain AS DOUBLE) * ln(2) / ln(r + 1.0))
+                       AS dcg
+              FROM sys WHERE r <= 10 GROUP BY qid
+            ),
+            idcg AS (
+              SELECT qid,
+                     sum(CAST(gain AS DOUBLE) * ln(2) / ln(r + 1.0))
+                       AS idcg
+              FROM ideal WHERE r <= 10 GROUP BY qid
+              HAVING sum(CAST(gain AS DOUBLE) * ln(2) / ln(r + 1.0)) > 0
+            )
+            SELECT d.qid, d.n_ranked, d.dcg, i.idcg, d.dcg / i.idcg AS ndcg
+            FROM dcg d JOIN idcg i ON d.qid = i.qid
         """,
         "proximity_pairs": """
             WITH toks AS (

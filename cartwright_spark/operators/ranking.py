@@ -27,8 +27,12 @@ engine scope from the brief's training-data-pipeline axis.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_LN2 = math.log(2.0)
 
 
 def _words(text_col: str):
@@ -319,3 +323,71 @@ def best_snippet(docs: DataFrame, terms: list[str], window: int = 10,
             .select(F.col("doc").alias("doc_id"),
                     F.col("pos").cast("bigint").alias("start_pos"),
                     "n_hits"))
+
+
+def ndcg_at_k(ranked: DataFrame, k: int = 10, qid_col: str = "qid",
+              id_col: str = "doc_id", score_col: str = "score",
+              rel_col: str = "rel") -> DataFrame:
+    """NDCG@k retrieval-quality evaluation (Jarvelin & Kekalainen 2002,
+    the standard graded-relevance ranking metric): per query,
+    DCG@k = sum_{r<=k} (2^rel - 1) / log2(r + 1) over the system
+    ranking (score DESC, id ASC), IDCG@k the same sum over the ideal
+    ranking (rel DESC, id ASC), NDCG = DCG / IDCG.
+    -> (qid, n_ranked, dcg, idcg, ndcg), one row per query with at
+    least one positive-gain candidate in the ideal top-k.
+
+    Exactness: gains 2^rel - 1 are exact BIGINTs via shiftleft (rel is
+    guarded to [0, 62] with raise_error — silent overflow would flip
+    orderings); the log2 discounts are the single shared expression
+    ln(2)/ln(r+1) in both engines, and the <= k-term float sums are
+    tolerance-stable under the 6-dp compare.
+
+    Scale shape (the 100 TB audit): the per-query top-k windows are
+    rank-pruned per partition FIRST (the rrf_fuse pattern — a row
+    below its partition's per-qid top-k can never reach the global
+    per-qid top-k), so each final window task sees <= partitions*k
+    rows per query, never the corpus; a mega-query with millions of
+    candidates costs one partial row_number, not a single-task sort.
+    Everything is codegen built-ins; the only exchanges are the two
+    qid-keyed window shuffles over pruned rows and one qid groupBy.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    q, d, s, rl = qid_col, id_col, score_col, rel_col
+    guarded = ranked.withColumn(
+        "__rel",
+        F.when((F.col(rl) >= 0) & (F.col(rl) <= 62),
+               F.col(rl).cast("int"))
+        .otherwise(F.raise_error(F.lit(
+            "ndcg_at_k: rel outside [0, 62] would overflow the exact "
+            "2^rel - 1 BIGINT gain"))))
+    gained = guarded.select(
+        F.col(q).alias("qid"), F.col(d).alias("id"),
+        F.col(s).alias("sc"),
+        (F.expr("shiftleft(CAST(1 AS BIGINT), __rel)") - 1)
+        .alias("gain"))
+
+    def _topk(df, order):
+        pruned = (df.withColumn("__pid", F.spark_partition_id())
+                  .withColumn("__prn", F.row_number().over(
+                      Window.partitionBy("qid", "__pid").orderBy(*order)))
+                  .where(F.col("__prn") <= k))
+        return (pruned.withColumn("r", F.row_number().over(
+                    Window.partitionBy("qid").orderBy(*order)))
+                .where(F.col("r") <= k)
+                .withColumn("term",
+                            F.col("gain").cast("double")
+                            * F.lit(_LN2) / F.log(F.col("r") + 1.0)))
+
+    sys_order = [F.col("sc").desc(), F.col("id").asc()]
+    ideal_order = [F.col("gain").desc(), F.col("id").asc()]
+    dcg = (_topk(gained, sys_order)
+           .groupBy("qid")
+           .agg(F.count(F.lit(1)).alias("n_ranked"),
+                F.sum("term").alias("dcg")))
+    idcg = (_topk(gained, ideal_order)
+            .groupBy("qid").agg(F.sum("term").alias("idcg"))
+            .where(F.col("idcg") > 0))
+    return (dcg.join(idcg, "qid")
+            .select("qid", "n_ranked", "dcg", "idcg",
+                    (F.col("dcg") / F.col("idcg")).alias("ndcg")))

@@ -1157,3 +1157,71 @@ def test_best_snippet_validation(spark):
         best_snippet(docs, ["a"], window=0)
     with pytest.raises(ValueError, match="terms"):
         best_snippet(docs, [], window=3)
+
+
+# ------------------------------------------------------------ NDCG@k
+
+def _py_ndcg(rows, k):
+    import math
+    byq = {}
+    for qid, did, sc, rel in rows:
+        byq.setdefault(qid, []).append((did, sc, rel))
+    out = {}
+    for qid, cand in byq.items():
+        sys_o = sorted(cand, key=lambda t: (-t[1], t[0]))[:k]
+        ide_o = sorted(cand, key=lambda t: (-t[2], t[0]))[:k]
+        dcg = sum((2 ** rel - 1) / math.log2(r + 2)
+                  for r, (_, _, rel) in enumerate(sys_o))
+        idcg = sum((2 ** rel - 1) / math.log2(r + 2)
+                   for r, (_, _, rel) in enumerate(ide_o))
+        if idcg > 0:
+            out[qid] = (len(sys_o), dcg, idcg, dcg / idcg)
+    return out
+
+
+def test_ndcg_brute_force_parity(spark):
+    from cartwright_spark.operators.ranking import ndcg_at_k
+    rows = [("q%d" % (i % 3), i, ((i * 37) % 101) / 101.0, (i * 13) % 4)
+            for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "qid string, doc_id long, score double, rel int")
+    for k in (1, 5, 10, 100):
+        got = {r.qid: (r.n_ranked, r.dcg, r.idcg, r.ndcg)
+               for r in ndcg_at_k(df, k=k).collect()}
+        want = _py_ndcg(rows, k)
+        assert set(got) == set(want)
+        for qid in want:
+            assert got[qid][0] == want[qid][0]
+            for a, b in zip(got[qid][1:], want[qid][1:]):
+                assert abs(a - b) < 1e-9
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    from cartwright_spark.operators.ranking import ndcg_at_k
+    rows = [("q", i, float(10 - i), 10 - i) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "qid string, doc_id long, score double, rel int")
+    r = ndcg_at_k(df, k=3).collect()[0]
+    assert abs(r.ndcg - 1.0) < 1e-12 and r.n_ranked == 3
+
+
+def test_ndcg_all_zero_rel_query_dropped(spark):
+    from cartwright_spark.operators.ranking import ndcg_at_k
+    df = spark.createDataFrame(
+        [("q", 1, 0.5, 0), ("q", 2, 0.1, 0), ("p", 1, 0.9, 2)],
+        "qid string, doc_id long, score double, rel int")
+    out = {r.qid for r in ndcg_at_k(df, k=5).collect()}
+    assert out == {"p"}
+
+
+def test_ndcg_validation(spark):
+    import pytest
+    from cartwright_spark.operators.ranking import ndcg_at_k
+    df = spark.createDataFrame([("q", 1, 0.5, 1)],
+                               "qid string, doc_id long, score double, rel int")
+    with pytest.raises(ValueError, match="k must"):
+        ndcg_at_k(df, k=0)
+    bad = spark.createDataFrame([("q", 1, 0.5, 63)],
+                                "qid string, doc_id long, score double, rel int")
+    with pytest.raises(Exception, match="overflow|rel outside"):
+        ndcg_at_k(bad, k=5).collect()
