@@ -711,6 +711,17 @@ def q_ndcg_eval(spark, sf_dir):
     return ndcg_at_k(cand, k=10)
 
 
+def q_markov_transitions(spark, sf_dir):
+    """Clickstream Markov model (operators/funnel.py
+    markov_transitions): per-user adjacent event-type transitions
+    under the total (ts, event_id) order; counts and p(dst|src) from
+    one lead window + one matrix-sized groupBy. Oracle: the identical
+    lead() adjacency in DuckDB."""
+    from cartwright_spark.operators.funnel import markov_transitions
+    ev = _t(spark, sf_dir, "events")
+    return markov_transitions(ev)
+
+
 def q_gearys_c(spark, sf_dir):
     """Global + local Geary's C spatial autocorrelation
     (spatial/autocorr.py gearys_c): Moran's I's companion statistic
@@ -3584,6 +3595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_pairs": q_proximity_pairs,
         "best_snippet": q_best_snippet,
         "ndcg_eval": q_ndcg_eval,
+        "markov_transitions": q_markov_transitions,
         "segment_intersections": q_segment_intersections,
         "bigram_lm_score": q_bigram_lm_score,
         "gistar_hotspots": q_gistar_hotspots,
@@ -6130,6 +6142,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, pos AS start_pos, n_hits
             FROM picked WHERE rn = 1
+        """,
+        "markov_transitions": """
+            WITH pairs AS (
+              SELECT event_type AS src,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts ASC, event_id ASC)
+                       AS dst
+              FROM events
+            ),
+            mat AS (
+              SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+              FROM pairs WHERE dst IS NOT NULL
+              GROUP BY src, dst
+            )
+            SELECT src, dst, n,
+                   CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS n_src,
+                   CAST(n AS DOUBLE)
+                     / sum(n) OVER (PARTITION BY src) AS p
+            FROM mat
         """,
         "ndcg_eval": """
             WITH toks AS (

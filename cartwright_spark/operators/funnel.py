@@ -88,3 +88,50 @@ def window_funnel(events: DataFrame, steps: list[str],
                            completed.cast("bigint"))
             .select("user", "steps_completed",
                     *[f"t{i}" for i in range(1, len(steps) + 1)]))
+
+
+def markov_transitions(events: DataFrame, key_col: str = "user_id",
+                       ts_col: str = "ts", id_col: str = "event_id",
+                       state_col: str = "event_type",
+                       min_count: int = 1) -> DataFrame:
+    """First-order Markov transition model over per-key event streams
+    (the "next-page" / clickstream-path model): for every ordered
+    adjacent pair of events within a key, count (src, dst) transitions
+    and estimate p(dst | src) = n / n_src.
+    -> (src, dst, n, n_src, p), one row per observed transition with
+    n >= ``min_count``.
+
+    Ordering is the TOTAL order (ts, id) — the id tiebreak makes the
+    adjacency relation identical across engines and partitionings when
+    timestamps collide (same convention as trajectory sessionization).
+
+    Scale shape (the 100 TB audit):
+      1. ONE key-partitioned window (lead) is the only corpus-sized
+         exchange; the projection to (key, ts, id, state) prunes the
+         scan to four columns.
+      2. The (src, dst) groupBy aggregates straight down to at most
+         |states|^2 rows with map-side partials — the model itself is
+         metadata-sized, so the n_src row-count normalizer runs as a
+         window over the aggregated matrix, never over events.
+      3. p is a single integer-ratio expression (n / n_src) — the same
+         float in both engines, no float accumulation anywhere.
+    """
+    if min_count < 1:
+        raise ValueError("markov_transitions: min_count must be >= 1")
+    from pyspark.sql import Window
+    w = (Window.partitionBy("k")
+         .orderBy(F.col("ts").asc(), F.col("i").asc()))
+    pairs = (events.select(F.col(key_col).alias("k"),
+                           F.col(ts_col).alias("ts"),
+                           F.col(id_col).alias("i"),
+                           F.col(state_col).alias("src"))
+             .withColumn("dst", F.lead("src").over(w))
+             .where(F.col("dst").isNotNull()))
+    mat = (pairs.groupBy("src", "dst")
+           .agg(F.count(F.lit(1)).alias("n")))
+    norm = Window.partitionBy("src")
+    return (mat.withColumn("n_src", F.sum("n").over(norm))
+            .where(F.col("n") >= min_count)
+            .select("src", "dst", "n", "n_src",
+                    (F.col("n").cast("double") / F.col("n_src"))
+                    .alias("p")))

@@ -80,3 +80,76 @@ def test_guards(spark):
         _run(spark, df_rows, steps=("view", "view"))
     with pytest.raises(ValueError):
         _run(spark, df_rows, window_sec=0)
+
+
+# ------------------------------------------------- markov transitions
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+
+
+def test_markov_basic_counts(spark):
+    import datetime as dt
+    from cartwright_spark.operators.funnel import markov_transitions
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [(1, t0 + dt.timedelta(seconds=i), i, s)
+            for i, s in enumerate("a b a b c".split())]
+    rows += [(2, t0 + dt.timedelta(seconds=i), 100 + i, s)
+             for i, s in enumerate("a b".split())]
+    out = {(r.src, r.dst): (r.n, r.n_src, r.p)
+           for r in markov_transitions(_mk_events(spark, rows)).collect()}
+    # user1: a->b, b->a, a->b, b->c ; user2: a->b
+    assert out[("a", "b")] == (3, 3, 1.0)
+    assert out[("b", "a")] == (1, 2, 0.5)
+    assert out[("b", "c")] == (1, 2, 0.5)
+    assert len(out) == 3
+
+
+def test_markov_ts_tie_broken_by_id(spark):
+    import datetime as dt
+    from cartwright_spark.operators.funnel import markov_transitions
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [(1, t0, 2, "b"), (1, t0, 1, "a"), (1, t0, 3, "c")]
+    out = {(r.src, r.dst) for r in
+           markov_transitions(_mk_events(spark, rows)).collect()}
+    assert out == {("a", "b"), ("b", "c")}
+
+
+def test_markov_no_cross_user_adjacency(spark):
+    import datetime as dt
+    from cartwright_spark.operators.funnel import markov_transitions
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [(1, t0, 1, "a"), (2, t0 + dt.timedelta(seconds=1), 2, "b")]
+    assert markov_transitions(_mk_events(spark, rows)).count() == 0
+
+
+def test_markov_min_count_and_validation(spark):
+    import datetime as dt
+    import pytest
+    from cartwright_spark.operators.funnel import markov_transitions
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [(1, t0 + dt.timedelta(seconds=i), i, s)
+            for i, s in enumerate("a b a b a c".split())]
+    df = _mk_events(spark, rows)
+    out = {(r.src, r.dst): r.n
+           for r in markov_transitions(df, min_count=2).collect()}
+    assert out == {("a", "b"): 2, ("b", "a"): 2}
+    with pytest.raises(ValueError, match="min_count"):
+        markov_transitions(df, min_count=0)
+
+
+def test_markov_rows_probabilities_sum_to_one(spark):
+    import datetime as dt
+    from cartwright_spark.operators.funnel import markov_transitions
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [(u, t0 + dt.timedelta(seconds=i), u * 1000 + i,
+             "abcd"[(u * 7 + i * i) % 4])
+            for u in range(5) for i in range(40)]
+    out = markov_transitions(_mk_events(spark, rows)).collect()
+    from collections import defaultdict
+    per_src = defaultdict(float)
+    for r in out:
+        per_src[r.src] += r.p
+    for v in per_src.values():
+        assert abs(v - 1.0) < 1e-12
