@@ -711,6 +711,18 @@ def q_ndcg_eval(spark, sf_dir):
     return ndcg_at_k(cand, k=10)
 
 
+def q_rendezvous_shards(spark, sf_dir):
+    """Rendezvous/HRW shard routing (functions/sharding.py
+    rendezvous_assign): every document routed to its argmax-weight
+    shard of 8 via the portable two-round multiplicative mix — a pure
+    per-row projection, zero shuffle. Oracle: the SAME weight
+    expression (sharding.weight_sql, one generator two engines)
+    unnested over shards with the (w DESC, s DESC) argmax."""
+    from cartwright_spark.functions.sharding import rendezvous_assign
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return rendezvous_assign(docs, "doc_id", 8)
+
+
 def q_markov_transitions(spark, sf_dir):
     """Clickstream Markov model (operators/funnel.py
     markov_transitions): per-user adjacent event-type transitions
@@ -3596,6 +3608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_snippet": q_best_snippet,
         "ndcg_eval": q_ndcg_eval,
         "markov_transitions": q_markov_transitions,
+        "rendezvous_shards": q_rendezvous_shards,
         "segment_intersections": q_segment_intersections,
         "bigram_lm_score": q_bigram_lm_score,
         "gistar_hotspots": q_gistar_hotspots,
@@ -6143,6 +6156,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, pos AS start_pos, n_hits
             FROM picked WHERE rn = 1
         """,
+        "rendezvous_shards": (lambda _w: f"""
+            WITH weighted AS (
+              SELECT doc_id, CAST(s AS INT) AS s,
+                     CAST({_w} AS BIGINT) AS w
+              FROM documents
+              CROSS JOIN (SELECT unnest(range(8)) AS s) shards
+            ),
+            picked AS (
+              SELECT doc_id, s, w,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY w DESC, s DESC) AS rn
+              FROM weighted
+            )
+            SELECT doc_id, s AS shard, w AS shard_w
+            FROM picked WHERE rn = 1
+        """)(__import__("cartwright_spark.functions.sharding",
+                        fromlist=["weight_sql"])
+             .weight_sql("doc_id", "s")),
         "markov_transitions": """
             WITH pairs AS (
               SELECT event_type AS src,
