@@ -711,6 +711,21 @@ def q_ndcg_eval(spark, sf_dir):
     return ndcg_at_k(cand, k=10)
 
 
+def q_acf_lags(spark, sf_dir):
+    """Per-series autocorrelation function (operators/acf.py acf):
+    ACF at lags 1..4 per event_type over the total (ts, event_id)
+    order, x quantized to pmod(floor(value), 10) so every moment is an
+    exact BIGINT (the Geary's C discipline applied to time); r is one
+    float division of two exact integers. Oracle: identical lead
+    windows + moment identity in DuckDB (HUGEINT sums cast back)."""
+    from cartwright_spark.operators.acf import acf
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"), "ts",
+        F.col("event_id").alias("id"),
+        F.pmod(F.floor("value").cast("bigint"), F.lit(10)).alias("x"))
+    return acf(ev, max_lag=4)
+
+
 def q_rendezvous_shards(spark, sf_dir):
     """Rendezvous/HRW shard routing (functions/sharding.py
     rendezvous_assign): every document routed to its argmax-weight
@@ -3609,6 +3624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_eval": q_ndcg_eval,
         "markov_transitions": q_markov_transitions,
         "rendezvous_shards": q_rendezvous_shards,
+        "acf_lags": q_acf_lags,
         "segment_intersections": q_segment_intersections,
         "bigram_lm_score": q_bigram_lm_score,
         "gistar_hotspots": q_gistar_hotspots,
@@ -6156,6 +6172,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, pos AS start_pos, n_hits
             FROM picked WHERE rn = 1
         """,
+        "acf_lags": (lambda lags: f"""
+            WITH base AS (
+              SELECT event_type AS g, ts AS t, event_id AS i,
+                     ((CAST(floor(value) AS BIGINT) % 10) + 10) % 10 AS x
+              FROM events
+            ),
+            seq AS (
+              SELECT g, x,
+                     {', '.join(
+                         f'lead(x, {k}) OVER w AS x{k}' for k in lags)}
+              FROM base
+              WINDOW w AS (PARTITION BY g ORDER BY t ASC, i ASC)
+            ),
+            mom AS (
+              SELECT g, count(*) AS n, sum(x) AS s, sum(x * x) AS q,
+                     {', '.join(
+                         f'count(x{k}) AS c{k}, '
+                         f'sum(CASE WHEN x{k} IS NOT NULL THEN x END)'
+                         f' AS sa{k}, '
+                         f'sum(x{k}) AS sb{k}, sum(x * x{k}) AS sxy{k}'
+                         for k in lags)}
+              FROM seq GROUP BY g
+            )
+            {' UNION ALL '.join(f'''
+            SELECT g AS grp, CAST({k} AS INT) AS lag,
+                   CAST(n AS BIGINT) AS n, CAST(c{k} AS BIGINT) AS c_pairs,
+                   CAST(n*n*sxy{k} - n*s*(sa{k} + sb{k}) + c{k}*s*s
+                        AS BIGINT) AS num,
+                   CAST(n*n*q - n*s*s AS BIGINT) AS den,
+                   CAST(n*n*sxy{k} - n*s*(sa{k} + sb{k}) + c{k}*s*s
+                        AS DOUBLE)
+                     / CAST(n*n*q - n*s*s AS DOUBLE) AS r
+            FROM mom WHERE c{k} > 0 AND n*n*q - n*s*s > 0''' for k in lags)}
+        """)(range(1, 5)),
         "rendezvous_shards": (lambda _w: f"""
             WITH weighted AS (
               SELECT doc_id, CAST(s AS INT) AS s,
