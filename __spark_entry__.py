@@ -711,6 +711,25 @@ def q_ndcg_eval(spark, sf_dir):
     return ndcg_at_k(cand, k=10)
 
 
+def q_scc(spark, sf_dir):
+    """Strongly connected components (functions/graph.py
+    strongly_connected_components): trim + forward min-label coloring +
+    backward mark over a deterministic 500-node two-family digraph
+    (a = event_id%500, edges to 7a+3 and a^2+11 mod 500 — cycles with
+    DAG tails, so TRIM and both propagation phases all exercise).
+    Oracle: recursive-CTE transitive closure; scc_id = min mutually-
+    reachable vertex."""
+    from cartwright_spark.functions.graph import (
+        strongly_connected_components)
+    ev = _t(spark, sf_dir, "events")
+    a = F.pmod(F.col("event_id"), F.lit(500))
+    e1 = ev.select(a.alias("src"),
+                   F.pmod(a * 7 + 3, F.lit(500)).alias("dst"))
+    e2 = ev.select(a.alias("src"),
+                   F.pmod(a * a + 11, F.lit(500)).alias("dst"))
+    return strongly_connected_components(e1.unionByName(e2))
+
+
 def q_acf_lags(spark, sf_dir):
     """Per-series autocorrelation function (operators/acf.py acf):
     ACF at lags 1..4 per event_type over the total (ts, event_id)
@@ -3625,6 +3644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": q_markov_transitions,
         "rendezvous_shards": q_rendezvous_shards,
         "acf_lags": q_acf_lags,
+        "scc": q_scc,
         "segment_intersections": q_segment_intersections,
         "bigram_lm_score": q_bigram_lm_score,
         "gistar_hotspots": q_gistar_hotspots,
@@ -6171,6 +6191,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, pos AS start_pos, n_hits
             FROM picked WHERE rn = 1
+        """,
+        "scc": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT event_id % 500 AS src,
+                       (event_id % 500) * 7 + 3 AS raw
+                FROM events
+                UNION ALL
+                SELECT event_id % 500,
+                       (event_id % 500) * (event_id % 500) + 11
+                FROM events
+              ) t(src, raw), LATERAL (SELECT raw % 500 AS dst) l
+              WHERE src <> dst
+            ),
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            reach(s, d) AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT r.s, e.dst FROM reach r JOIN e ON e.src = r.d
+            ),
+            mutual AS (
+              SELECT r1.s AS v, r1.d AS u
+              FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s
+            )
+            SELECT n.id,
+                   CAST(least(n.id, coalesce(min(m.u), n.id)) AS BIGINT)
+                     AS scc_id
+            FROM nodes n LEFT JOIN mutual m ON m.v = n.id
+            GROUP BY n.id
         """,
         "acf_lags": (lambda lags: f"""
             WITH base AS (

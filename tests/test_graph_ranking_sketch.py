@@ -1225,3 +1225,79 @@ def test_ndcg_validation(spark):
                                 "qid string, doc_id long, score double, rel int")
     with pytest.raises(Exception, match="overflow|rel outside"):
         ndcg_at_k(bad, k=5).collect()
+
+
+# ----------------------------------------- strongly connected components
+
+def _py_scc(E):
+    import collections
+    nodes = sorted({x for e in E for x in e})
+    adj = collections.defaultdict(set)
+    for a, b in E:
+        adj[a].add(b)
+
+    def reach(s):
+        seen, st = {s}, [s]
+        while st:
+            u = st.pop()
+            for v in adj[u]:
+                if v not in seen:
+                    seen.add(v)
+                    st.append(v)
+        return seen
+
+    R = {v: reach(v) for v in nodes}
+    return {v: min(u for u in nodes if u in R[v] and v in R[u])
+            for v in nodes}
+
+
+def test_scc_cycles_chains_and_tails(spark):
+    from cartwright_spark.functions.graph import (
+        strongly_connected_components as scc)
+    E = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (6, 1), (7, 8)]
+    df = spark.createDataFrame(E, "src long, dst long")
+    got = {r.id: r.scc_id for r in scc(df).collect()}
+    assert got == _py_scc(E)
+
+
+def test_scc_pure_dag_all_singletons(spark):
+    from cartwright_spark.functions.graph import (
+        strongly_connected_components as scc)
+    E = [(i, i + 1) for i in range(20)] + [(0, 10), (5, 15)]
+    df = spark.createDataFrame(E, "src long, dst long")
+    got = {r.id: r.scc_id for r in scc(df).collect()}
+    assert got == {i: i for i in range(21)}
+
+
+def test_scc_one_big_cycle(spark):
+    from cartwright_spark.functions.graph import (
+        strongly_connected_components as scc)
+    n = 12
+    E = [(i, (i + 1) % n) for i in range(n)]
+    df = spark.createDataFrame(E, "src long, dst long")
+    got = {r.id: r.scc_id for r in scc(df).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_scc_brute_force_random_graph(spark):
+    from cartwright_spark.functions.graph import (
+        strongly_connected_components as scc)
+    E = sorted({((i * 7 + 3) % 30, (i * 13 + 5) % 30) for i in range(120)}
+               - {(i, i) for i in range(30)})
+    df = spark.createDataFrame(E, "src long, dst long")
+    got = {r.id: r.scc_id for r in scc(df).collect()}
+    assert got == _py_scc(E)
+
+
+def test_scc_self_loops_and_round_cap(spark):
+    import pytest
+    from cartwright_spark.functions.graph import (
+        strongly_connected_components as scc)
+    df = spark.createDataFrame([(1, 1), (1, 2), (2, 1)],
+                               "src long, dst long")
+    got = {r.id: r.scc_id for r in scc(df).collect()}
+    assert got == {1: 1, 2: 1}
+    chain = spark.createDataFrame([(i, i + 1) for i in range(30)],
+                                  "src long, dst long")
+    with pytest.raises(RuntimeError, match="rounds"):
+        scc(chain, max_rounds=3)
