@@ -711,6 +711,16 @@ def q_ndcg_eval(spark, sf_dir):
     return ndcg_at_k(cand, k=10)
 
 
+def q_readability(spark, sf_dir):
+    """Flesch reading ease + FK grade (operators/textstats.py
+    readability): three exact integer counts (alpha-run words,
+    [.!?]+ sentence runs floored at 1, vowel-group syllables floored
+    at 1/word) and two shared float formulas — pure per-row codegen,
+    zero shuffle. Oracle: identical regexes and formulas in DuckDB."""
+    from cartwright_spark.operators.textstats import readability
+    return readability(_t(spark, sf_dir, "documents"))
+
+
 def q_scc(spark, sf_dir):
     """Strongly connected components (functions/graph.py
     strongly_connected_components): trim + forward min-label coloring +
@@ -3645,6 +3655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_shards": q_rendezvous_shards,
         "acf_lags": q_acf_lags,
         "scc": q_scc,
+        "readability": q_readability,
         "segment_intersections": q_segment_intersections,
         "bigram_lm_score": q_bigram_lm_score,
         "gistar_hotspots": q_gistar_hotspots,
@@ -6191,6 +6202,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, pos AS start_pos, n_hits
             FROM picked WHERE rn = 1
+        """,
+        "readability": """
+            WITH counts AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                          AS BIGINT) AS n_words,
+                     CAST(greatest(len(regexp_extract_all(text,
+                                                          '[.!?]+')), 1)
+                          AS BIGINT) AS n_sents,
+                     CAST(list_sum(list_transform(
+                            regexp_extract_all(lower(text), '[a-z]+'),
+                            w -> greatest(len(regexp_extract_all(
+                                              w, '[aeiouy]+')), 1)))
+                          AS BIGINT) AS n_syll
+              FROM documents
+            )
+            SELECT doc_id, n_words, n_sents,
+                   coalesce(n_syll, 0) AS n_syll,
+                   CASE WHEN n_words > 0 THEN
+                     206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                             - 84.6 * (CAST(n_syll AS DOUBLE) / n_words)
+                   END AS flesch_ease,
+                   CASE WHEN n_words > 0 THEN
+                     0.39 * (CAST(n_words AS DOUBLE) / n_sents)
+                     + 11.8 * (CAST(n_syll AS DOUBLE) / n_words) - 15.59
+                   END AS fk_grade
+            FROM counts
         """,
         "scc": """
             WITH RECURSIVE e AS (

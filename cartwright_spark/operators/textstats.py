@@ -335,3 +335,55 @@ def zipf_fit(docs: DataFrame, group_col: str = "lang",
         F.round("__slope", 4).alias("zipf_slope"),
         F.round((F.col("__sy") - F.col("__slope") * F.col("__sx"))
                 / F.col("__n"), 4).alias("zipf_intercept"))
+
+
+def readability(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Flesch readability (Flesch 1948 / Kincaid et al. 1975 — the
+    quality-filter classic): -> (id, n_words, n_sents, n_syll,
+    flesch_ease, fk_grade). Stock curation pipelines gate on reading
+    ease alongside the Gopher stats; both formulas are single float
+    expressions over three EXACT integer counts, so the only floats are
+    two final arithmetic expressions shared verbatim with the oracle —
+    no accumulation, no ordering.
+
+      words     = alphabetic runs [a-z]+ of lower(text) — NOT the
+                  BPE-ish tokens_col (punctuation/number tokens are not
+                  words and would each inflate the syllable floor)
+      sentences = runs of [.!?]+ (min 1 — headline-style fragments
+                  count as one sentence, the textstat convention)
+      syllables = vowel-group runs [aeiouy]+ per word (min 1 per word —
+                  the standard heuristic floor), summed per doc
+
+    flesch_ease = 206.835 - 1.015*(W/S) - 84.6*(Syl/W)
+    fk_grade    = 0.39*(W/S) + 11.8*(Syl/W) - 15.59
+
+    Scale shape: pure per-row codegen — split/size/regexp_count/
+    aggregate over the token array; no explode, no shuffle, no Python.
+    Zero-word docs are emitted with NULL ratios (not dropped — a
+    curation gate wants to SEE empty docs).
+    """
+    words = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                 F.lit("[a-z]+"), 0)
+    n_words = F.size(words).cast("bigint")
+    n_sents = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")),
+        F.lit(1)).cast("bigint")
+    n_syll = F.aggregate(
+        words, F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.greatest(
+            F.regexp_count(w, F.lit("[aeiouy]+")), F.lit(1)))
+    wps = F.col("n_words").cast("double") / F.col("n_sents")
+    spw = F.col("n_syll").cast("double") / F.col("n_words")
+    return (df.select(F.col(id_col), n_words.alias("n_words"),
+                      n_sents.alias("n_sents"), n_syll.alias("n_syll"))
+            .withColumn(
+                "flesch_ease",
+                F.when(F.col("n_words") > 0,
+                       F.lit(206.835) - F.lit(1.015) * wps
+                       - F.lit(84.6) * spw))
+            .withColumn(
+                "fk_grade",
+                F.when(F.col("n_words") > 0,
+                       F.lit(0.39) * wps + F.lit(11.8) * spw
+                       - F.lit(15.59))))

@@ -590,3 +590,43 @@ def test_zipf_fit_two_stage_rank_equals_single_window(spark):
              / (ref["n"] * ref["sxx"] - ref["sx"] ** 2))
     assert out["n_terms"] == 64
     assert abs(out["zipf_slope"] - round(slope, 4)) < 1e-9
+
+
+# ------------------------------------------------------- readability
+
+def test_readability_known_counts(spark):
+    from cartwright_spark.operators.textstats import readability
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"),
+         (2, "headline without terminator"),
+         (3, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in readability(docs).collect()}
+    r1 = out[1]
+    # words: the cat sat the dog ran = 6; sentences = 2;
+    # syllables: 1 each = 6
+    assert (r1.n_words, r1.n_sents, r1.n_syll) == (6, 2, 6)
+    wps, spw = 6 / 2, 6 / 6
+    assert abs(r1.flesch_ease - (206.835 - 1.015 * wps - 84.6 * spw)) < 1e-9
+    assert abs(r1.fk_grade - (0.39 * wps + 11.8 * spw - 15.59)) < 1e-9
+    assert out[2].n_sents == 1                       # floored
+    r3 = out[3]
+    assert (r3.n_words, r3.n_syll) == (0, 0)
+    assert r3.flesch_ease is None and r3.fk_grade is None
+
+
+def test_readability_syllable_heuristic(spark):
+    from cartwright_spark.operators.textstats import readability
+    docs = spark.createDataFrame(
+        [(1, "beautiful rhythm queueing")], "doc_id long, text string")
+    r = readability(docs).collect()[0]
+    # beautiful: eau+i+u = 3 groups; rhythm: y = 1; queueing: ueuei = 1
+    assert r.n_syll == 5 and r.n_words == 3
+
+
+def test_readability_no_shuffle_plan(spark):
+    from cartwright_spark.operators.textstats import readability
+    docs = spark.createDataFrame([(1, "x y z.")], "doc_id long, text string")
+    plan = readability(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
