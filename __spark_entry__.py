@@ -711,6 +711,17 @@ def q_ndcg_eval(spark, sf_dir):
     return ndcg_at_k(cand, k=10)
 
 
+def q_textrank(spark, sf_dir):
+    """TextRank keyword scoring (operators/keywords.py
+    textrank_keywords): PageRank over the word co-occurrence graph —
+    lead-window pairs (linear output, no position self-join), exact
+    integer weighted degrees, 10 fixed rank rounds on the vocabulary
+    graph. Oracle: the identical recurrence unrolled into chained CTEs
+    (_textrank_unrolled, the HITS/pagerank oracle pattern)."""
+    from cartwright_spark.operators.keywords import textrank_keywords
+    return textrank_keywords(_t(spark, sf_dir, "documents"))
+
+
 def q_readability(spark, sf_dir):
     """Flesch reading ease + FK grade (operators/textstats.py
     readability): three exact integer counts (alpha-run words,
@@ -3656,6 +3667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_lags": q_acf_lags,
         "scc": q_scc,
         "readability": q_readability,
+        "textrank": q_textrank,
         "segment_intersections": q_segment_intersections,
         "bigram_lm_score": q_bigram_lm_score,
         "gistar_hotspots": q_gistar_hotspots,
@@ -3773,6 +3785,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "j9_salted_rollup": q_j9_salted_rollup,
     }
+
+
+def _textrank_unrolled(window: int = 3, iters: int = 10,
+                       damping: float = 0.85, min_len: int = 3) -> str:
+    """TextRank unrolled into chained CTEs (the _hits_unrolled pattern).
+    Mirrors operators/keywords.py textrank_keywords exactly: filtered-
+    sequence positions, lead(1..window) pairs, symmetric integer
+    weights, r = (1-d) + d * sum (wt/wdeg)*r."""
+    from cartwright_spark.operators.keywords import RAKE_STOPWORDS
+    stop = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    leads = ", ".join(
+        f"lead(w, {j}) OVER (PARTITION BY doc_id ORDER BY pos) AS w{j}"
+        for j in range(1, window + 1))
+    pair_sel = " UNION ALL ".join(
+        f"SELECT w AS a, w{j} AS b FROM led "
+        f"WHERE w{j} IS NOT NULL AND w{j} <> w"
+        for j in range(1, window + 1))
+    parts = [f"""
+        WITH fw AS (
+          SELECT doc_id,
+                 list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                             w -> len(w) >= {min_len}
+                                  AND w NOT IN ({stop})) AS ws
+          FROM documents
+        ),
+        toks AS (
+          SELECT doc_id,
+                 CAST(generate_subscripts(ws, 1) AS BIGINT) AS pos,
+                 unnest(ws) AS w
+          FROM fw
+        ),
+        led AS (SELECT doc_id, pos, w, {leads} FROM toks),
+        directed AS ({pair_sel}),
+        sym AS (SELECT a, b FROM directed
+                UNION ALL SELECT b, a FROM directed),
+        e AS MATERIALIZED (
+          SELECT a, b, CAST(count(*) AS BIGINT) AS wt
+          FROM sym GROUP BY a, b
+        ),
+        nodes AS MATERIALIZED (
+          SELECT a AS word, CAST(sum(wt) AS BIGINT) AS wdeg
+          FROM e GROUP BY a
+        ),
+        r0 AS MATERIALIZED (SELECT word, 1.0 AS rank FROM nodes)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+        r{k} AS MATERIALIZED (
+          SELECT n.word,
+                 {1.0 - damping} + {damping} * coalesce(c.s, 0.0) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.b AS word,
+                   sum(CAST(e.wt AS DOUBLE) / nd.wdeg * r.rank) AS s
+            FROM e JOIN nodes nd ON e.a = nd.word
+                   JOIN r{k - 1} r ON e.a = r.word
+            GROUP BY e.b) c ON n.word = c.word
+        )""")
+    parts.append(f"""
+        SELECT n.word, n.wdeg, r.rank
+        FROM nodes n JOIN r{iters} r ON n.word = r.word""")
+    return "".join(parts)
 
 
 def _hits_unrolled(edges_sql: str, iters: int = 8) -> str:
@@ -6203,6 +6275,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, pos AS start_pos, n_hits
             FROM picked WHERE rn = 1
         """,
+        "textrank": _textrank_unrolled(),
         "readability": """
             WITH counts AS (
               SELECT doc_id,

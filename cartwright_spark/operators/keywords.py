@@ -102,3 +102,90 @@ def rake_keywords(docs: DataFrame, id_col: str = "doc_id",
             .where(F.col("rank") <= top_k)
             .select(F.col("id").alias(id_col), "phrase", "n_words",
                     "n_occurrences", "score_micro", "rank"))
+
+
+def textrank_keywords(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", window: int = 3,
+                      iters: int = 10, damping: float = 0.85,
+                      min_len: int = 3,
+                      stopwords: tuple[str, ...] = RAKE_STOPWORDS
+                      ) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau, EMNLP 2004): PageRank
+    over the word co-occurrence graph. Where RAKE scores words by local
+    phrase statistics, TextRank uses the GLOBAL graph — a word matters
+    because the words it co-occurs with matter. -> (word, wdeg, rank)
+    for every content word that co-occurs with another (no top-k cut —
+    a float-rank cut could flip membership across engines; callers cut
+    on their own threshold).
+
+    Construction (all JVM column expressions, no UDF):
+      1. content words = alpha runs of lower(text), len >= ``min_len``,
+         not in ``stopwords``; positions over the FILTERED sequence
+         (the common implementation convention).
+      2. co-occurrence edges: for j = 1..window, (w_t, w_{t+j}) via
+         lead(j) over one (doc x pos) window — LINEAR output, never a
+         position self-join; symmetrized, weights = pair counts.
+      3. rank iteration (the TextRank recurrence, matching the paper's
+         (1-d) constant — not PageRank's (1-d)/N):
+            r(v) = (1-d) + d * sum_u (w_uv / wdeg_u) * r(u)
+         with wdeg the exact integer weighted degree.
+
+    Scale shape (the 100 TB audit): the corpus-sized work is the token
+    window (ONE doc-key exchange) and the (a, b) edge rollup (algebraic,
+    map-side partials absorb stop-pattern skew); iteration then runs on
+    the VOCABULARY graph — metadata-scale next to the corpus — with the
+    pagerank discipline (edges checkpointed once and hash-partitioned,
+    per-round lineage truncated).
+    """
+    if window < 1:
+        raise ValueError("textrank_keywords: window must be >= 1")
+    if iters < 1:
+        raise ValueError("textrank_keywords: iters must be >= 1")
+    from pyspark.sql import Window as W
+    words = F.filter(
+        F.regexp_extract_all(F.lower(F.col(text_col)),
+                             F.lit("[a-z]+"), 0),
+        lambda w: (F.length(w) >= min_len)
+        & ~w.isin(list(stopwords)))
+    toks = docs.select(F.col(id_col).alias("doc"),
+                       F.posexplode(words).alias("pos", "w"))
+    ow = W.partitionBy("doc").orderBy("pos")
+    with_leads = toks.select(
+        "w", *[F.lead("w", j).over(ow).alias(f"w{j}")
+               for j in range(1, window + 1)])
+    pair_parts = [
+        with_leads.where(F.col(f"w{j}").isNotNull()
+                         & (F.col(f"w{j}") != F.col("w")))
+        .select(F.col("w").alias("a"), F.col(f"w{j}").alias("b"))
+        for j in range(1, window + 1)]
+    directed = pair_parts[0]
+    for p in pair_parts[1:]:
+        directed = directed.unionByName(p)
+    sym = directed.unionByName(
+        directed.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = (sym.groupBy("a", "b")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("wt"))
+         .repartition(F.col("a"))
+         .localCheckpoint(eager=True))
+    nodes = (e.groupBy(F.col("a").alias("word"))
+             .agg(F.sum("wt").alias("wdeg"))
+             .localCheckpoint(eager=True))
+
+    ranks = nodes.select("word", F.lit(1.0).alias("rank"))
+    for _ in range(iters):
+        contrib = (e.join(nodes.select(F.col("word").alias("a"),
+                                       F.col("wdeg").alias("__da")), "a")
+                   .join(ranks.select(F.col("word").alias("a"),
+                                      F.col("rank").alias("__ra")), "a")
+                   .select(F.col("b").alias("word"),
+                           (F.col("wt").cast("double") / F.col("__da")
+                            * F.col("__ra")).alias("c")))
+        ranks = (nodes.select("word")
+                 .join(contrib.groupBy("word")
+                       .agg(F.sum("c").alias("s")), "word", "left")
+                 .select("word",
+                         (F.lit(1.0 - damping) + F.lit(damping)
+                          * F.coalesce(F.col("s"), F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint(eager=True))
+    return nodes.join(ranks, "word").select("word", "wdeg", "rank")

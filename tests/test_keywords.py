@@ -62,3 +62,71 @@ def test_top_k_and_tiebreak(spark):
     # six single-word phrases all score 1M; tie-break phrase asc
     assert sorted((r.rank, p) for (_, p), r in out.items()) == [
         (1, "alpha"), (2, "beta"), (3, "delta")]
+
+
+# ------------------------------------------------------------- TextRank
+
+def _py_textrank(texts, window=3, iters=10, d=0.85, min_len=3,
+                 stopwords=()):
+    import collections
+    import re
+    seqs = [[w for w in re.findall(r"[a-z]+", t.lower())
+             if len(w) >= min_len and w not in stopwords] for t in texts]
+    wt = collections.Counter()
+    for seq in seqs:
+        for i, a in enumerate(seq):
+            for j in range(1, window + 1):
+                if i + j < len(seq) and seq[i + j] != a:
+                    wt[(a, seq[i + j])] += 1
+                    wt[(seq[i + j], a)] += 1
+    wdeg = collections.Counter()
+    for (a, _), c in wt.items():
+        wdeg[a] += c
+    r = {w: 1.0 for w in wdeg}
+    for _ in range(iters):
+        nxt = {}
+        for v in wdeg:
+            s = sum(wt[(u, v)] / wdeg[u] * r[u]
+                    for u in wdeg if (u, v) in wt)
+            nxt[v] = (1 - d) + d * s
+        r = nxt
+    return wdeg, r
+
+
+def test_textrank_brute_force_parity(spark):
+    from cartwright_spark.operators.keywords import (
+        RAKE_STOPWORDS, textrank_keywords)
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "brown fox likes brown forest and quick brown paths",
+             "lazy dog sleeps while quick fox jumps across the forest"]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    wdeg, ranks = _py_textrank(texts, stopwords=RAKE_STOPWORDS)
+    got = {r.word: (r.wdeg, r.rank)
+           for r in textrank_keywords(docs).collect()}
+    assert set(got) == set(wdeg)
+    for w in wdeg:
+        assert got[w][0] == wdeg[w]
+        assert abs(got[w][1] - ranks[w]) < 1e-9
+
+
+def test_textrank_hub_word_outranks_leaf(spark):
+    from cartwright_spark.operators.keywords import textrank_keywords
+    # 'core' co-occurs with everything; 'rare' once at the edge
+    docs = spark.createDataFrame(
+        [(1, "core alpha core beta core gamma core delta rare")],
+        "doc_id long, text string")
+    got = {r.word: r.rank for r in textrank_keywords(docs).collect()}
+    assert got["core"] > got["rare"]
+
+
+def test_textrank_validation_and_isolated_words(spark):
+    import pytest
+    from cartwright_spark.operators.keywords import textrank_keywords
+    docs = spark.createDataFrame([(1, "solitary")],
+                                 "doc_id long, text string")
+    assert textrank_keywords(docs).count() == 0   # no pairs, no graph
+    with pytest.raises(ValueError, match="window"):
+        textrank_keywords(docs, window=0)
+    with pytest.raises(ValueError, match="iters"):
+        textrank_keywords(docs, iters=0)
