@@ -711,6 +711,18 @@ def q_ndcg_eval(spark, sf_dir):
     return ndcg_at_k(cand, k=10)
 
 
+def q_span_corruption(spark, sf_dir):
+    """T5-style span corruption (operators/spanmask.py
+    span_corruption): deterministic masked-LM (input, target) pair
+    construction — span starts from the portable sharding.py hash of
+    (doc, pos), overlapping spans merge into sentinel runs, strings
+    reassembled by ordered struct sort (never collect_list order).
+    Oracle: identical hash (sharding.weight_sql — one generator, two
+    engines), identical window frames, string_agg ORDER BY pos."""
+    from cartwright_spark.operators.spanmask import span_corruption
+    return span_corruption(_t(spark, sf_dir, "documents"))
+
+
 def q_textrank(spark, sf_dir):
     """TextRank keyword scoring (operators/keywords.py
     textrank_keywords): PageRank over the word co-occurrence graph —
@@ -3668,6 +3680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": q_scc,
         "readability": q_readability,
         "textrank": q_textrank,
+        "span_corruption": q_span_corruption,
         "segment_intersections": q_segment_intersections,
         "bigram_lm_score": q_bigram_lm_score,
         "gistar_hotspots": q_gistar_hotspots,
@@ -6275,6 +6288,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, pos AS start_pos, n_hits
             FROM picked WHERE rn = 1
         """,
+        "span_corruption": (lambda _h: f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(generate_subscripts(ws, 1) AS BIGINT) AS pos,
+                     unnest(ws) AS tok
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(
+                               text, '\\s+'), x -> x <> '') AS ws
+                    FROM documents)
+            ),
+            started AS (
+              SELECT doc_id, pos, tok,
+                     CASE WHEN ({_h}) % 20 = 0 THEN 1 ELSE 0 END AS start
+              FROM toks
+            ),
+            m AS (
+              SELECT doc_id, pos, tok,
+                     max(start) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN 2 PRECEDING
+                                      AND CURRENT ROW) AS masked
+              FROM started
+            ),
+            h AS (
+              SELECT doc_id, pos, tok, masked,
+                     CASE WHEN masked = 1 AND coalesce(
+                            lag(masked) OVER (PARTITION BY doc_id
+                                              ORDER BY pos), 0) = 0
+                          THEN 1 ELSE 0 END AS head
+              FROM m
+            ),
+            r AS (
+              SELECT doc_id, pos, tok, masked, head,
+                     sum(head) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS run_id
+              FROM h
+            ),
+            pieces AS (
+              SELECT doc_id, pos, masked, head,
+                     CASE WHEN masked = 0 THEN tok
+                          WHEN head = 1 THEN
+                            '<extra_id_' || CAST(run_id - 1 AS VARCHAR)
+                              || '>'
+                     END AS inp,
+                     CASE WHEN masked = 1 AND head = 1 THEN
+                            '<extra_id_' || CAST(run_id - 1 AS VARCHAR)
+                              || '> ' || tok
+                          WHEN masked = 1 THEN tok
+                     END AS tgt
+              FROM r
+            ),
+            agged AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(masked) AS BIGINT) AS n_masked,
+                     CAST(sum(head) AS BIGINT) AS n_spans,
+                     coalesce(string_agg(inp, ' ' ORDER BY pos), '')
+                       AS input_text,
+                     coalesce(string_agg(tgt, ' ' ORDER BY pos), '')
+                       AS target_text
+              FROM pieces GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_tokens, 0) AS n_tokens,
+                   coalesce(a.n_masked, 0) AS n_masked,
+                   coalesce(a.n_spans, 0) AS n_spans,
+                   coalesce(a.input_text, '') AS input_text,
+                   coalesce(a.target_text, '') AS target_text
+            FROM documents d LEFT JOIN agged a ON d.doc_id = a.doc_id
+        """)(__import__("cartwright_spark.functions.sharding",
+                        fromlist=["weight_sql"])
+             .weight_sql("doc_id", "pos")),
         "textrank": _textrank_unrolled(),
         "readability": """
             WITH counts AS (
