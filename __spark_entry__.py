@@ -711,6 +711,15 @@ def q_ndcg_eval(spark, sf_dir):
     return ndcg_at_k(cand, k=10)
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle (operators/funnel.py
+    cohort_retention): integer epoch-bucket cohorts (no engine week
+    semantics), distinct (user, week_offset) activity, two corpus exchanges
+    total. Oracle: identical integer bucketing in DuckDB."""
+    from cartwright_spark.operators.funnel import cohort_retention
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
 def q_span_corruption(spark, sf_dir):
     """T5-style span corruption (operators/spanmask.py
     span_corruption): deterministic masked-LM (input, target) pair
@@ -3681,6 +3690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "textrank": q_textrank,
         "span_corruption": q_span_corruption,
+        "cohort_retention": q_cohort_retention,
         "segment_intersections": q_segment_intersections,
         "bigram_lm_score": q_bigram_lm_score,
         "gistar_hotspots": q_gistar_hotspots,
@@ -6287,6 +6297,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, pos AS start_pos, n_hits
             FROM picked WHERE rn = 1
+        """,
+        "cohort_retention": """
+            WITH e AS (
+              SELECT user_id AS u,
+                     CAST(floor(epoch(ts) / 604800) AS BIGINT) AS b
+              FROM events
+            ),
+            first AS (SELECT u, min(b) AS cohort FROM e GROUP BY u),
+            active AS (
+              SELECT DISTINCT e.u, f.cohort, e.b - f.cohort AS week_offset
+              FROM e JOIN first f ON e.u = f.u
+            )
+            SELECT cohort, week_offset, CAST(count(*) AS BIGINT) AS n_users
+            FROM active GROUP BY cohort, week_offset
         """,
         "span_corruption": (lambda _h: f"""
             WITH toks AS (

@@ -135,3 +135,38 @@ def markov_transitions(events: DataFrame, key_col: str = "user_id",
             .select("src", "dst", "n", "n_src",
                     (F.col("n").cast("double") / F.col("n_src"))
                     .alias("p")))
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     bucket_sec: int = 604_800) -> DataFrame:
+    """Cohort retention triangle — the standard web-analytics rollup:
+    users are cohorted by their FIRST-seen time bucket (default weekly,
+    ``bucket_sec`` = 604800), and each later active bucket counts them
+    once. -> (cohort, week_offset, n_users): n_users distinct users
+    from cohort ``cohort`` active ``week_offset`` buckets later
+    (offset-0 row = cohort size). Bucketing is pure integer epoch division — no engine
+    week-truncation semantics (ISO vs locale) to diverge on.
+
+    Scale shape (the 100 TB audit): ONE user-key shuffle computes each
+    user's cohort (algebraic min, map-side partials); the (user,
+    cohort, offset) distinct is the second and last corpus-sized
+    exchange (map-side dedup absorbs per-user event skew — a 10^6-event
+    bot contributes its buckets once, not 10^6 times); the final rollup
+    aggregates to a triangle of |buckets|^2/2 rows — metadata-sized.
+    The min-join is a broadcast when the user dimension fits, but the
+    plan works unchanged when it does not (plain equi-join on user).
+    """
+    if bucket_sec < 1:
+        raise ValueError("cohort_retention: bucket_sec must be >= 1")
+    e = events.select(
+        F.col(user_col).alias("u"),
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_sec))
+        .cast("bigint").alias("b"))
+    first = e.groupBy("u").agg(F.min("b").alias("cohort"))
+    active = (e.join(first, "u")
+              .select("u", "cohort", (F.col("b") - F.col("cohort"))
+                      .alias("week_offset"))
+              .distinct())
+    return (active.groupBy("cohort", "week_offset")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))

@@ -153,3 +153,49 @@ def test_markov_rows_probabilities_sum_to_one(spark):
         per_src[r.src] += r.p
     for v in per_src.values():
         assert abs(v - 1.0) < 1e-12
+
+
+# --------------------------------------------------- cohort retention
+
+def test_cohort_retention_triangle(spark):
+    import datetime as dt
+    from cartwright_spark.operators.funnel import cohort_retention
+    t0 = dt.datetime(2026, 1, 5)          # arbitrary anchor
+    wk = dt.timedelta(seconds=604800)
+    rows = []
+    # u1: weeks 0,1,3 ; u2: weeks 0,1 ; u3: week 1 only
+    for u, weeks in ((1, (0, 1, 3)), (2, (0, 1)), (3, (1,))):
+        for w in weeks:
+            rows.append((u, t0 + w * wk, len(rows), "e", 0.0, ""))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, "
+              "event_type string, value double, props string")
+    out = {(r.cohort, r.week_offset): r.n_users
+           for r in cohort_retention(ev).collect()}
+    c0 = min(k[0] for k in out)
+    assert out[(c0, 0)] == 2           # u1, u2
+    assert out[(c0, 1)] == 2
+    assert out[(c0, 3)] == 1           # u1 only
+    assert out[(c0 + 1, 0)] == 1       # u3's cohort
+    assert (c0, 2) not in out
+
+
+def test_cohort_retention_dedups_within_bucket(spark):
+    import datetime as dt
+    from cartwright_spark.operators.funnel import cohort_retention
+    t0 = dt.datetime(2026, 1, 5)
+    rows = [(1, t0 + dt.timedelta(hours=h), h, "e", 0.0, "")
+            for h in range(10)]   # many events, one week
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, "
+              "event_type string, value double, props string")
+    out = cohort_retention(ev).collect()
+    assert len(out) == 1 and out[0].n_users == 1
+
+
+def test_cohort_retention_validation(spark):
+    import pytest
+    from cartwright_spark.operators.funnel import cohort_retention
+    ev = spark.createDataFrame([], "user_id long, ts timestamp")
+    with pytest.raises(ValueError, match="bucket_sec"):
+        cohort_retention(ev, bucket_sec=0)
