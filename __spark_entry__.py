@@ -711,6 +711,22 @@ def q_ndcg_eval(spark, sf_dir):
     return ndcg_at_k(cand, k=10)
 
 
+def q_harmonic_centrality(spark, sf_dir):
+    """k-source harmonic centrality (functions/graph.py
+    harmonic_centrality): frontier BFS from 8 seed vertices over the
+    shared 500-node two-family digraph (the scc fixture); h(v) = sum
+    1/d(s,v), an 8-term float sum of exact reciprocals. Oracle:
+    bounded recursive-CTE hop closure with min(d) per (s, v)."""
+    from cartwright_spark.functions.graph import harmonic_centrality
+    ev = _t(spark, sf_dir, "events")
+    a = F.pmod(F.col("event_id"), F.lit(500))
+    e1 = ev.select(a.alias("src"),
+                   F.pmod(a * 7 + 3, F.lit(500)).alias("dst"))
+    e2 = ev.select(a.alias("src"),
+                   F.pmod(a * a + 11, F.lit(500)).alias("dst"))
+    return harmonic_centrality(e1.unionByName(e2), sources=list(range(8)))
+
+
 def q_cohort_retention(spark, sf_dir):
     """Weekly cohort retention triangle (operators/funnel.py
     cohort_retention): integer epoch-bucket cohorts (no engine week
@@ -3691,6 +3707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank": q_textrank,
         "span_corruption": q_span_corruption,
         "cohort_retention": q_cohort_retention,
+        "harmonic_centrality": q_harmonic_centrality,
         "segment_intersections": q_segment_intersections,
         "bigram_lm_score": q_bigram_lm_score,
         "gistar_hotspots": q_gistar_hotspots,
@@ -6297,6 +6314,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, pos AS start_pos, n_hits
             FROM picked WHERE rn = 1
+        """,
+        "harmonic_centrality": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT event_id % 500 AS src,
+                       (event_id % 500) * 7 + 3 AS raw
+                FROM events
+                UNION ALL
+                SELECT event_id % 500,
+                       (event_id % 500) * (event_id % 500) + 11
+                FROM events
+              ) t(src, raw), LATERAL (SELECT raw % 500 AS dst) l
+              WHERE src <> dst
+            ),
+            seeds AS (SELECT unnest(range(8)) AS s),
+            walk(s, v, d) AS (
+              SELECT s, s, 0 FROM seeds
+              UNION
+              SELECT w.s, e.dst, w.d + 1
+              FROM walk w JOIN e ON e.src = w.v
+              WHERE w.d < 12
+            ),
+            best AS (
+              SELECT s, v, min(d) AS d FROM walk GROUP BY s, v
+            )
+            SELECT CAST(v AS BIGINT) AS id,
+                   CAST(count(*) AS BIGINT) AS n_reached,
+                   sum(1.0 / d) AS h_sum
+            FROM best WHERE d > 0 GROUP BY v
         """,
         "cohort_retention": """
             WITH e AS (

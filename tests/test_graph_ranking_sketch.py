@@ -1301,3 +1301,73 @@ def test_scc_self_loops_and_round_cap(spark):
                                   "src long, dst long")
     with pytest.raises(RuntimeError, match="rounds"):
         scc(chain, max_rounds=3)
+
+
+# ------------------------------------------------- harmonic centrality
+
+def _py_harmonic(E, sources, max_hops=12):
+    import collections
+    adj = collections.defaultdict(set)
+    for a, b in E:
+        if a != b:
+            adj[a].add(b)
+    out = collections.defaultdict(lambda: [0, 0.0])
+    for s in sources:
+        dist = {s: 0}
+        q = collections.deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= max_hops:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for v, d in dist.items():
+            if d > 0:
+                out[v][0] += 1
+                out[v][1] += 1.0 / d
+    return {v: (c, h) for v, (c, h) in out.items()}
+
+
+def test_harmonic_centrality_brute_force(spark):
+    from cartwright_spark.functions.graph import harmonic_centrality
+    E = sorted({((i * 7 + 3) % 25, (i * 11 + 5) % 25) for i in range(80)}
+               - {(i, i) for i in range(25)})
+    df = spark.createDataFrame(E, "src long, dst long")
+    got = {r.id: (r.n_reached, r.h_sum)
+           for r in harmonic_centrality(df, sources=[0, 1, 2]).collect()}
+    want = _py_harmonic(E, [0, 1, 2])
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v][0] == want[v][0]
+        assert abs(got[v][1] - want[v][1]) < 1e-12
+
+
+def test_harmonic_centrality_chain_distances(spark):
+    from cartwright_spark.functions.graph import harmonic_centrality
+    E = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(E, "src long, dst long")
+    got = {r.id: r.h_sum
+           for r in harmonic_centrality(df, sources=[0]).collect()}
+    for v in range(1, 7):
+        assert got[v] == 1.0 / v
+    assert 0 not in got                       # source contributes nothing
+
+
+def test_harmonic_centrality_hop_cap(spark):
+    from cartwright_spark.functions.graph import harmonic_centrality
+    E = [(i, i + 1) for i in range(20)]
+    df = spark.createDataFrame(E, "src long, dst long")
+    got = harmonic_centrality(df, sources=[0], max_hops=5).collect()
+    assert {r.id for r in got} == {1, 2, 3, 4, 5}
+
+
+def test_harmonic_centrality_validation(spark):
+    import pytest
+    from cartwright_spark.functions.graph import harmonic_centrality
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="sources"):
+        harmonic_centrality(df, sources=[])
+    with pytest.raises(ValueError, match="max_hops"):
+        harmonic_centrality(df, sources=[1], max_hops=0)
