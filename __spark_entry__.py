@@ -711,6 +711,21 @@ def q_ndcg_eval(spark, sf_dir):
     return ndcg_at_k(cand, k=10)
 
 
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (functions/graph.py degree_assortativity)
+    over the shared 500-node two-family digraph: Pearson r of
+    (outdeg(u), indeg(v)) across edges — exact BIGINT moments, one
+    float sqrt. Oracle: the identical moment expression in DuckDB."""
+    from cartwright_spark.functions.graph import degree_assortativity
+    ev = _t(spark, sf_dir, "events")
+    a = F.pmod(F.col("event_id"), F.lit(500))
+    e1 = ev.select(a.alias("src"),
+                   F.pmod(a * 7 + 3, F.lit(500)).alias("dst"))
+    e2 = ev.select(a.alias("src"),
+                   F.pmod(a * a + 11, F.lit(500)).alias("dst"))
+    return degree_assortativity(e1.unionByName(e2))
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """k-source harmonic centrality (functions/graph.py
     harmonic_centrality): frontier BFS from 8 seed vertices over the
@@ -3708,6 +3723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption": q_span_corruption,
         "cohort_retention": q_cohort_retention,
         "harmonic_centrality": q_harmonic_centrality,
+        "assortativity": q_assortativity,
         "segment_intersections": q_segment_intersections,
         "bigram_lm_score": q_bigram_lm_score,
         "gistar_hotspots": q_gistar_hotspots,
@@ -6314,6 +6330,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, pos AS start_pos, n_hits
             FROM picked WHERE rn = 1
+        """,
+        "assortativity": """
+            WITH e AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT event_id % 500 AS src,
+                       (event_id % 500) * 7 + 3 AS raw
+                FROM events
+                UNION ALL
+                SELECT event_id % 500,
+                       (event_id % 500) * (event_id % 500) + 11
+                FROM events
+              ) t(src, raw), LATERAL (SELECT raw % 500 AS dst) l
+              WHERE src <> dst
+            ),
+            outd AS (SELECT src AS u, CAST(count(*) AS BIGINT) AS x
+                     FROM e GROUP BY src),
+            ind AS (SELECT dst AS v, CAST(count(*) AS BIGINT) AS y
+                    FROM e GROUP BY dst),
+            dec AS (
+              SELECT o.x, i.y
+              FROM e JOIN outd o ON e.src = o.u JOIN ind i ON e.dst = i.v
+            ),
+            mom AS (
+              SELECT CAST(count(*) AS BIGINT) AS m,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM dec
+            )
+            SELECT m, sx, sy, sxy, sxx, syy,
+                   CASE WHEN m*sxx - sx*sx > 0 AND m*syy - sy*sy > 0
+                        THEN CAST(m*sxy - sx*sy AS DOUBLE)
+                             / sqrt(CAST(m*sxx - sx*sx AS DOUBLE)
+                                    * CAST(m*syy - sy*sy AS DOUBLE))
+                   END AS r
+            FROM mom
         """,
         "harmonic_centrality": """
             WITH RECURSIVE e AS (

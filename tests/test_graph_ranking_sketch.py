@@ -1371,3 +1371,49 @@ def test_harmonic_centrality_validation(spark):
         harmonic_centrality(df, sources=[])
     with pytest.raises(ValueError, match="max_hops"):
         harmonic_centrality(df, sources=[1], max_hops=0)
+
+
+# ---------------------------------------------------- assortativity
+
+def test_assortativity_brute_force(spark):
+    import math
+    from cartwright_spark.functions.graph import degree_assortativity
+    E = ([(0, i) for i in range(1, 6)]
+         + [(i, i + 1) for i in range(5, 11)]
+         + [(3, 7), (7, 3), (2, 9), (9, 2), (4, 7), (8, 1)])
+    df = spark.createDataFrame(E, "src long, dst long")
+    row = degree_assortativity(df).collect()[0]
+    import collections
+    od, idg = collections.Counter(), collections.Counter()
+    for a, b in E:
+        od[a] += 1
+        idg[b] += 1
+    xs = [od[a] for a, b in E]
+    ys = [idg[b] for a, b in E]
+    m = len(E)
+    num = m * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    dx = m * sum(x * x for x in xs) - sum(xs) ** 2
+    dy = m * sum(y * y for y in ys) - sum(ys) ** 2
+    assert row.m == m and row.sx == sum(xs) and row.syy == sum(
+        y * y for y in ys)
+    assert abs(row.r - num / math.sqrt(dx * dy)) < 1e-12
+
+
+def test_assortativity_perfectly_assortative(spark):
+    from cartwright_spark.functions.graph import degree_assortativity
+    # two disjoint cliques of different sizes: outdeg(u) == indeg(v)
+    # within each edge, so x and y are perfectly correlated
+    E = [(a, b) for a in range(3) for b in range(3) if a != b] + \
+        [(a, b) for a in range(10, 15) for b in range(10, 15) if a != b]
+    df = spark.createDataFrame(E, "src long, dst long")
+    row = degree_assortativity(df).collect()[0]
+    assert abs(row.r - 1.0) < 1e-12
+
+
+def test_assortativity_star_is_degenerate(spark):
+    from cartwright_spark.functions.graph import degree_assortativity
+    # star: hub -> leaves; x constant (hub outdeg), y constant 1
+    E = [(0, i) for i in range(1, 8)]
+    df = spark.createDataFrame(E, "src long, dst long")
+    row = degree_assortativity(df).collect()[0]
+    assert row.r is None and row.m == 7
