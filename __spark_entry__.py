@@ -711,6 +711,29 @@ def q_ndcg_eval(spark, sf_dir):
     return ndcg_at_k(cand, k=10)
 
 
+def q_url_templates(spark, sf_dir):
+    """URL path template mining (operators/urltools.py path_templates):
+    dynamic segments collapse to {n}/{id} under RE2-safe anchored
+    rules (no lookarounds — one convention, two engines); paths are
+    synthesized deterministically in-query across four route shapes
+    (the url_normalize pattern). Oracle: identical list_transform
+    templating + rollup in DuckDB."""
+    from cartwright_spark.operators.urltools import path_templates
+    d = _t(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 4
+    path = (F.when(v == 0, F.concat(F.lit("/article/"),
+                                    (F.col("doc_id") * 37).cast("string"),
+                                    F.lit("/comments")))
+            .when(v == 1, F.concat(F.lit("/user/"),
+                                   F.format_string("%08x", F.col("doc_id")),
+                                   F.lit("/profile")))
+            .when(v == 2, F.lit("/static/css/main"))
+            .otherwise(F.concat(F.lit("/item/p"),
+                                F.col("doc_id").cast("string"))))
+    urls = d.select(F.col("source").alias("host"), path.alias("path"))
+    return path_templates(urls)
+
+
 def q_assortativity(spark, sf_dir):
     """Degree assortativity (functions/graph.py degree_assortativity)
     over the shared 500-node two-family digraph: Pearson r of
@@ -3724,6 +3747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "harmonic_centrality": q_harmonic_centrality,
         "assortativity": q_assortativity,
+        "url_templates": q_url_templates,
         "segment_intersections": q_segment_intersections,
         "bigram_lm_score": q_bigram_lm_score,
         "gistar_hotspots": q_gistar_hotspots,
@@ -6330,6 +6354,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, pos AS start_pos, n_hits
             FROM picked WHERE rn = 1
+        """,
+        "url_templates": """
+            WITH urls AS (
+              SELECT source AS host,
+                     CASE doc_id % 4
+                       WHEN 0 THEN '/article/' ||
+                                   CAST(doc_id * 37 AS VARCHAR) ||
+                                   '/comments'
+                       WHEN 1 THEN '/user/' || printf('%08x', doc_id) ||
+                                   '/profile'
+                       WHEN 2 THEN '/static/css/main'
+                       ELSE '/item/p' || CAST(doc_id AS VARCHAR)
+                     END AS path
+              FROM documents
+            ),
+            tpl AS (
+              SELECT host, path,
+                     array_to_string(list_transform(
+                       str_split(path, '/'),
+                       s -> CASE
+                              WHEN regexp_matches(s, '^[0-9]+$')
+                                THEN '{n}'
+                              WHEN regexp_matches(s, '^[0-9a-f-]{8,}$')
+                                THEN '{id}'
+                              ELSE s
+                            END), '/') AS template
+              FROM urls
+            )
+            SELECT host, template,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+                   min(path) AS example_path
+            FROM tpl GROUP BY host, template
         """,
         "assortativity": """
             WITH e AS (

@@ -206,3 +206,48 @@ def anchor_text_index(pages: DataFrame, url_col: str = "url",
     return (terms.groupBy("dst_host", "term")
             .agg(F.countDistinct("u").alias("n_pages"),
                  F.count("*").alias("n_anchors")))
+
+
+def path_templates(df: DataFrame, host_col: str = "host",
+                   path_col: str = "path") -> DataFrame:
+    """URL path template mining — collapse dynamic path segments so the
+    crawl's URL space rolls up to its ROUTE structure: /article/8231 and
+    /article/77 are one template /article/{n}. The crawl-planning use:
+    a template with 10^6 distinct paths and near-identical content is a
+    pagination/calendar trap (crawler-trap detection); templates also
+    drive per-route sampling caps (the operators/sampling.py domain-cap
+    idea one level finer than the host).
+
+    Segment rules (deterministic, RE2-safe — no lookarounds, so ONE
+    shared convention in both engines):
+      all-digit segment                  -> {n}
+      >= 8 chars of [0-9a-f-] (hex/uuid) -> {id}
+      otherwise                          -> kept verbatim
+
+    -> (host, template, n_urls, n_paths, example_path): row count,
+    DISTINCT path count, and the lexicographic-min path as the exact
+    deterministic exemplar.
+
+    Scale shape (the 100 TB audit): templating is pure per-row codegen
+    (split -> transform -> array_join); the rollup is ONE shuffle on
+    (host, template) with algebraic count/min partials; the distinct
+    path count rides the same exchange as a two-level agg (distinct on
+    (host, template, path) map-side first), never a second corpus pass.
+    """
+    seg = F.split(F.col(path_col), "/")
+    tpl = F.array_join(
+        F.transform(
+            seg,
+            lambda s: F.when(s.rlike("^[0-9]+$"), F.lit("{n}"))
+                       .when(s.rlike("^[0-9a-f-]{8,}$"), F.lit("{id}"))
+                       .otherwise(s)),
+        "/")
+    base = df.select(F.col(host_col).alias("host"),
+                     F.col(path_col).alias("path"),
+                     tpl.alias("template"))
+    per_path = (base.groupBy("host", "template", "path")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    return (per_path.groupBy("host", "template")
+            .agg(F.sum("c").alias("n_urls"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_paths"),
+                 F.min("path").alias("example_path")))

@@ -264,3 +264,41 @@ def test_anchor_text_index_pins_terms(spark):
     assert rows[("news.y.co.uk", "guide")] == (1, 1)
     assert ("x.com", "the") not in rows
     assert not [k for k in rows if k[0] == "c.com"]  # linkless page gone
+
+
+# --------------------------------------------------- path templates
+
+def test_path_templates_segment_rules(spark):
+    from cartwright_spark.operators.urltools import path_templates
+    rows = [("h", "/article/123/comments"),
+            ("h", "/article/9/comments"),
+            ("h", "/user/deadbeef01/profile"),
+            ("h", "/user/a1b2c3d4-e5f6/profile"),
+            ("h", "/static/css/main"),
+            ("h", "/item/p42"),          # letters mixed in: verbatim
+            ("h", "/short/ab12/x")]      # hex-ish but < 8 chars: verbatim
+    df = spark.createDataFrame(rows, "host string, path string")
+    out = {r.template: (r.n_urls, r.n_paths, r.example_path)
+           for r in path_templates(df).collect()}
+    assert out["/article/{n}/comments"] == (2, 2, "/article/123/comments")
+    assert out["/user/{id}/profile"][0] == 2
+    assert out["/static/css/main"] == (1, 1, "/static/css/main")
+    assert out["/item/p42"][0] == 1
+    assert out["/short/ab12/x"][0] == 1
+
+
+def test_path_templates_counts_repeat_urls(spark):
+    from cartwright_spark.operators.urltools import path_templates
+    rows = [("h", "/a/1")] * 3 + [("h", "/a/2")]
+    df = spark.createDataFrame(rows, "host string, path string")
+    r = path_templates(df).collect()[0]
+    assert (r.template, r.n_urls, r.n_paths) == ("/a/{n}", 4, 2)
+    assert r.example_path == "/a/1"
+
+
+def test_path_templates_hosts_separate(spark):
+    from cartwright_spark.operators.urltools import path_templates
+    rows = [("a.com", "/x/1"), ("b.com", "/x/2")]
+    df = spark.createDataFrame(rows, "host string, path string")
+    out = {(r.host, r.template) for r in path_templates(df).collect()}
+    assert out == {("a.com", "/x/{n}"), ("b.com", "/x/{n}")}
