@@ -711,6 +711,30 @@ def q_ndcg_eval(spark, sf_dir):
     return ndcg_at_k(cand, k=10)
 
 
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics (spatial/zonal.py zonal_stats): per-fence
+    count/sum/min/max/mean of an integer measure — zones explode to
+    covering grid cells (guarded), points bin once, ONE broadcast
+    equi-join + exact BETWEEN refine; never a nested-loop range join.
+    12 overlapping deterministic boxes over the shared point synthesis.
+    Oracle: the plain inequality join in DuckDB."""
+    from cartwright_spark.spatial.zonal import zonal_stats
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        ((F.col("event_id") * 37 % 1801).cast("double") / 10.0 - 90.0)
+        .alias("lat"),
+        ((F.col("event_id") * 73 % 3600).cast("double") / 10.0 - 180.0)
+        .alias("lon"),
+        F.pmod(F.col("event_id"), F.lit(97)).alias("m"))
+    zones = spark.createDataFrame(
+        [(i, -90.0 + i * 15.0, -90.0 + i * 15.0 + 20.0,
+          -180.0 + i * 30.0, -180.0 + i * 30.0 + 45.0)
+         for i in range(12)],
+        "zone_id long, lat_min double, lat_max double, "
+        "lon_min double, lon_max double")
+    return zonal_stats(pts, zones)
+
+
 def q_url_templates(spark, sf_dir):
     """URL path template mining (operators/urltools.py path_templates):
     dynamic segments collapse to {n}/{id} under RE2-safe anchored
@@ -3748,6 +3772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic_centrality,
         "assortativity": q_assortativity,
         "url_templates": q_url_templates,
+        "zonal_stats": q_zonal_stats,
         "segment_intersections": q_segment_intersections,
         "bigram_lm_score": q_bigram_lm_score,
         "gistar_hotspots": q_gistar_hotspots,
@@ -6354,6 +6379,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, pos AS start_pos, n_hits
             FROM picked WHERE rn = 1
+        """,
+        "zonal_stats": """
+            WITH pts AS (
+              SELECT CAST(event_id * 37 % 1801 AS DOUBLE) / 10.0 - 90.0
+                       AS lat,
+                     CAST(event_id * 73 % 3600 AS DOUBLE) / 10.0 - 180.0
+                       AS lon,
+                     ((event_id % 97) + 97) % 97 AS m
+              FROM events
+            ),
+            zones AS (
+              SELECT i AS zone_id,
+                     -90.0 + i * 15.0 AS lat_min,
+                     -90.0 + i * 15.0 + 20.0 AS lat_max,
+                     -180.0 + i * 30.0 AS lon_min,
+                     -180.0 + i * 30.0 + 45.0 AS lon_max
+              FROM (SELECT unnest(range(12)) AS i)
+            )
+            SELECT z.zone_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(p.m) AS BIGINT) AS m_sum,
+                   CAST(min(p.m) AS BIGINT) AS m_min,
+                   CAST(max(p.m) AS BIGINT) AS m_max,
+                   CAST(sum(p.m) AS DOUBLE) / count(*) AS m_mean
+            FROM pts p JOIN zones z
+              ON p.lat BETWEEN z.lat_min AND z.lat_max
+             AND p.lon BETWEEN z.lon_min AND z.lon_max
+            GROUP BY z.zone_id
         """,
         "url_templates": """
             WITH urls AS (
