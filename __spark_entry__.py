@@ -711,6 +711,21 @@ def q_ndcg_eval(spark, sf_dir):
     return ndcg_at_k(cand, k=10)
 
 
+def q_ols_trend(spark, sf_dir):
+    """Grouped OLS trend + R^2 (operators/regression.py ols_trend):
+    per event_type, y = quantized value against x = recentred epoch
+    day — five exact BIGINT sums in ONE algebraic groupBy, fit columns
+    as single float expressions over exact integers. Oracle: identical
+    moments and formulas in DuckDB."""
+    from cartwright_spark.operators.regression import ols_trend
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        (F.floor(F.unix_timestamp("ts") / 86400) - 20440)
+        .cast("bigint").alias("x"),
+        F.pmod(F.floor("value").cast("bigint"), F.lit(100)).alias("y"))
+    return ols_trend(ev)
+
+
 def q_zonal_stats(spark, sf_dir):
     """Zonal statistics (spatial/zonal.py zonal_stats): per-fence
     count/sum/min/max/mean of an integer measure — zones explode to
@@ -3773,6 +3788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "url_templates": q_url_templates,
         "zonal_stats": q_zonal_stats,
+        "ols_trend": q_ols_trend,
         "segment_intersections": q_segment_intersections,
         "bigram_lm_score": q_bigram_lm_score,
         "gistar_hotspots": q_gistar_hotspots,
@@ -6379,6 +6395,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, pos AS start_pos, n_hits
             FROM picked WHERE rn = 1
+        """,
+        "ols_trend": """
+            WITH base AS (
+              SELECT event_type AS grp,
+                     CAST(floor(epoch(ts) / 86400) - 20440 AS BIGINT)
+                       AS x,
+                     ((CAST(floor(value) AS BIGINT) % 100) + 100) % 100
+                       AS y
+              FROM events
+            ),
+            mom AS (
+              SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM base GROUP BY grp
+            )
+            SELECT grp, n, sx, sy, sxy, sxx, syy,
+                   CASE WHEN n*sxx - sx*sx > 0 THEN
+                     CAST(n*sxy - sx*sy AS DOUBLE)
+                       / CAST(n*sxx - sx*sx AS DOUBLE) END AS slope,
+                   CASE WHEN n*sxx - sx*sx > 0 THEN
+                     (CAST(sy AS DOUBLE)
+                      - CAST(n*sxy - sx*sy AS DOUBLE)
+                        / CAST(n*sxx - sx*sx AS DOUBLE) * sx) / n
+                   END AS intercept,
+                   CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                        THEN CAST(n*sxy - sx*sy AS DOUBLE)
+                             * CAST(n*sxy - sx*sy AS DOUBLE)
+                             / (CAST(n*sxx - sx*sx AS DOUBLE)
+                                * CAST(n*syy - sy*sy AS DOUBLE))
+                   END AS r2
+            FROM mom
         """,
         "zonal_stats": """
             WITH pts AS (
