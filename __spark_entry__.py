@@ -711,6 +711,22 @@ def q_ndcg_eval(spark, sf_dir):
     return ndcg_at_k(cand, k=10)
 
 
+def q_diameter_sweep(spark, sf_dir):
+    """Double-sweep diameter lower bound (functions/graph.py
+    diameter_double_sweep) over the undirected view of the shared
+    500-node digraph, start = 0: two BFS passes, deterministic
+    (max d, min id) pivot. Oracle: two recursive-CTE BFS closures with
+    the same argmax pivot selection."""
+    from cartwright_spark.functions.graph import diameter_double_sweep
+    ev = _t(spark, sf_dir, "events")
+    a = F.pmod(F.col("event_id"), F.lit(500))
+    e1 = ev.select(a.alias("src"),
+                   F.pmod(a * 7 + 3, F.lit(500)).alias("dst"))
+    e2 = ev.select(a.alias("src"),
+                   F.pmod(a * a + 11, F.lit(500)).alias("dst"))
+    return diameter_double_sweep(e1.unionByName(e2), start=0)
+
+
 def q_ols_trend(spark, sf_dir):
     """Grouped OLS trend + R^2 (operators/regression.py ols_trend):
     per event_type, y = quantized value against x = recentred epoch
@@ -3789,6 +3805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": q_url_templates,
         "zonal_stats": q_zonal_stats,
         "ols_trend": q_ols_trend,
+        "diameter_sweep": q_diameter_sweep,
         "segment_intersections": q_segment_intersections,
         "bigram_lm_score": q_bigram_lm_score,
         "gistar_hotspots": q_gistar_hotspots,
@@ -6395,6 +6412,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, pos AS start_pos, n_hits
             FROM picked WHERE rn = 1
+        """,
+        "diameter_sweep": """
+            WITH RECURSIVE de AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT event_id % 500 AS src,
+                       (event_id % 500) * 7 + 3 AS raw
+                FROM events
+                UNION ALL
+                SELECT event_id % 500,
+                       (event_id % 500) * (event_id % 500) + 11
+                FROM events
+              ) t(src, raw), LATERAL (SELECT raw % 500 AS dst) l
+              WHERE src <> dst
+            ),
+            e AS (
+              SELECT src, dst FROM de
+              UNION SELECT dst, src FROM de
+            ),
+            w1(v, d) AS (
+              SELECT CAST(0 AS BIGINT), 0
+              UNION
+              SELECT e.dst, w.d + 1 FROM w1 w JOIN e ON e.src = w.v
+              WHERE w.d < 64
+            ),
+            d1 AS (SELECT v, min(d) AS d FROM w1 GROUP BY v),
+            far AS (
+              SELECT v, d FROM d1 ORDER BY d DESC, v ASC LIMIT 1
+            ),
+            w2(v, d) AS (
+              SELECT (SELECT v FROM far), 0
+              UNION
+              SELECT e.dst, w.d + 1 FROM w2 w JOIN e ON e.src = w.v
+              WHERE w.d < 64
+            ),
+            d2 AS (SELECT v, min(d) AS d FROM w2 GROUP BY v)
+            SELECT CAST(0 AS BIGINT) AS start_id,
+                   CAST((SELECT d FROM far) AS INT) AS start_ecc,
+                   CAST((SELECT v FROM far) AS BIGINT) AS far_id,
+                   CAST((SELECT max(d) FROM d2) AS INT) AS diameter_lb,
+                   CAST((SELECT count(*) FROM d2) AS BIGINT) AS n_reached
         """,
         "ols_trend": """
             WITH base AS (

@@ -1048,3 +1048,59 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
                num.cast("double")
                / F.sqrt(dx.cast("double") * dy.cast("double")))
         .alias("r"))
+
+
+def diameter_double_sweep(edges: DataFrame, start,
+                          src: str = "src", dst: str = "dst",
+                          max_hops: int = 64) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien/Latapy/Habib 2009 —
+    the standard cheap estimator; exact BFS diameter is all-pairs):
+    BFS from ``start`` over the UNDIRECTED view, take the farthest
+    vertex u (max hop, min id tiebreak — deterministic), BFS again from
+    u; u's eccentricity is a lower bound on the graph diameter that is
+    exact on trees and empirically tight on web graphs. -> ONE row
+    (start_id, start_ecc, far_id, diameter_lb, n_reached): both
+    eccentricities, the pivot, and the size of start's component.
+
+    Scale shape: two frontier BFS passes (the harmonic_centrality
+    kernel — per round ONE equi-join + anti-join, lineage truncated);
+    the only driver data are two single-row argmax collects (the
+    guarded metadata-scale pattern). ``max_hops`` caps each sweep."""
+    if max_hops < 1:
+        raise ValueError("diameter_double_sweep: max_hops must be >= 1")
+    spark = edges.sparkSession
+    d = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+         .where(F.col(src) != F.col(dst)))
+    e = (d.union(d.select(F.col("b").alias("a"), F.col("a").alias("b")))
+         .distinct()
+         .repartition(F.col("a"))
+         .localCheckpoint(eager=True))
+
+    def _bfs(s: int) -> DataFrame:
+        dist = (spark.createDataFrame([(int(s), 0)], "v long, d int")
+                .localCheckpoint(eager=True))
+        frontier = dist
+        for hop in range(1, max_hops + 1):
+            nxt = (frontier.join(e, frontier["v"] == e["a"])
+                   .select(F.col("b").alias("v"),
+                           F.lit(hop).cast("int").alias("d"))
+                   .distinct())
+            frontier = (nxt.join(dist, ["v"], "left_anti")
+                        .localCheckpoint(eager=True))
+            if frontier.limit(1).count() == 0:
+                break
+            dist = dist.union(frontier).localCheckpoint(eager=True)
+        return dist
+
+    d1 = _bfs(int(start))
+    far = (d1.orderBy(F.col("d").desc(), F.col("v").asc())
+           .limit(1).collect()[0])
+    d2 = _bfs(int(far["v"]))
+    ecc2 = d2.agg(F.max("d").alias("m"),
+                  F.count(F.lit(1)).alias("c")).collect()[0]
+    return spark.createDataFrame(
+        [(int(start), int(far["d"]), int(far["v"]), int(ecc2["m"]),
+          int(ecc2["c"]))],
+        "start_id long, start_ecc int, far_id long, "
+        "diameter_lb int, n_reached long")

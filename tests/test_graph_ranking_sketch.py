@@ -1417,3 +1417,34 @@ def test_assortativity_star_is_degenerate(spark):
     df = spark.createDataFrame(E, "src long, dst long")
     row = degree_assortativity(df).collect()[0]
     assert row.r is None and row.m == 7
+
+
+# ------------------------------------------------ diameter double sweep
+
+def test_diameter_sweep_path_graph_exact(spark):
+    from cartwright_spark.functions.graph import diameter_double_sweep
+    E = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(E, "src long, dst long")
+    r = diameter_double_sweep(df, start=4).collect()[0]
+    # from 4 the far end is 10 (d=6, ties broken toward min id — 10
+    # beats nothing; 0 is at d=4); sweep from 10 spans the whole path
+    assert r.start_ecc == 6 and r.far_id == 10
+    assert r.diameter_lb == 10 and r.n_reached == 11
+
+
+def test_diameter_sweep_cycle(spark):
+    from cartwright_spark.functions.graph import diameter_double_sweep
+    n = 9
+    E = [(i, (i + 1) % n) for i in range(n)]
+    df = spark.createDataFrame(E, "src long, dst long")
+    r = diameter_double_sweep(df, start=0).collect()[0]
+    assert r.start_ecc == 4 and r.diameter_lb == 4   # floor(9/2)
+    assert r.n_reached == n
+
+
+def test_diameter_sweep_component_only(spark):
+    from cartwright_spark.functions.graph import diameter_double_sweep
+    E = [(0, 1), (1, 2), (10, 11)]
+    df = spark.createDataFrame(E, "src long, dst long")
+    r = diameter_double_sweep(df, start=0).collect()[0]
+    assert r.n_reached == 3 and r.diameter_lb == 2
