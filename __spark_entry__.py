@@ -3554,7 +3554,19 @@ def q_entity_resolution(spark, sf_dir):
     Field weights are log2 likelihood ratios computed once in Python
     and embedded as identical double literals in engine and oracle, so
     score sums are IEEE-exact. Threshold 5.0 keeps true matches with
-    one disagreeing field and rejects the near-name false pairs."""
+    one disagreeing field and rejects the near-name false pairs.
+
+    Blocking is (nationkey | name 16-prefix) — NOT nationkey alone: a
+    constant-cardinality block key makes candidate volume QUADRATIC in
+    corpus size (measured by the r5 scale sweep: 25 nation blocks =
+    33.9 s at sf0.1 and >20 min at the 10x corpus on a <=25-way join).
+    The 16-prefix covers 'Customer#' + the first 7 of 9 padded digits,
+    so block cardinality GROWS with the data; it is lossless here:
+    true matches keep their prefix (the synthesized typos are
+    suffixes), near-name key neighbors (last-digit edits) share the
+    prefix and still meet, and anything a coarser block would
+    additionally admit scores below the 5.0 threshold anyway — output
+    identical, candidates linear."""
     from cartwright_spark.operators.entity import fs_match_pairs
     w = _fs_customer_weights()
     c = _t(spark, sf_dir, "customer")
@@ -3564,7 +3576,9 @@ def q_entity_resolution(spark, sf_dir):
     addr = F.concat(F.lit("st-"), ((k * 7) % 100000).cast("string"))
     phone = ((k * 131) % 10000000).cast("string")
     a = c.select(k.alias("id_a"), "c_nationkey", "c_name",
-                 addr.alias("c_address"), phone.alias("c_phone"))
+                 addr.alias("c_address"), phone.alias("c_phone"),
+                 F.concat(F.col("c_nationkey").cast("string"), F.lit("|"),
+                          F.substring("c_name", 1, 16)).alias("blk"))
     b = c.select(
         (k + 1000000).alias("id_b"), "c_nationkey",
         F.when(k % 3 == 0, F.concat(F.col("c_name"), F.lit("x")))
@@ -3573,9 +3587,16 @@ def q_entity_resolution(spark, sf_dir):
         F.when(k % 5 == 0, F.concat(F.lit("MOVED "), addr))
         .otherwise(addr).alias("addr_b"),
         F.when(k % 11 == 0, F.concat(F.lit("999"), phone))
-        .otherwise(phone).alias("phone_b"))
+        .otherwise(phone).alias("phone_b"),
+        F.concat(F.col("c_nationkey").cast("string"), F.lit("|"),
+                 F.substring(
+                     F.when(k % 3 == 0,
+                            F.concat(F.col("c_name"), F.lit("x")))
+                     .when(k % 7 == 0,
+                           F.concat(F.col("c_name"), F.lit("zz")))
+                     .otherwise(F.col("c_name")), 1, 16)).alias("blk"))
     out = fs_match_pairs(
-        a, b, block_col="c_nationkey",
+        a, b, block_col="blk",
         fields=[("c_name", "name_b", 1, *w["name"]),
                 ("c_address", "addr_b", 0, *w["addr"]),
                 ("c_phone", "phone_b", 0, *w["phone"])],
@@ -5751,7 +5772,9 @@ def oracle_sql() -> dict[str, str]:
                       + CASE WHEN a.c_phone = b.phone_b
                              THEN {w["phone"][0]!r} ELSE {w["phone"][1]!r} END)
                      AS score
-              FROM base a JOIN b ON a.c_nationkey = b.c_nationkey)
+              FROM base a JOIN b
+                ON a.c_nationkey = b.c_nationkey
+               AND substr(a.c_name, 1, 16) = substr(b.name_b, 1, 16))
             SELECT id_a, id_b, round(score, 6) AS score
             FROM p WHERE score >= 5.0
         """)(_fs_customer_weights()),

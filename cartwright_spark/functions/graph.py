@@ -786,9 +786,70 @@ def link_prediction(edges: DataFrame, src: str = "src",
             .where(F.col("common") >= F.lit(int(min_common))))
 
 
+def _tarjan_min_labels(E: list) -> dict:
+    """Iterative Tarjan SCC over an in-memory edge list; returns
+    {node: min node id of its SCC} — the driver-side mirror of the
+    distributed peel (same label convention)."""
+    import collections
+    adj = collections.defaultdict(list)
+    nodes = set()
+    for a, b in E:
+        adj[a].append(b)
+        nodes.add(a)
+        nodes.add(b)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    out = {}
+    counter = [0]
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            succs = adj.get(v, ())
+            for i in range(pi, len(succs)):
+                w = succs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                scc = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    scc.append(w)
+                    if w == v:
+                        break
+                m = min(scc)
+                for w in scc:
+                    out[w] = m
+    return out
+
+
 def strongly_connected_components(edges: DataFrame, src: str = "src",
                                   dst: str = "dst",
-                                  max_rounds: int = 200) -> DataFrame:
+                                  max_rounds: int = 200,
+                                  driver_threshold: int = 100_000
+                                  ) -> DataFrame:
     """(id, scc_id) over a DIRECTED edge list — scc_id is the minimum
     node id of each strongly connected component. The web-graph use:
     link spam rings and mutually-citing template farms are nontrivial
@@ -828,7 +889,11 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
 
     Self-loops are dropped (a self-loop never changes an SCC); isolated
     vertices never appear in an edge list — callers coalesce like
-    connected_components. Reference scope: jataware/cartwright has no
+    connected_components. A metadata-scale edge list (<= 
+    ``driver_threshold``, counted first) takes a guarded driver Tarjan
+    pass instead — round latency, not data, dominates there; the
+    distributed peel remains the real path and is tested via
+    driver_threshold=0. Reference scope: jataware/cartwright has no
     graph layer; engine scope for the crawl-graph axis.
     """
     e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -836,11 +901,27 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
          .where(F.col(src) != F.col(dst))
          .distinct()
          .localCheckpoint(eager=True))
+    spark = edges.sparkSession
+
+    # Guarded driver fast path (the grid_cluster discipline): the
+    # trim/color/mark loop spends its wall on ROUND LATENCY, so a
+    # metadata-scale edge list (counted first) is orders of magnitude
+    # faster as one in-memory Tarjan pass — result-identical (scc_id =
+    # component min either way). The distributed path remains for real
+    # graphs past the threshold and is exercised directly in tests via
+    # driver_threshold=0.
+    if driver_threshold and e.count() <= driver_threshold:
+        rows = e.collect()
+        comp = _tarjan_min_labels([(r["a"], r["b"]) for r in rows])
+        if not comp:
+            return spark.createDataFrame([], "id long, scc_id long")
+        return spark.createDataFrame(
+            sorted(comp.items()), "id long, scc_id long")
+
     nodes = (e.select(F.col("a").alias("id"))
              .union(e.select(F.col("b").alias("id")))
              .distinct()
              .localCheckpoint(eager=True))
-    spark = edges.sparkSession
     done_parts: list[DataFrame] = []
     rounds = 0
 
@@ -934,7 +1015,8 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
 
 def harmonic_centrality(edges: DataFrame, sources: list,
                         src: str = "src", dst: str = "dst",
-                        max_hops: int = 12) -> DataFrame:
+                        max_hops: int = 12,
+                        driver_threshold: int = 100_000) -> DataFrame:
     """k-source harmonic centrality (Boldi & Vigna 2014, "Axioms for
     centrality" — the sampled form every web-graph study uses, since
     exact all-pairs is quadratic): h(v) = sum over sample sources s of
@@ -954,7 +1036,9 @@ def harmonic_centrality(edges: DataFrame, sources: list,
     the standard truncation argument); lineage truncated per round with
     eager localCheckpoints. h_sum is a <= |sources|-term float sum of
     exact 1/d reciprocals — inside the 6-dp compare tolerance at any
-    sample size that fits a broadcast.
+    sample size that fits a broadcast. Metadata-scale edge lists (<=
+    ``driver_threshold``) take a guarded driver BFS — result-identical;
+    the frontier path is tested via driver_threshold=0.
     """
     if not sources:
         raise ValueError("harmonic_centrality: sources must be non-empty")
@@ -967,6 +1051,36 @@ def harmonic_centrality(edges: DataFrame, sources: list,
          .distinct()
          .repartition(F.col("a"))
          .localCheckpoint(eager=True))
+    if driver_threshold and e.count() <= driver_threshold:
+        # guarded driver BFS (the grid_cluster discipline): round
+        # latency dominates at metadata scale; result-identical.
+        import collections
+        adj = collections.defaultdict(list)
+        for r in e.collect():
+            adj[r["a"]].append(r["b"])
+        acc = collections.defaultdict(lambda: [0, 0.0])
+        for s0 in sorted(set(int(x) for x in sources)):
+            dist = {s0: 0}
+            q = collections.deque([s0])
+            while q:
+                u = q.popleft()
+                if dist[u] >= max_hops:
+                    continue
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        q.append(v)
+            for v, dv in dist.items():
+                if dv > 0:
+                    acc[v][0] += 1
+                    acc[v][1] += 1.0 / dv
+        if not acc:
+            return spark.createDataFrame(
+                [], "id long, n_reached long, h_sum double")
+        return spark.createDataFrame(
+            [(v, c, h) for v, (c, h) in sorted(acc.items())],
+            "id long, n_reached long, h_sum double")
+
     seeds = spark.createDataFrame(
         [(int(s),) for s in sorted(set(sources))], "s long")
     dist = (seeds.select("s", F.col("s").alias("v"),
@@ -1052,7 +1166,8 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
 
 def diameter_double_sweep(edges: DataFrame, start,
                           src: str = "src", dst: str = "dst",
-                          max_hops: int = 64) -> DataFrame:
+                          max_hops: int = 64,
+                          driver_threshold: int = 100_000) -> DataFrame:
     """Double-sweep diameter lower bound (Magnien/Latapy/Habib 2009 —
     the standard cheap estimator; exact BFS diameter is all-pairs):
     BFS from ``start`` over the UNDIRECTED view, take the farthest
@@ -1065,7 +1180,9 @@ def diameter_double_sweep(edges: DataFrame, start,
     Scale shape: two frontier BFS passes (the harmonic_centrality
     kernel — per round ONE equi-join + anti-join, lineage truncated);
     the only driver data are two single-row argmax collects (the
-    guarded metadata-scale pattern). ``max_hops`` caps each sweep."""
+    guarded metadata-scale pattern); a metadata-scale edge list (<=
+    ``driver_threshold``) runs both sweeps driver-side, result-identical.
+    ``max_hops`` caps each sweep."""
     if max_hops < 1:
         raise ValueError("diameter_double_sweep: max_hops must be >= 1")
     spark = edges.sparkSession
@@ -1076,6 +1193,36 @@ def diameter_double_sweep(edges: DataFrame, start,
          .distinct()
          .repartition(F.col("a"))
          .localCheckpoint(eager=True))
+
+    if driver_threshold and e.count() <= driver_threshold:
+        # guarded driver double sweep; result-identical (same pivot rule)
+        import collections
+        adj = collections.defaultdict(list)
+        for r in e.collect():
+            adj[r["a"]].append(r["b"])
+
+        def _pybfs(s0):
+            dist = {s0: 0}
+            q = collections.deque([s0])
+            while q:
+                u = q.popleft()
+                if dist[u] >= max_hops:
+                    continue
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        q.append(v)
+            return dist
+
+        d1 = _pybfs(int(start))
+        far_v = min((v for v in d1),
+                    key=lambda v: (-d1[v], v))
+        d2 = _pybfs(far_v)
+        return spark.createDataFrame(
+            [(int(start), int(d1[far_v]), int(far_v),
+              int(max(d2.values())), len(d2))],
+            "start_id long, start_ecc int, far_id long, "
+            "diameter_lb int, n_reached long")
 
     def _bfs(s: int) -> DataFrame:
         dist = (spark.createDataFrame([(int(s), 0)], "v long, d int")

@@ -1256,8 +1256,10 @@ def test_scc_cycles_chains_and_tails(spark):
         strongly_connected_components as scc)
     E = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (6, 1), (7, 8)]
     df = spark.createDataFrame(E, "src long, dst long")
-    got = {r.id: r.scc_id for r in scc(df).collect()}
-    assert got == _py_scc(E)
+    for thr in (100_000, 0):     # driver Tarjan AND distributed peel
+        got = {r.id: r.scc_id
+               for r in scc(df, driver_threshold=thr).collect()}
+        assert got == _py_scc(E), thr
 
 
 def test_scc_pure_dag_all_singletons(spark):
@@ -1285,8 +1287,10 @@ def test_scc_brute_force_random_graph(spark):
     E = sorted({((i * 7 + 3) % 30, (i * 13 + 5) % 30) for i in range(120)}
                - {(i, i) for i in range(30)})
     df = spark.createDataFrame(E, "src long, dst long")
-    got = {r.id: r.scc_id for r in scc(df).collect()}
-    assert got == _py_scc(E)
+    for thr in (100_000, 0):
+        got = {r.id: r.scc_id
+               for r in scc(df, driver_threshold=thr).collect()}
+        assert got == _py_scc(E), thr
 
 
 def test_scc_self_loops_and_round_cap(spark):
@@ -1300,7 +1304,7 @@ def test_scc_self_loops_and_round_cap(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(30)],
                                   "src long, dst long")
     with pytest.raises(RuntimeError, match="rounds"):
-        scc(chain, max_rounds=3)
+        scc(chain, max_rounds=3, driver_threshold=0)
 
 
 # ------------------------------------------------- harmonic centrality
@@ -1335,13 +1339,16 @@ def test_harmonic_centrality_brute_force(spark):
     E = sorted({((i * 7 + 3) % 25, (i * 11 + 5) % 25) for i in range(80)}
                - {(i, i) for i in range(25)})
     df = spark.createDataFrame(E, "src long, dst long")
-    got = {r.id: (r.n_reached, r.h_sum)
-           for r in harmonic_centrality(df, sources=[0, 1, 2]).collect()}
     want = _py_harmonic(E, [0, 1, 2])
-    assert set(got) == set(want)
-    for v in want:
-        assert got[v][0] == want[v][0]
-        assert abs(got[v][1] - want[v][1]) < 1e-12
+    for thr in (100_000, 0):     # driver BFS AND frontier path
+        got = {r.id: (r.n_reached, r.h_sum)
+               for r in harmonic_centrality(
+                   df, sources=[0, 1, 2],
+                   driver_threshold=thr).collect()}
+        assert set(got) == set(want), thr
+        for v in want:
+            assert got[v][0] == want[v][0]
+            assert abs(got[v][1] - want[v][1]) < 1e-12
 
 
 def test_harmonic_centrality_chain_distances(spark):
@@ -1425,7 +1432,7 @@ def test_diameter_sweep_path_graph_exact(spark):
     from cartwright_spark.functions.graph import diameter_double_sweep
     E = [(i, i + 1) for i in range(10)]
     df = spark.createDataFrame(E, "src long, dst long")
-    r = diameter_double_sweep(df, start=4).collect()[0]
+    r = diameter_double_sweep(df, start=4, driver_threshold=0).collect()[0]
     # from 4 the far end is 10 (d=6, ties broken toward min id — 10
     # beats nothing; 0 is at d=4); sweep from 10 spans the whole path
     assert r.start_ecc == 6 and r.far_id == 10
