@@ -711,6 +711,17 @@ def q_ndcg_eval(spark, sf_dir):
     return ndcg_at_k(cand, k=10)
 
 
+def q_dominant_direction(spark, sf_dir):
+    """Leading embedding direction by power iteration
+    (operators/spectral.py dominant_direction): 8 matvec rounds as two
+    algebraic groupBys per round over the once-checkpointed exploded
+    table — d x d never materializes; anisotropy pre-flight for the
+    ANN/dedup tier. Oracle: the identical recipe unrolled into chained
+    CTEs (_power_unrolled, the HITS pattern)."""
+    from cartwright_spark.operators.spectral import dominant_direction
+    return dominant_direction(_t(spark, sf_dir, "embeddings"))
+
+
 def q_diameter_sweep(spark, sf_dir):
     """Double-sweep diameter lower bound (functions/graph.py
     diameter_double_sweep) over the undirected view of the shared
@@ -3827,6 +3838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "ols_trend": q_ols_trend,
         "diameter_sweep": q_diameter_sweep,
+        "dominant_direction": q_dominant_direction,
         "segment_intersections": q_segment_intersections,
         "bigram_lm_score": q_bigram_lm_score,
         "gistar_hotspots": q_gistar_hotspots,
@@ -4003,6 +4015,48 @@ def _textrank_unrolled(window: int = 3, iters: int = 10,
     parts.append(f"""
         SELECT n.word, n.wdeg, r.rank
         FROM nodes n JOIN r{iters} r ON n.word = r.word""")
+    return "".join(parts)
+
+
+def _power_unrolled(iters: int = 8) -> str:
+    """Power iteration unrolled into chained CTEs, mirroring
+    operators/spectral.py dominant_direction exactly: double-cast
+    inputs, uniform 1/sqrt(d) start, per-round dot/matvec/normalize."""
+    parts = ["""
+        WITH rows AS MATERIALIZED (
+          SELECT vec_id AS id,
+                 CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS j,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings
+        ),
+        dd AS (SELECT CAST(max(j) + 1 AS DOUBLE) AS d FROM rows),
+        v0 AS MATERIALIZED (
+          SELECT j, 1.0 / sqrt((SELECT d FROM dd)) AS v
+          FROM (SELECT DISTINCT j FROM rows)
+        )"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+        dots{k} AS MATERIALIZED (
+          SELECT r.id, sum(r.x * v.v) AS dot
+          FROM rows r JOIN v{k - 1} v ON r.j = v.j
+          GROUP BY r.id
+        ),
+        s{k} AS MATERIALIZED (
+          SELECT r.j, sum(r.x * d.dot) AS s
+          FROM rows r JOIN dots{k} d ON r.id = d.id
+          GROUP BY r.j
+        ),
+        n{k} AS (SELECT sqrt(sum(s * s)) AS n FROM s{k}),
+        v{k} AS MATERIALIZED (
+          SELECT j, s / (SELECT n FROM n{k}) AS v FROM s{k}
+        )""")
+    parts.append(f"""
+        SELECT v.j AS dim, v.v AS loading,
+               (SELECT n FROM n{iters}) AS eigval,
+               (SELECT sum(x * x) FROM rows) AS var_total,
+               (SELECT n FROM n{iters})
+                 / (SELECT sum(x * x) FROM rows) AS var_ratio
+        FROM v{iters} v""")
     return "".join(parts)
 
 
@@ -6436,6 +6490,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, pos AS start_pos, n_hits
             FROM picked WHERE rn = 1
         """,
+        "dominant_direction": _power_unrolled(),
         "diameter_sweep": """
             WITH RECURSIVE de AS (
               SELECT DISTINCT src, dst FROM (

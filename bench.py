@@ -75,7 +75,7 @@ CONTRACT_BENCH_QUERIES = (
     "containment_join", "bpe_merges", "image_near_dup", "hausdorff_pairs", "coverage_select", "neighborhood_function", "kcore_membership", "passage_chunks", "entity_resolution", "sitemap_urls", "raster_overlay",
     "interval_coverage", "zipf_slope", "hits_scores", "sssp_weighted",
     "template_groups", "kmeans_centroids", "rrf_fusion", "crawl_budget",
-    "redirect_resolve", "multimodal_wav_stats", "stay_points", "winnow_fingerprint", "gearys_c", "proximity_pairs", "link_prediction", "best_snippet", "ndcg_eval", "markov_transitions", "rendezvous_shards", "acf_lags", "scc", "readability", "textrank", "span_corruption", "cohort_retention", "harmonic_centrality", "assortativity", "url_templates", "zonal_stats", "ols_trend", "diameter_sweep",
+    "redirect_resolve", "multimodal_wav_stats", "stay_points", "winnow_fingerprint", "gearys_c", "proximity_pairs", "link_prediction", "best_snippet", "ndcg_eval", "markov_transitions", "rendezvous_shards", "acf_lags", "scc", "readability", "textrank", "span_corruption", "cohort_retention", "harmonic_centrality", "assortativity", "url_templates", "zonal_stats", "ols_trend", "diameter_sweep", "dominant_direction",
 )
 
 
