@@ -3775,6 +3775,67 @@ def q_heavy_hitters(spark, sf_dir):
     return heavy_hitters_exact(toks, "term", k=150)
 
 
+def _c4_lines(spark, sf_dir):
+    """documents -> deterministic synthetic line structure for the C4
+    filter: 8-word lines, terminal '.' except every (doc_id+i)%5==0
+    line, 'javascript' injected every (doc_id+i)%13==0 line, page-level
+    lorem-ipsum / brace markers on doc_id%17 / doc_id%11 — the same
+    arithmetic the DuckDB oracle replays."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    words = F.filter(F.split(F.col("text"), "\\s+"), lambda w: w != "")
+    n_lines = F.ceil(F.size(words) / F.lit(8.0)).cast("bigint")
+    idx = F.when(n_lines > 0,
+                 F.sequence(F.lit(0).cast("bigint"), n_lines - 1)
+                 ).otherwise(F.array().cast("array<bigint>"))
+    body = F.transform(
+        idx,
+        lambda i: F.concat(
+            F.array_join(F.slice(words, (i * 8 + 1).cast("int"), 8), " "),
+            F.when(F.pmod(did + i, F.lit(13)) == 0,
+                   F.lit(" javascript news."))
+            .when(F.pmod(did + i, F.lit(5)) == 0, F.lit(""))
+            .otherwise(F.lit("."))))
+    empty = F.array().cast("array<string>")
+    lines = F.concat(
+        body,
+        F.when(F.pmod(did, F.lit(17)) == 0,
+               F.array(F.lit("lorem ipsum filler text here."))
+               ).otherwise(empty),
+        F.when(F.pmod(did, F.lit(11)) == 0,
+               F.array(F.lit("function() {"))).otherwise(empty))
+    return d.select("doc_id", lines.alias("lines"))
+
+
+def q_c4_filter(spark, sf_dir):
+    """C4 curation filters (operators/curation_filters.py c4_filter):
+    the public C4 line/page heuristics — terminal punctuation, >=3-word
+    lines, javascript/lorem-ipsum/brace markers, >=5 surviving
+    sentences — as one shuffle-free codegen projection over a
+    deterministically re-lined documents corpus. Oracle: identical
+    list-lambda arithmetic in DuckDB."""
+    from cartwright_spark.operators.curation_filters import c4_filter
+    return c4_filter(_c4_lines(spark, sf_dir)).select(
+        "doc_id", "n_lines", "n_kept", "has_lorem", "has_brace",
+        "keep", "clean_text")
+
+
+def q_rolling_anomaly(spark, sf_dir):
+    """Trailing-window z-score anomalies (operators/anomaly.py
+    rolling_anomaly): (n*y - S)^2 > tau^2 (n*Q - S^2) over the 8
+    previous points per series — EXACT bigint arithmetic, one exchange
+    on the series key. Oracle: the identical rearranged inequality as
+    a SQL ROWS window."""
+    from cartwright_spark.operators.anomaly import rolling_anomaly
+    ev = _t(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(64)).alias("series"),
+        "event_id", "ts",
+        F.pmod(F.floor("value").cast("bigint"), F.lit(100)).alias("y"))
+    return rolling_anomaly(ev, "series", ["ts", "event_id"], "y").select(
+        "series", "event_id", "y", "n_prev", "s_prev", "q_prev",
+        "is_anomaly")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -3955,6 +4016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "j9_salted_rollup": q_j9_salted_rollup,
+        "c4_filter": q_c4_filter,
+        "rolling_anomaly": q_rolling_anomaly,
     }
 
 
@@ -8677,4 +8740,80 @@ def oracle_sql() -> dict[str, str]:
             "('" + t.replace("'", "''") + "')"
             for t in __import__("cartwright_spark.sources.gazetteers",
                                 fromlist=["x"]).continent_terms())),
+        "c4_filter": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 w -> w <> '') AS words
+              FROM documents
+            ),
+            lined AS (
+              SELECT doc_id,
+                list_transform(
+                  range(0, CAST(ceil(len(words) / 8.0) AS BIGINT)),
+                  i -> array_to_string(
+                         list_slice(words, i*8 + 1, i*8 + 8), ' ')
+                       || CASE WHEN (doc_id + i) % 13 = 0
+                               THEN ' javascript news.'
+                               WHEN (doc_id + i) % 5 = 0 THEN ''
+                               ELSE '.' END)
+                || CASE WHEN doc_id % 17 = 0
+                        THEN ['lorem ipsum filler text here.']
+                        ELSE CAST([] AS VARCHAR[]) END
+                || CASE WHEN doc_id % 11 = 0
+                        THEN ['function() {']
+                        ELSE CAST([] AS VARCHAR[]) END AS lines
+              FROM base
+            ),
+            kept AS (
+              SELECT doc_id, lines,
+                     list_filter(lines, l ->
+                         regexp_matches(l, '[.!?"”]\\s*$')
+                         AND len(list_filter(
+                                 string_split_regex(trim(l), '\\s+'),
+                                 w -> w <> '')) >= 3
+                         AND NOT contains(lower(l), 'javascript'))
+                       AS keptl
+              FROM lined
+            )
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(keptl) AS BIGINT) AS n_kept,
+                   CAST(contains(lower(array_to_string(lines, chr(10))),
+                                 'lorem ipsum') AS INT) AS has_lorem,
+                   CAST(contains(array_to_string(lines, chr(10)), '{')
+                        AS INT) AS has_brace,
+                   CAST(len(keptl) >= 5
+                        AND NOT contains(
+                              lower(array_to_string(lines, chr(10))),
+                              'lorem ipsum')
+                        AND NOT contains(array_to_string(lines, chr(10)),
+                                         '{') AS INT) AS keep,
+                   COALESCE(array_to_string(keptl, chr(10)), '')
+                     AS clean_text
+            FROM kept
+        """,
+        "rolling_anomaly": """
+            WITH ev AS (
+              SELECT ((user_id % 64) + 64) % 64 AS series, event_id, ts,
+                     ((CAST(floor(value) AS BIGINT) % 100) + 100) % 100
+                       AS y
+              FROM events
+            ),
+            sc AS (
+              SELECT series, event_id, y,
+                     count(y) OVER w AS n_prev,
+                     CAST(sum(y) OVER w AS BIGINT) AS s_prev,
+                     CAST(sum(y * y) OVER w AS BIGINT) AS q_prev
+              FROM ev
+              WINDOW w AS (PARTITION BY series ORDER BY ts, event_id
+                           ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT series, event_id, y, n_prev, s_prev, q_prev,
+                   CAST((n_prev * y - s_prev) * (n_prev * y - s_prev)
+                        > 9 * (n_prev * q_prev - s_prev * s_prev)
+                        AS INT) AS is_anomaly
+            FROM sc
+            WHERE n_prev >= 4
+        """,
     }
