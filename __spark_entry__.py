@@ -3836,6 +3836,32 @@ def q_rolling_anomaly(spark, sf_dir):
         "is_anomaly")
 
 
+def q_canonical_pick(spark, sf_dir):
+    """Duplicate-cluster keeper selection (operators/canonical.py
+    canonical_pick): per exact-content cluster (md5 key), the member
+    minimizing (n_chars, doc_id) — ONE algebraic min(struct) groupBy,
+    no per-group sort. Oracle: row_number() over the same preference
+    order (the plan the engine deliberately avoids)."""
+    from cartwright_spark.operators.canonical import canonical_pick
+    d = _t(spark, sf_dir, "documents").select(
+        F.md5(F.col("text")).alias("content_key"), "doc_id", "n_chars")
+    return canonical_pick(d, "content_key", "doc_id", ["n_chars"])
+
+
+def q_scd2_merge(spark, sf_dir):
+    """SCD2 validity intervals (operators/canonical.py scd2_merge):
+    per-user event_type change log collapsed to
+    (valid_from, valid_to, is_current) — lag to drop consecutive
+    repeats, lead for interval ends, both windows on one exchange.
+    Oracle: the identical two-window SQL."""
+    from cartwright_spark.operators.canonical import scd2_merge
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("entity"), "ts",
+        F.col("event_type").alias("val"), "event_id")
+    return scd2_merge(ev, "entity", "ts", "val",
+                      order_cols=["ts", "event_id"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -4018,6 +4044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j9_salted_rollup": q_j9_salted_rollup,
         "c4_filter": q_c4_filter,
         "rolling_anomaly": q_rolling_anomaly,
+        "canonical_pick": q_canonical_pick,
+        "scd2_merge": q_scd2_merge,
     }
 
 
@@ -8815,5 +8843,42 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS is_anomaly
             FROM sc
             WHERE n_prev >= 4
+        """,
+        "canonical_pick": """
+            WITH k AS (
+              SELECT md5(text) AS content_key, doc_id, n_chars
+              FROM documents
+            ),
+            r AS (
+              SELECT content_key, doc_id,
+                     row_number() OVER (PARTITION BY content_key
+                                        ORDER BY n_chars, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY content_key)
+                       AS n_members
+              FROM k
+            )
+            SELECT content_key, doc_id AS canonical_id,
+                   CAST(n_members AS BIGINT) AS n_members
+            FROM r WHERE rn = 1
+        """,
+        "scd2_merge": """
+            WITH ordered AS (
+              SELECT user_id AS entity, ts, event_type AS val, event_id,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                       AS prev
+              FROM events
+            ),
+            ch AS (
+              SELECT entity, ts, val, event_id FROM ordered
+              WHERE prev IS NULL OR prev <> val
+            )
+            SELECT entity, val, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY entity
+                                  ORDER BY ts, event_id) AS valid_to,
+                   CAST(lead(ts) OVER (PARTITION BY entity
+                                       ORDER BY ts, event_id) IS NULL
+                        AS INT) AS is_current
+            FROM ch
         """,
     }
