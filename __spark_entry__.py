@@ -3862,6 +3862,63 @@ def q_scd2_merge(spark, sf_dir):
                       order_cols=["ts", "event_id"])
 
 
+def _digraph500(spark, sf_dir):
+    """The shared 500-node digraph (the diameter_sweep generator)."""
+    ev = _t(spark, sf_dir, "events")
+    a = F.pmod(F.col("event_id"), F.lit(500))
+    e1 = ev.select(a.alias("src"),
+                   F.pmod(a * 7 + 3, F.lit(500)).alias("dst"))
+    e2 = ev.select(a.alias("src"),
+                   F.pmod(a * a + 11, F.lit(500)).alias("dst"))
+    return e1.unionByName(e2)
+
+
+_DIGRAPH500_CANON_SQL = """
+              SELECT DISTINCT
+                     least(CAST(s AS VARCHAR), CAST(t AS VARCHAR)) AS u,
+                     greatest(CAST(s AS VARCHAR), CAST(t AS VARCHAR))
+                       AS v
+              FROM (
+                SELECT event_id % 500 AS s,
+                       ((event_id % 500) * 7 + 3) % 500 AS t
+                FROM events
+                UNION ALL
+                SELECT event_id % 500,
+                       ((event_id % 500) * (event_id % 500) + 11) % 500
+                FROM events
+              )
+              WHERE CAST(s AS VARCHAR) <> CAST(t AS VARCHAR)
+"""
+
+
+def q_neighbor_jaccard(spark, sf_dir):
+    """Neighborhood Jaccard for non-adjacent pairs (functions/graph.py
+    neighbor_jaccard) over the shared 500-node digraph: hub-capped
+    wedge generation (z-degree <= 64), full degrees in the
+    denominator, existing edges anti-joined out. Oracle: the identical
+    capped wedge arithmetic on VARCHAR node ids."""
+    from cartwright_spark.functions.graph import neighbor_jaccard
+    return neighbor_jaccard(_digraph500(spark, sf_dir),
+                            max_hub=64, min_common=2)
+
+
+def q_modularity(spark, sf_dir):
+    """Newman modularity per community (functions/graph.py
+    modularity): communities = node id mod 7 over the shared 500-node
+    digraph — exact bigint m_c/d_c/m, q_c = m_c/m - (d_c/2m)^2; labels
+    land on endpoints via two |V|-sized equi-joins, m rides in as a
+    one-row broadcast. Oracle: the same counts in DuckDB."""
+    from cartwright_spark.functions.graph import modularity
+    edges = _digraph500(spark, sf_dir)
+    nodes = (edges.select(F.col("src").cast("string").alias("node"))
+             .union(edges.select(F.col("dst").cast("string")
+                                 .alias("node")))
+             .distinct())
+    comm = nodes.withColumn(
+        "comm", F.pmod(F.col("node").cast("bigint"), F.lit(7)))
+    return modularity(edges, comm)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -4046,6 +4103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_anomaly": q_rolling_anomaly,
         "canonical_pick": q_canonical_pick,
         "scd2_merge": q_scd2_merge,
+        "neighbor_jaccard": q_neighbor_jaccard,
+        "modularity": q_modularity,
     }
 
 
@@ -8880,5 +8939,76 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY ts, event_id) IS NULL
                         AS INT) AS is_current
             FROM ch
+        """,
+        "neighbor_jaccard": f"""
+            WITH e AS (
+              {_DIGRAPH500_CANON_SQL}
+            ),
+            adj AS (
+              SELECT u AS z, v AS n FROM e
+              UNION ALL
+              SELECT v AS z, u AS n FROM e
+            ),
+            deg AS (SELECT z, count(*) AS dz FROM adj GROUP BY z),
+            za AS (
+              SELECT adj.z, adj.n FROM adj
+              JOIN deg ON adj.z = deg.z WHERE deg.dz <= 64
+            ),
+            pairs AS (
+              SELECT l.n AS u, r.n AS v,
+                     CAST(count(*) AS BIGINT) AS common
+              FROM za l JOIN za r ON l.z = r.z AND l.n < r.n
+              GROUP BY l.n, r.n
+            ),
+            cand AS (
+              SELECT p.u, p.v, p.common
+              FROM pairs p
+              ANTI JOIN e ON p.u = e.u AND p.v = e.v
+              WHERE p.common >= 2
+            )
+            SELECT c.u, c.v, c.common,
+                   du.dz AS du, dv.dz AS dv,
+                   CAST(c.common AS DOUBLE)
+                     / (du.dz + dv.dz - c.common) AS jaccard
+            FROM cand c
+            JOIN deg du ON c.u = du.z
+            JOIN deg dv ON c.v = dv.z
+        """,
+        "modularity": f"""
+            WITH e AS (
+              {_DIGRAPH500_CANON_SQL}
+            ),
+            mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+            deg AS (
+              SELECT z, count(*) AS d
+              FROM (SELECT u AS z FROM e UNION ALL SELECT v FROM e)
+              GROUP BY z
+            ),
+            comm AS (
+              SELECT z AS node, CAST(z AS BIGINT) % 7 AS comm
+              FROM (SELECT DISTINCT u AS z FROM e
+                    UNION SELECT DISTINCT v FROM e)
+            ),
+            intra AS (
+              SELECT cu.comm AS comm, CAST(count(*) AS BIGINT) AS m_c
+              FROM e
+              JOIN comm cu ON e.u = cu.node
+              JOIN comm cv ON e.v = cv.node
+              WHERE cu.comm = cv.comm
+              GROUP BY cu.comm
+            ),
+            dc AS (
+              SELECT c.comm, CAST(sum(deg.d) AS BIGINT) AS d_c
+              FROM deg JOIN comm c ON deg.z = c.node
+              GROUP BY c.comm
+            )
+            SELECT dc.comm, COALESCE(intra.m_c, 0) AS m_c, dc.d_c,
+                   CAST(COALESCE(intra.m_c, 0) AS DOUBLE)
+                     / CAST(mm.m AS DOUBLE)
+                   - (CAST(dc.d_c AS DOUBLE) / (2.0 * mm.m))
+                     * (CAST(dc.d_c AS DOUBLE) / (2.0 * mm.m)) AS q_c
+            FROM dc
+            LEFT JOIN intra ON dc.comm = intra.comm
+            CROSS JOIN mm
         """,
     }

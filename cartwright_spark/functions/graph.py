@@ -1251,3 +1251,103 @@ def diameter_double_sweep(edges: DataFrame, start,
           int(ecc2["c"]))],
         "start_id long, start_ecc int, far_id long, "
         "diameter_lb int, n_reached long")
+
+
+def neighbor_jaccard(edges: DataFrame, src: str = "src",
+                     dst: str = "dst", max_hub: int = 1024,
+                     min_common: int = 1) -> DataFrame:
+    """Neighborhood Jaccard similarity for non-adjacent candidate
+    pairs: jaccard = |N(u) ∩ N(v)| / (deg(u) + deg(v) - common),
+    -> (u, v, common, du, dv, jaccard) with u < v.
+
+    Same wedge-generation shape as link_prediction (pairs materialize
+    only THROUGH a shared neighbour z, existing edges anti-joined out)
+    and the same output-capping move: nodes with degree > ``max_hub``
+    are excluded from the z role, because a hub emits deg^2 candidate
+    pairs — pure output volume no optimizer can shrink. deg(u)/deg(v)
+    in the denominator stay the FULL degrees (a |V|-sized equi-join on
+    the pair endpoints), so the cap only prunes which pairs surface,
+    never distorts a surfaced pair's denominator; the oracle replays
+    the identical cap arithmetic. Engine scope: crawl-host candidate
+    discovery, the set-similarity twin of Adamic-Adar.
+    """
+    if max_hub < 2:
+        raise ValueError("max_hub must be >= 2")
+    e = (edges.select(F.col(src).cast("string").alias("u"),
+                      F.col(dst).cast("string").alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .select(F.least("u", "v").alias("u"),
+                 F.greatest("u", "v").alias("v"))
+         .distinct())
+    adj = (e.select(F.col("u").alias("z"), F.col("v").alias("n"))
+           .unionAll(e.select(F.col("v").alias("z"),
+                              F.col("u").alias("n"))))
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("dz"))
+    za = adj.join(deg.where(F.col("dz") <= F.lit(int(max_hub))), "z")
+    pairs = (za.select("z", F.col("n").alias("pu"))
+             .join(za.select("z", F.col("n").alias("pv")), "z")
+             .where(F.col("pu") < F.col("pv"))
+             .groupBy(F.col("pu").alias("u"), F.col("pv").alias("v"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("common")))
+    cand = (pairs.join(e, ["u", "v"], "left_anti")
+            .where(F.col("common") >= F.lit(int(min_common))))
+    du = deg.select(F.col("z").alias("u"), F.col("dz").alias("du"))
+    dv = deg.select(F.col("z").alias("v"), F.col("dz").alias("dv"))
+    return (cand.join(du, "u").join(dv, "v")
+            .select("u", "v", "common", "du", "dv",
+                    (F.col("common").cast("double")
+                     / (F.col("du") + F.col("dv") - F.col("common"))
+                     ).alias("jaccard")))
+
+
+def modularity(edges: DataFrame, communities: DataFrame,
+               src: str = "src", dst: str = "dst",
+               node_col: str = "node", comm_col: str = "comm"
+               ) -> DataFrame:
+    """Newman modularity contribution per community over the
+    undirected simple graph: for community c with m_c intra-edges and
+    total degree d_c in a graph of m edges,
+
+        q_c = m_c / m  -  (d_c / (2 m))^2        (Q = sum_c q_c)
+
+    -> (comm, m_c, d_c, q_c). m_c/d_c/m are EXACT bigint counts; q_c
+    is two float divisions over them, so engine and oracle agree at
+    hash tolerance trivially.
+
+    Scale shape: community labels land on edge endpoints via TWO
+    |V|-sized equi-joins (shuffle joins on the node key — communities
+    is |V| rows, not broadcastable at 10^12 nodes); intra-edge and
+    degree rollups are algebraic groupBys; the global edge count m
+    rides in as a one-row broadcast crossJoin (the markov_transitions
+    normalizer pattern). No window, no driver collect.
+    """
+    c = communities.select(F.col(node_col).alias("__n"),
+                           F.col(comm_col).alias("__c"))
+    e = (edges.select(F.col(src).cast("string").alias("u"),
+                      F.col(dst).cast("string").alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .select(F.least("u", "v").alias("u"),
+                 F.greatest("u", "v").alias("v"))
+         .distinct())
+    m_row = e.agg(F.count(F.lit(1)).cast("bigint").alias("__m"))
+    cu = c.select(F.col("__n").alias("u"), F.col("__c").alias("cu"))
+    cv = c.select(F.col("__n").alias("v"), F.col("__c").alias("cv"))
+    tagged = e.join(cu, "u").join(cv, "v")
+    intra = (tagged.where(F.col("cu") == F.col("cv"))
+             .groupBy(F.col("cu").alias("comm"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("m_c")))
+    deg = (e.select(F.col("u").alias("__n"))
+           .unionAll(e.select(F.col("v").alias("__n")))
+           .groupBy("__n").agg(F.count(F.lit(1)).alias("__d")))
+    dc = (deg.join(c, "__n")
+          .groupBy(F.col("__c").alias("comm"))
+          .agg(F.sum("__d").cast("bigint").alias("d_c")))
+    out = (dc.join(intra, "comm", "left")
+           .withColumn("m_c", F.coalesce("m_c", F.lit(0).cast("bigint")))
+           .crossJoin(F.broadcast(m_row)))
+    two_m = F.col("__m").cast("double") * 2.0
+    return out.select(
+        "comm", "m_c", "d_c",
+        (F.col("m_c").cast("double") / F.col("__m").cast("double")
+         - (F.col("d_c").cast("double") / two_m)
+         * (F.col("d_c").cast("double") / two_m)).alias("q_c"))
