@@ -3919,6 +3919,26 @@ def q_modularity(spark, sf_dir):
     return modularity(edges, comm)
 
 
+def q_naive_bayes(spark, sf_dir):
+    """Multinomial Naive Bayes (operators/nbayes.py
+    naive_bayes_classify): train on the doc_id%3!=0 slice (label =
+    lang), score the held-out doc_id%3==0 slice — fully declarative
+    train+score, ln(c+1) trick so unseen words cost nothing in the
+    LEFT-join fan-out. Oracle: the identical CTE pipeline with
+    row_number argmax (score DESC, label DESC)."""
+    from cartwright_spark.operators.nbayes import naive_bayes_classify
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select("doc_id", "lang",
+                     F.explode(F.split(F.lower("text"), "[^a-z]+"))
+                     .alias("token"))
+            .where(F.length("token") >= 2))
+    train = (toks.where(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
+             .select("doc_id", F.col("lang").alias("label"), "token"))
+    score = (toks.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+             .select("doc_id", "token"))
+    return naive_bayes_classify(train, score)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -4105,6 +4125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_merge": q_scd2_merge,
         "neighbor_jaccard": q_neighbor_jaccard,
         "modularity": q_modularity,
+        "naive_bayes": q_naive_bayes,
     }
 
 
@@ -9010,5 +9031,58 @@ def oracle_sql() -> dict[str, str]:
             FROM dc
             LEFT JOIN intra ON dc.comm = intra.comm
             CROSS JOIN mm
+        """,
+        "naive_bayes": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(string_split_regex(lower(text), '[^a-z]+'))
+                       AS w
+              FROM documents
+            ),
+            toks2 AS (SELECT * FROM toks WHERE len(w) >= 2),
+            tr AS (SELECT doc_id AS d, lang AS l, w FROM toks2
+                   WHERE doc_id % 3 <> 0),
+            sc AS (SELECT doc_id AS d, w FROM toks2
+                   WHERE doc_id % 3 = 0),
+            cls AS (SELECT l, count(DISTINCT d) AS n_docs
+                    FROM tr GROUP BY l),
+            ntot AS (SELECT count(DISTINCT d) AS n_all FROM tr),
+            tl AS (SELECT l, count(*) AS t_l FROM tr GROUP BY l),
+            voc AS (SELECT count(DISTINCT w) AS v FROM tr),
+            clw AS (SELECT l, w, count(*) AS c FROM tr GROUP BY l, w),
+            consts AS (
+              SELECT cls.l,
+                     ln(CAST(n_docs AS DOUBLE) / n_all) AS ln_prior,
+                     ln(CAST(t_l + v AS DOUBLE)) AS ln_denom
+              FROM cls JOIN tl ON cls.l = tl.l
+              CROSS JOIN ntot CROSS JOIN voc
+            ),
+            dw AS (SELECT d, w, count(*) AS n FROM sc GROUP BY d, w),
+            nd AS (SELECT d, count(*) AS n_d FROM sc GROUP BY d),
+            contrib AS (
+              SELECT dw.d, lbl.l,
+                     sum(dw.n * ln(COALESCE(clw.c, 0) + 1.0))
+                       AS evidence
+              FROM dw
+              CROSS JOIN (SELECT l FROM consts) lbl
+              LEFT JOIN clw ON clw.l = lbl.l AND clw.w = dw.w
+              GROUP BY dw.d, lbl.l
+            ),
+            scored AS (
+              SELECT c.d, c.l,
+                     consts.ln_prior - nd.n_d * consts.ln_denom
+                       + c.evidence AS s
+              FROM contrib c
+              JOIN nd ON c.d = nd.d
+              JOIN consts ON c.l = consts.l
+            ),
+            r AS (
+              SELECT d, l, s,
+                     row_number() OVER (PARTITION BY d
+                                        ORDER BY s DESC, l DESC) AS rn
+              FROM scored
+            )
+            SELECT d AS doc_id, l AS pred, s AS score FROM r
+            WHERE rn = 1
         """,
     }

@@ -77,7 +77,7 @@ CONTRACT_BENCH_QUERIES = (
     "template_groups", "kmeans_centroids", "rrf_fusion", "crawl_budget",
     "redirect_resolve", "multimodal_wav_stats", "stay_points", "winnow_fingerprint", "gearys_c", "proximity_pairs", "link_prediction", "best_snippet", "ndcg_eval", "markov_transitions", "rendezvous_shards", "acf_lags", "scc", "readability", "textrank", "span_corruption", "cohort_retention", "harmonic_centrality", "assortativity", "url_templates", "zonal_stats", "ols_trend", "diameter_sweep", "dominant_direction",
     "c4_filter", "rolling_anomaly", "canonical_pick", "scd2_merge",
-    "neighbor_jaccard", "modularity",
+    "neighbor_jaccard", "modularity", "naive_bayes",
 )
 
 
