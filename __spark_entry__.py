@@ -3939,6 +3939,36 @@ def q_naive_bayes(spark, sf_dir):
     return naive_bayes_classify(train, score)
 
 
+def q_seasonal_profile(spark, sf_dir):
+    """Seasonal index per (event_type, hour-of-day)
+    (operators/seasonal.py seasonal_profile): one corpus groupBy into
+    G x 24 cells, group means re-aggregated from the cells; y
+    quantized to bigint so means are exact-integer ratios. Oracle: the
+    same two-level rollup."""
+    from cartwright_spark.operators.seasonal import seasonal_profile
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "ts",
+        F.floor(F.col("value") * 100).cast("bigint").alias("y"))
+    return seasonal_profile(ev, "event_type", F.hour("ts"), "y")
+
+
+def q_score_calibration(spark, sf_dir):
+    """Reliability bins + ECE terms (operators/calibration.py
+    calibration_bins) for a deterministic pseudo-probability on
+    lineitem (score = hash-bucket/1000, label correlated with it via
+    an integer side-channel) — one groupBy on the bin index, total N
+    re-aggregated from the B bin rows. Oracle: identical binning
+    arithmetic."""
+    from cartwright_spark.operators.calibration import calibration_bins
+    li = _t(spark, sf_dir, "lineitem")
+    k = F.pmod(F.col("l_partkey") * 7919, F.lit(1000))
+    d = li.select(
+        (k.cast("double") / 1000.0).alias("score"),
+        ((k + F.pmod(F.col("l_orderkey"), F.lit(400)) - 200) > 500)
+        .cast("int").alias("label"))
+    return calibration_bins(d, "score", "label", bins=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -4126,6 +4156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_jaccard": q_neighbor_jaccard,
         "modularity": q_modularity,
         "naive_bayes": q_naive_bayes,
+        "seasonal_profile": q_seasonal_profile,
+        "score_calibration": q_score_calibration,
     }
 
 
@@ -9084,5 +9116,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d AS doc_id, l AS pred, s AS score FROM r
             WHERE rn = 1
+        """,
+        "seasonal_profile": """
+            WITH cells AS (
+              SELECT event_type AS grp,
+                     CAST(hour(ts) AS INT) AS bucket,
+                     CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                          AS BIGINT) AS s,
+                     count(*) AS n
+              FROM events
+              GROUP BY event_type, hour(ts)
+            ),
+            totals AS (
+              SELECT grp, CAST(sum(s) AS BIGINT) AS S,
+                     CAST(sum(n) AS BIGINT) AS N
+              FROM cells GROUP BY grp
+            )
+            SELECT c.grp, c.bucket, CAST(c.n AS BIGINT) AS n,
+                   CAST(c.s AS DOUBLE) / c.n AS cell_mean,
+                   CAST(c.s AS DOUBLE) / c.n
+                     - CAST(t.S AS DOUBLE) / t.N AS seasonal
+            FROM cells c JOIN totals t ON c.grp = t.grp
+        """,
+        "score_calibration": """
+            WITH d AS (
+              SELECT CAST((l_partkey * 7919) % 1000 AS DOUBLE) / 1000.0
+                       AS p,
+                     CAST((l_partkey * 7919) % 1000
+                          + l_orderkey % 400 - 200 > 500 AS INT) AS y
+              FROM lineitem
+            ),
+            agg AS (
+              SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+                     count(*) AS n,
+                     sum(p) AS sp,
+                     CAST(sum(y) AS BIGINT) AS npos
+              FROM d GROUP BY 1
+            ),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM agg)
+            SELECT bin, CAST(n AS BIGINT) AS n,
+                   sp / n AS mean_pred,
+                   CAST(npos AS DOUBLE) / n AS frac_pos,
+                   abs(sp / n - CAST(npos AS DOUBLE) / n) AS abs_gap,
+                   abs(sp / n - CAST(npos AS DOUBLE) / n) * n
+                     / tot.total AS ece_term
+            FROM agg CROSS JOIN tot
         """,
     }
