@@ -3969,6 +3969,21 @@ def q_score_calibration(spark, sf_dir):
     return calibration_bins(d, "score", "label", bins=10)
 
 
+def q_hbos_outlier(spark, sf_dir):
+    """HBOS anomaly scores (operators/hbos.py hbos_scores) on three
+    lineitem measures: per-feature equal-width histograms from one
+    melted groupBy, scores via k broadcast joins — duplicate point ids
+    flow through untouched. Oracle: identical binning and ln(N/c)
+    expression shape."""
+    from cartwright_spark.operators.hbos import hbos_scores
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount")
+    return hbos_scores(
+        li, ["l_quantity", "l_extendedprice", "l_discount"],
+        bins=16).select("l_orderkey", "l_linenumber", "hbos")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -4158,6 +4173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naive_bayes": q_naive_bayes,
         "seasonal_profile": q_seasonal_profile,
         "score_calibration": q_score_calibration,
+        "hbos_outlier": q_hbos_outlier,
     }
 
 
@@ -9161,5 +9177,49 @@ def oracle_sql() -> dict[str, str]:
                    abs(sp / n - CAST(npos AS DOUBLE) / n) * n
                      / tot.total AS ece_term
             FROM agg CROSS JOIN tot
+        """,
+        "hbos_outlier": """
+            WITH d AS (
+              SELECT l_orderkey, l_linenumber,
+                     CAST(l_quantity AS DOUBLE) AS f0,
+                     CAST(l_extendedprice AS DOUBLE) AS f1,
+                     CAST(l_discount AS DOUBLE) AS f2
+              FROM lineitem
+            ),
+            st AS (
+              SELECT min(f0) AS mn0, max(f0) AS mx0,
+                     min(f1) AS mn1, max(f1) AS mx1,
+                     min(f2) AS mn2, max(f2) AS mx2,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM d
+            ),
+            b AS (
+              SELECT d.l_orderkey, d.l_linenumber,
+                     CASE WHEN mx0 = mn0 THEN 0
+                          ELSE CAST(least(floor((f0 - mn0) / (mx0 - mn0)
+                                                * 16), 15) AS INT)
+                     END AS b0,
+                     CASE WHEN mx1 = mn1 THEN 0
+                          ELSE CAST(least(floor((f1 - mn1) / (mx1 - mn1)
+                                                * 16), 15) AS INT)
+                     END AS b1,
+                     CASE WHEN mx2 = mn2 THEN 0
+                          ELSE CAST(least(floor((f2 - mn2) / (mx2 - mn2)
+                                                * 16), 15) AS INT)
+                     END AS b2
+              FROM d CROSS JOIN st
+            ),
+            c0 AS (SELECT b0, count(*) AS c FROM b GROUP BY b0),
+            c1 AS (SELECT b1, count(*) AS c FROM b GROUP BY b1),
+            c2 AS (SELECT b2, count(*) AS c FROM b GROUP BY b2)
+            SELECT b.l_orderkey, b.l_linenumber,
+                   ln(CAST(st.n AS DOUBLE) / c0.c)
+                   + ln(CAST(st.n AS DOUBLE) / c1.c)
+                   + ln(CAST(st.n AS DOUBLE) / c2.c) AS hbos
+            FROM b
+            JOIN c0 USING (b0)
+            JOIN c1 USING (b1)
+            JOIN c2 USING (b2)
+            CROSS JOIN st
         """,
     }

@@ -78,7 +78,7 @@ CONTRACT_BENCH_QUERIES = (
     "redirect_resolve", "multimodal_wav_stats", "stay_points", "winnow_fingerprint", "gearys_c", "proximity_pairs", "link_prediction", "best_snippet", "ndcg_eval", "markov_transitions", "rendezvous_shards", "acf_lags", "scc", "readability", "textrank", "span_corruption", "cohort_retention", "harmonic_centrality", "assortativity", "url_templates", "zonal_stats", "ols_trend", "diameter_sweep", "dominant_direction",
     "c4_filter", "rolling_anomaly", "canonical_pick", "scd2_merge",
     "neighbor_jaccard", "modularity", "naive_bayes",
-    "seasonal_profile", "score_calibration",
+    "seasonal_profile", "score_calibration", "hbos_outlier",
 )
 
 
