@@ -3984,6 +3984,15 @@ def q_hbos_outlier(spark, sf_dir):
         bins=16).select("l_orderkey", "l_linenumber", "hbos")
 
 
+def q_tfidf_topterms(spark, sf_dir):
+    """Per-doc top-5 tf-idf terms (operators/ranking.py
+    tfidf_top_terms): one (doc,term) groupBy, term-keyed df dim join,
+    broadcast N, row_number cut with (tfidf DESC, term ASC) tiebreak.
+    Oracle: identical CTEs + ln(N/df) expression shape."""
+    from cartwright_spark.operators.ranking import tfidf_top_terms
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), topk=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -4174,6 +4183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile": q_seasonal_profile,
         "score_calibration": q_score_calibration,
         "hbos_outlier": q_hbos_outlier,
+        "tfidf_topterms": q_tfidf_topterms,
     }
 
 
@@ -9221,5 +9231,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN c1 USING (b1)
             JOIN c2 USING (b2)
             CROSS JOIN st
+        """,
+        "tfidf_topterms": """
+            WITH toks AS (
+              SELECT doc_id AS d,
+                     unnest(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       w -> w <> '')) AS t
+              FROM documents
+            ),
+            toks2 AS (SELECT d, t FROM toks WHERE len(t) >= 2),
+            tf AS (SELECT d, t, count(*) AS tf FROM toks2
+                   GROUP BY d, t),
+            dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+                   FROM documents),
+            scored AS (
+              SELECT tf.d, tf.t, tf.tf, dfreq.df,
+                     tf.tf * ln(CAST(nn.n_docs AS DOUBLE) / dfreq.df)
+                       AS tfidf
+              FROM tf JOIN dfreq ON tf.t = dfreq.t CROSS JOIN nn
+            ),
+            r AS (
+              SELECT d, t, tf, df, tfidf,
+                     row_number() OVER (PARTITION BY d
+                                        ORDER BY tfidf DESC, t ASC)
+                       AS rank
+              FROM scored
+            )
+            SELECT d AS doc_id, t AS term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df, tfidf,
+                   CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 5
         """,
     }

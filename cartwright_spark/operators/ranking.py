@@ -391,3 +391,42 @@ def ndcg_at_k(ranked: DataFrame, k: int = 10, qid_col: str = "qid",
     return (dcg.join(idcg, "qid")
             .select("qid", "n_ranked", "dcg", "idcg",
                     (F.col("dcg") / F.col("idcg")).alias("ndcg")))
+
+
+def tfidf_top_terms(docs: DataFrame, topk: int = 5,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    min_len: int = 2) -> DataFrame:
+    """Per-document characteristic terms: top ``topk`` by
+    tf-idf = tf * ln(N / df) -> (doc_id, term, tf, df, tfidf, rank).
+
+    The keyword-extraction baseline the curation tier slices corpora
+    with (rake/textrank are graph-weighted alternatives; this is the
+    exact counting form). Scale shape: (doc, term, tf) from one
+    corpus groupBy; per-term document frequencies are a term-keyed
+    dim attached by an equi-join (shuffle join at web scale — the
+    vocabulary is not broadcastable; AQE handles hot-term skew); N is
+    a one-row broadcast. The per-doc top-k is a row_number window on
+    the doc key ordered (tfidf DESC, term ASC) — the tiebreak plus
+    the oracle-identical ln(N/df) expression shape make the cut
+    deterministic across engines.
+    """
+    if topk < 1:
+        raise ValueError("topk must be >= 1")
+    toks = (docs.select(F.col(id_col).alias("d"),
+                        F.explode(_words(text_col)).alias("t"))
+            .where(F.length("t") >= F.lit(int(min_len))))
+    tf = toks.groupBy("d", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(dfreq, "t")
+              .crossJoin(F.broadcast(n))
+              .withColumn("tfidf",
+                          F.col("tf")
+                          * F.log(F.col("n_docs").cast("double")
+                                  / F.col("df"))))
+    w = Window.partitionBy("d").orderBy(F.col("tfidf").desc(),
+                                        F.col("t").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= F.lit(int(topk)))
+            .select(F.col("d").alias(id_col), F.col("t").alias("term"),
+                    "tf", "df", "tfidf", "rank"))

@@ -1455,3 +1455,44 @@ def test_diameter_sweep_component_only(spark):
     df = spark.createDataFrame(E, "src long, dst long")
     r = diameter_double_sweep(df, start=0).collect()[0]
     assert r.n_reached == 3 and r.diameter_lb == 2
+
+
+def test_tfidf_top_terms_known_corpus(spark):
+    import math
+    from cartwright_spark.operators.ranking import tfidf_top_terms
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana shared"),
+         (2, "cherry shared"),
+         (3, "banana shared")],
+        "doc_id long, text string")
+    out = [(r.term, r.tf, r.df, r.rank) for r in
+           tfidf_top_terms(docs, topk=2).collect() if r.doc_id == 1]
+    # 'apple' (tf=2, df=1) beats 'banana' (tf=1, df=2); 'shared'
+    # appears in every doc -> tfidf 0, never makes top-2
+    assert out == [("apple", 2, 1, 1), ("banana", 1, 2, 2)]
+    rows = {r.term: r.tfidf for r in
+            tfidf_top_terms(docs, topk=3).collect() if r.doc_id == 1}
+    assert abs(rows["apple"] - 2 * math.log(3.0 / 1.0)) < 1e-12
+    assert rows["shared"] == 0.0
+
+
+def test_tfidf_tiebreak_is_term_ascending(spark):
+    from cartwright_spark.operators.ranking import tfidf_top_terms
+    docs = spark.createDataFrame(
+        [(1, "zz aa"), (2, "other words")], "doc_id long, text string")
+    out = [r.term for r in
+           sorted(tfidf_top_terms(docs, topk=2).collect(),
+                  key=lambda r: r.rank) if r.doc_id == 1]
+    # equal tf and df -> identical tfidf -> lexicographic term order
+    assert out == ["aa", "zz"]
+
+
+def test_tfidf_validation_and_min_len(spark):
+    import pytest
+    from cartwright_spark.operators.ranking import tfidf_top_terms
+    docs = spark.createDataFrame([(1, "a ab abc")],
+                                 "doc_id long, text string")
+    terms = {r.term for r in tfidf_top_terms(docs, topk=9).collect()}
+    assert terms == {"ab", "abc"}       # single chars dropped
+    with pytest.raises(ValueError, match="topk"):
+        tfidf_top_terms(docs, topk=0)
