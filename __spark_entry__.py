@@ -3993,6 +3993,36 @@ def q_tfidf_topterms(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), topk=5)
 
 
+def q_meta_tags(spark, sf_dir):
+    """Head-metadata extraction (operators/extract.py extract_meta):
+    title/description/og:title/canonical/lang as five RE2-safe
+    regexp_extracts in one shuffle-free codegen projection over
+    deterministically synthesized head sections (canonical present on
+    doc_id%4==0 only). Oracle: identical synthesis + patterns."""
+    from cartwright_spark.operators.extract import extract_meta
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html lang="'), F.col("lang"),
+        F.lit('"><head><title>Doc '), sid, F.lit(" - "),
+        F.col("source"), F.lit("</title>"),
+        F.lit('<meta name="description" content="'),
+        F.substring("text", 1, 40), F.lit('">'),
+        F.lit('<meta property="og:title" content="OG '), sid,
+        F.lit('">'),
+        F.when(F.pmod(F.col("doc_id"), F.lit(4)) == 0,
+               F.concat(F.lit('<link rel="canonical" href="https://'),
+                        F.col("source"), F.lit(".com/c/"),
+                        F.pmod(F.col("doc_id"), F.lit(50))
+                        .cast("string"),
+                        F.lit('">'))).otherwise(F.lit("")),
+        F.lit("</head><body></body></html>"))
+    pages = d.select("doc_id", html.alias("html"))
+    return extract_meta(pages).select(
+        "doc_id", "title", "description", "og_title", "canonical",
+        "page_lang", "has_canonical", "title_len")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -4184,6 +4214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_calibration": q_score_calibration,
         "hbos_outlier": q_hbos_outlier,
         "tfidf_topterms": q_tfidf_topterms,
+        "meta_tags": q_meta_tags,
     }
 
 
@@ -9263,5 +9294,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(df AS BIGINT) AS df, tfidf,
                    CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 5
+        """,
+        "meta_tags": """
+            WITH pages AS (
+              SELECT doc_id,
+                '<html lang="' || lang || '"><head><title>Doc '
+                || doc_id || ' - ' || source || '</title>'
+                || '<meta name="description" content="'
+                || substr(text, 1, 40) || '">'
+                || '<meta property="og:title" content="OG '
+                || doc_id || '">'
+                || CASE WHEN doc_id % 4 = 0
+                        THEN '<link rel="canonical" href="https://'
+                             || source || '.com/c/' || (doc_id % 50)
+                             || '">'
+                        ELSE '' END
+                || '</head><body></body></html>' AS html
+              FROM documents
+            )
+            SELECT doc_id,
+              regexp_extract(html, '<title>([^<]*)</title>', 1)
+                AS title,
+              regexp_extract(html,
+                '<meta name="description" content="([^"]*)"', 1)
+                AS description,
+              regexp_extract(html,
+                '<meta property="og:title" content="([^"]*)"', 1)
+                AS og_title,
+              regexp_extract(html,
+                '<link rel="canonical" href="([^"]*)"', 1)
+                AS canonical,
+              regexp_extract(html, '<html lang="([^"]*)"', 1)
+                AS page_lang,
+              CAST(regexp_extract(html,
+                '<link rel="canonical" href="([^"]*)"', 1) <> ''
+                AS INT) AS has_canonical,
+              CAST(length(regexp_extract(html,
+                '<title>([^<]*)</title>', 1)) AS INT) AS title_len
+            FROM pages
         """,
     }

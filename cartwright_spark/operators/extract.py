@@ -81,3 +81,35 @@ def extract_pages(pages: DataFrame, html_col: str = "html",
     else:
         out = pages.withColumn(out_col, extract_text_udf()(F.col(html_col)))
     return out.withColumn("text_sha256", F.sha2(F.col(out_col), 256))
+
+
+# head-metadata extraction patterns — RE2-safe (no backrefs/lookaround)
+# so the DuckDB oracle can replay them verbatim
+_META_PATTERNS = {
+    "title": "<title>([^<]*)</title>",
+    "description": '<meta name="description" content="([^"]*)"',
+    "og_title": '<meta property="og:title" content="([^"]*)"',
+    "canonical": '<link rel="canonical" href="([^"]*)"',
+    "page_lang": '<html lang="([^"]*)"',
+}
+
+
+def extract_meta(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Head-metadata extraction: title / meta-description / og:title /
+    canonical link / html lang, each a single regexp_extract over the
+    page — one shuffle-free codegen projection, '' when absent (both
+    engines), plus has_canonical and title_len diagnostics.
+
+    The canonical URL is what the dedup tier's canonical_pick prefers
+    when present; og/description feed the snippet and quality layers.
+    Like extract_text_col above, this deliberately stays JVM-side: the
+    wide html column never crosses the Arrow boundary.
+    """
+    h = F.col(html_col)
+    out = pages
+    for name, pat in _META_PATTERNS.items():
+        out = out.withColumn(name, F.regexp_extract(h, pat, 1))
+    return (out
+            .withColumn("has_canonical",
+                        (F.col("canonical") != "").cast("int"))
+            .withColumn("title_len", F.length("title").cast("int")))
