@@ -4023,6 +4023,18 @@ def q_meta_tags(spark, sf_dir):
         "page_lang", "has_canonical", "title_len")
 
 
+def q_personalized_pagerank(spark, sf_dir):
+    """Random walk with restart (functions/graph.py
+    personalized_pagerank) from 5 seed nodes of the directed 500-node
+    digraph: teleport AND dangling mass restart at the seeds, edges
+    checkpointed once, per-round shuffle O(nodes). Oracle: the power
+    iteration unrolled into chained CTEs (_ppr_unrolled)."""
+    from cartwright_spark.functions.graph import personalized_pagerank
+    return personalized_pagerank(_digraph500(spark, sf_dir),
+                                 seeds=[0, 100, 200, 300, 400],
+                                 iters=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -4215,6 +4227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbos_outlier": q_hbos_outlier,
         "tfidf_topterms": q_tfidf_topterms,
         "meta_tags": q_meta_tags,
+        "personalized_pagerank": q_personalized_pagerank,
     }
 
 
@@ -4499,6 +4512,51 @@ def _pagerank_unrolled(edges_sql: str, d: float = 0.85,
         )""")
     parts.append(f"""
         SELECT id, rank * (SELECT n FROM nn) AS rank_x_n FROM r{iters}""")
+    return "".join(parts)
+
+
+def _ppr_unrolled(edges_sql: str, seeds_pred: str, n_seeds: int,
+                  d: float = 0.85, iters: int = 10) -> str:
+    """Personalized PageRank unrolled into chained CTEs (the
+    _pagerank_unrolled pattern). Semantics mirror functions/graph.py
+    personalized_pagerank exactly: r0 = seed indicator / |S|, teleport
+    AND dangling mass restart at the seeds, output (id, ppr).
+    ``seeds_pred`` is a SQL predicate over the node id column ``id``."""
+    sv = f"CASE WHEN {seeds_pred} THEN {1.0 / n_seeds!r} ELSE 0.0 END"
+    parts = [f"""
+        WITH e0 AS ({edges_sql}),
+        e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        nodes AS MATERIALIZED (
+          SELECT id, {sv} AS sv FROM
+            (SELECT src AS id FROM e UNION SELECT dst FROM e)
+        ),
+        od AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src),
+        r0 AS MATERIALIZED (SELECT id, sv, sv AS rank FROM nodes)"""]
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        parts.append(f""",
+        c{k} AS (
+          SELECT e.dst AS id, sum(r.rank / od.outdeg) AS contrib
+          FROM e
+          JOIN {p} r ON e.src = r.id
+          JOIN od ON od.id = e.src
+          GROUP BY e.dst
+        ),
+        d{k} AS (
+          SELECT coalesce(sum(r.rank), 0.0) AS dang
+          FROM {p} r LEFT JOIN od ON r.id = od.id
+          WHERE od.id IS NULL
+        ),
+        r{k} AS MATERIALIZED (
+          SELECT nodes.id, nodes.sv,
+                 {(1.0 - d)!r} * nodes.sv
+                 + {d!r} * (coalesce(c.contrib, 0.0)
+                            + (SELECT dang FROM d{k}) * nodes.sv)
+                   AS rank
+          FROM nodes LEFT JOIN c{k} c ON nodes.id = c.id
+        )""")
+    parts.append(f"""
+        SELECT id, rank AS ppr FROM r{iters}""")
     return "".join(parts)
 
 
@@ -9333,4 +9391,15 @@ def oracle_sql() -> dict[str, str]:
                 '<title>([^<]*)</title>', 1)) AS INT) AS title_len
             FROM pages
         """,
+        "personalized_pagerank": _ppr_unrolled(
+            """
+              SELECT event_id % 500 AS src,
+                     ((event_id % 500) * 7 + 3) % 500 AS dst
+              FROM events
+              UNION ALL
+              SELECT event_id % 500,
+                     ((event_id % 500) * (event_id % 500) + 11) % 500
+              FROM events
+            """,
+            seeds_pred="id % 100 = 0", n_seeds=5, d=0.85, iters=10),
     }

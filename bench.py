@@ -79,7 +79,7 @@ CONTRACT_BENCH_QUERIES = (
     "c4_filter", "rolling_anomaly", "canonical_pick", "scd2_merge",
     "neighbor_jaccard", "modularity", "naive_bayes",
     "seasonal_profile", "score_calibration", "hbos_outlier",
-    "tfidf_topterms", "meta_tags",
+    "tfidf_topterms", "meta_tags", "personalized_pagerank",
 )
 
 

@@ -1351,3 +1351,71 @@ def modularity(edges: DataFrame, communities: DataFrame,
         (F.col("m_c").cast("double") / F.col("__m").cast("double")
          - (F.col("d_c").cast("double") / two_m)
          * (F.col("d_c").cast("double") / two_m)).alias("q_c"))
+
+
+def personalized_pagerank(edges: DataFrame, seeds: list,
+                          src: str = "src", dst: str = "dst",
+                          iters: int = 10,
+                          damping: float = 0.85) -> DataFrame:
+    """Random walk with restart (personalized PageRank): the teleport
+    mass returns to the SEED SET instead of the uniform vector —
+    "importance relative to these hosts", the crawl-frontier
+    prioritizer and topical-slice weigher global pagerank can't give.
+
+        r_0(v)     = s(v)
+        r_{t+1}(v) = (1-d)·s(v) + d·(Σ_{u→v} r_t(u)/outdeg(u)
+                                      + D_t·s(v))
+
+    with s(v) = 1/|S| on seeds, 0 elsewhere; dangling mass D_t restarts
+    at the seeds, so Σ r stays exactly 1 each round. Output: (id, ppr).
+
+    Scale shape is pagerank's (see above): edges hash-partitioned on
+    src ONCE and checkpointed, per-round shuffle volume O(nodes) not
+    O(edges); the seed indicator is a literal IN-predicate column on
+    the checkpointed node table — no seed-table join per round;
+    dangling mass is a 1-row broadcast. Seeds must be a small literal
+    list (a frontier batch), not a DataFrame — that variant would put
+    a |S|-sized join inside the loop.
+    """
+    if not seeds:
+        raise ValueError("seeds must be a non-empty list of node ids")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+         .where(F.col(src) != F.col(dst))
+         .distinct()
+         .repartition(F.col("a"))
+         .localCheckpoint(eager=True))
+    sv = F.when(F.col("id").isin(list(seeds)),
+                F.lit(1.0 / len(seeds))).otherwise(F.lit(0.0))
+    nodes = (e.select(F.col("a").alias("id"))
+             .union(e.select(F.col("b").alias("id")))
+             .distinct()
+             .join(e.groupBy(F.col("a").alias("id"))
+                   .agg(F.count("*").alias("outdeg")), "id", "left")
+             .withColumn("sv", sv)
+             .repartition(F.col("id"))
+             .localCheckpoint(eager=True))
+
+    ranks = nodes.withColumn("rank", F.col("sv"))
+    for _ in range(iters):
+        contrib = (e.join(ranks.where(F.col("outdeg").isNotNull())
+                          .select(F.col("id").alias("a"),
+                                  (F.col("rank") / F.col("outdeg"))
+                                  .alias("share")), "a")
+                   .groupBy(F.col("b").alias("id"))
+                   .agg(F.sum("share").alias("contrib")))
+        dang = (ranks.where(F.col("outdeg").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                     .alias("dang")))
+        ranks = (nodes.join(contrib, "id", "left")
+                 .crossJoin(F.broadcast(dang))
+                 .select("id", "outdeg", "sv",
+                         (F.lit(1.0 - damping) * F.col("sv")
+                          + F.lit(damping)
+                          * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                             + F.col("dang") * F.col("sv")))
+                         .alias("rank"))
+                 .localCheckpoint(eager=True))
+    return ranks.select("id", F.col("rank").alias("ppr"))

@@ -84,3 +84,42 @@ def test_modularity_community_without_intra_edges(spark):
     out = {r.comm: r for r in modularity(_edges(spark, e), comm).collect()}
     assert out["A"].m_c == 0 and out["A"].d_c == 2
     assert out["A"].q_c == pytest.approx(0.0 - 0.25)
+
+
+def test_ppr_two_node_closed_form(spark):
+    import pytest as _pt
+    from cartwright_spark.functions.graph import personalized_pagerank
+    # a -> b, seed {a}: r(a) converges to (1-d)+d*dang*1 with all of
+    # a's mass flowing to dangling b each round; hand-iterate to check
+    e = _edges(spark, [("a", "b")])
+    d = 0.85
+    ra, rb = 1.0, 0.0
+    for _ in range(10):
+        dang = rb                       # b has no out-edges
+        ra, rb = (1 - d) * 1.0 + d * dang * 1.0, d * ra
+    out = {r.id: r.ppr for r in
+           personalized_pagerank(e, ["a"], iters=10).collect()}
+    assert out["a"] == _pt.approx(ra, rel=1e-12)
+    assert out["b"] == _pt.approx(rb, rel=1e-12)
+
+
+def test_ppr_mass_conserved_and_seed_locality(spark):
+    import pytest as _pt
+    from cartwright_spark.functions.graph import personalized_pagerank
+    # two disconnected 2-cycles; seeding one leaves the other at 0
+    e = _edges(spark, [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")])
+    out = {r.id: r.ppr for r in
+           personalized_pagerank(e, ["a"], iters=6).collect()}
+    assert out["x"] == 0.0 and out["y"] == 0.0
+    assert sum(out.values()) == _pt.approx(1.0, rel=1e-12)
+    assert out["a"] > out["b"] > 0.0
+
+
+def test_ppr_validation(spark):
+    import pytest as _pt
+    from cartwright_spark.functions.graph import personalized_pagerank
+    e = _edges(spark, [("a", "b")])
+    with _pt.raises(ValueError, match="seeds"):
+        personalized_pagerank(e, [])
+    with _pt.raises(ValueError, match="iters"):
+        personalized_pagerank(e, ["a"], iters=0)
