@@ -4035,6 +4035,29 @@ def q_personalized_pagerank(spark, sf_dir):
                                  iters=10)
 
 
+def q_dtw_pairs(spark, sf_dir):
+    """Dynamic time warping (operators/dtw.py dtw_pairs) between 25
+    adjacent synthetic traces (16 integer points each, derived from
+    event ids): int64-exact DP in a mapInPandas kernel over narrow
+    array columns — the documented built-ins-can't-express tier.
+    Oracle: the DP unrolled over anti-diagonals (_dtw_unrolled)."""
+    from cartwright_spark.operators.dtw import dtw_pairs
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(F.pmod(F.col("event_id"), F.lit(50))
+                     .alias("t")).distinct()
+    tr = (base.select("t", F.explode(F.sequence(F.lit(1), F.lit(16)))
+                      .alias("pos"))
+          .withColumn("y",
+                      F.pmod(F.col("t") * 31 + F.col("pos") * 17,
+                             F.lit(23))
+                      + F.pmod(F.col("t") + F.col("pos"), F.lit(7))))
+    pairs = (base.where((F.pmod(F.col("t"), F.lit(2)) == 0)
+                        & (F.col("t") < 49))
+             .select(F.col("t").alias("a_id"),
+                     (F.col("t") + 1).alias("b_id")))
+    return dtw_pairs(tr, pairs, id_col="t")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -4228,6 +4251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms,
         "meta_tags": q_meta_tags,
         "personalized_pagerank": q_personalized_pagerank,
+        "dtw_pairs": q_dtw_pairs,
     }
 
 
@@ -4557,6 +4581,49 @@ def _ppr_unrolled(edges_sql: str, seeds_pred: str, n_seeds: int,
         )""")
     parts.append(f"""
         SELECT id, rank AS ppr FROM r{iters}""")
+    return "".join(parts)
+
+
+def _dtw_unrolled(tv_sql: str, pairs_sql: str, n: int, m: int) -> str:
+    """DTW DP unrolled over anti-diagonals into generated CTEs —
+    recursive CTEs can't take the 3-predecessor min (single recursive
+    reference, no aggregation), so each diagonal d is its own CTE with
+    LEFT joins to diagonals d-1/d-2; DuckDB's least() skips NULLs, so
+    border cells see only their real predecessors and (1,1) falls back
+    to coalesce(..., 0). Mirrors operators/dtw.py _dtw_int exactly.
+    ``tv_sql`` yields (t, pos 1..n|m, y); ``pairs_sql`` yields (a, b);
+    all traces must have the fixed lengths n (a-side) and m (b-side)."""
+    empty = ("SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT)"
+             " AS b, CAST(NULL AS INT) AS i, CAST(NULL AS INT) AS j,"
+             " CAST(NULL AS BIGINT) AS cost WHERE false")
+    parts = [f"""
+        WITH tv AS MATERIALIZED ({tv_sql}),
+        p AS MATERIALIZED ({pairs_sql}),
+        diag0 AS ({empty}),
+        diag1 AS ({empty})"""]
+    for d in range(2, n + m + 1):
+        lo, hi = max(1, d - m), min(n, d - 1)
+        parts.append(f""",
+        diag{d} AS MATERIALIZED (
+          SELECT p.a, p.b, CAST(av.pos AS INT) AS i,
+                 CAST({d} - av.pos AS INT) AS j,
+                 abs(av.y - bv.y)
+                 + coalesce(least(u.cost, l.cost, g.cost), 0) AS cost
+          FROM p
+          JOIN tv av ON av.t = p.a
+                    AND av.pos BETWEEN {lo} AND {hi}
+          JOIN tv bv ON bv.t = p.b AND bv.pos = {d} - av.pos
+          LEFT JOIN diag{d - 1} u ON u.a = p.a AND u.b = p.b
+                    AND u.i = av.pos - 1 AND u.j = {d} - av.pos
+          LEFT JOIN diag{d - 1} l ON l.a = p.a AND l.b = p.b
+                    AND l.i = av.pos AND l.j = {d} - av.pos - 1
+          LEFT JOIN diag{d - 2} g ON g.a = p.a AND g.b = p.b
+                    AND g.i = av.pos - 1 AND g.j = {d} - av.pos - 1
+        )""")
+    parts.append(f"""
+        SELECT a AS a_id, b AS b_id, CAST({n} AS INT) AS n,
+               CAST({m} AS INT) AS m, CAST(cost AS BIGINT) AS dtw
+        FROM diag{n + m}""")
     return "".join(parts)
 
 
@@ -9402,4 +9469,17 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             """,
             seeds_pred="id % 100 = 0", n_seeds=5, d=0.85, iters=10),
+        "dtw_pairs": _dtw_unrolled(
+            """
+              SELECT t, pos,
+                     (t * 31 + pos * 17) % 23 + (t + pos) % 7 AS y
+              FROM (SELECT DISTINCT event_id % 50 AS t FROM events)
+              CROSS JOIN (SELECT unnest(range(1, 17)) AS pos)
+            """,
+            """
+              SELECT t AS a, t + 1 AS b
+              FROM (SELECT DISTINCT event_id % 50 AS t FROM events)
+              WHERE t % 2 = 0 AND t < 49
+            """,
+            n=16, m=16),
     }
