@@ -4058,6 +4058,33 @@ def q_dtw_pairs(spark, sf_dir):
     return dtw_pairs(tr, pairs, id_col="t")
 
 
+def q_ab_ztest(spark, sf_dir):
+    """Two-proportion pooled z-test per experiment (operators/abtest.py
+    ab_ztest): arms from user parity, success = value > 55 — one
+    conditional-aggregate groupBy, closed-form z over exact bigint
+    counts, NULL on degenerate pooled variance. Oracle: identical
+    expression shape."""
+    from cartwright_spark.operators.abtest import ab_ztest
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("exp"),
+        F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0,
+               F.lit("c")).otherwise(F.lit("t")).alias("variant"),
+        (F.col("value") > 55).cast("int").alias("success"))
+    return ab_ztest(ev, "exp", "variant", "success", "c", "t")
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (operators/abtest.py k_anonymity) over
+    (event_type, user bucket) quasi-identifiers at k=5: one groupBy,
+    violating combos only (output bounded by construction). Oracle:
+    GROUP BY ... HAVING count < k."""
+    from cartwright_spark.operators.abtest import k_anonymity
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(5000)).alias("uid_bucket"))
+    return k_anonymity(ev, ["event_type", "uid_bucket"], k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -4252,6 +4279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_tags": q_meta_tags,
         "personalized_pagerank": q_personalized_pagerank,
         "dtw_pairs": q_dtw_pairs,
+        "ab_ztest": q_ab_ztest,
+        "k_anonymity": q_k_anonymity,
     }
 
 
@@ -9482,4 +9511,49 @@ def oracle_sql() -> dict[str, str]:
               WHERE t % 2 = 0 AND t < 49
             """,
             n=16, m=16),
+        "ab_ztest": """
+            WITH d AS (
+              SELECT event_type AS exp,
+                     CASE WHEN user_id % 2 = 0 THEN 'c' ELSE 't' END
+                       AS variant,
+                     CAST(value > 55 AS INT) AS success
+              FROM events
+            ),
+            agg AS (
+              SELECT exp,
+                CAST(sum(CASE WHEN variant = 'c' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_c,
+                CAST(sum(CASE WHEN variant = 'c' THEN success
+                              ELSE 0 END) AS BIGINT) AS x_c,
+                CAST(sum(CASE WHEN variant = 't' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_t,
+                CAST(sum(CASE WHEN variant = 't' THEN success
+                              ELSE 0 END) AS BIGINT) AS x_t
+              FROM d GROUP BY exp
+            ),
+            sel AS (
+              SELECT exp, n_c, x_c, n_t, x_t,
+                     CAST(x_c AS DOUBLE) / n_c AS p_c,
+                     CAST(x_t AS DOUBLE) / n_t AS p_t,
+                     CAST(x_c + x_t AS DOUBLE) / (n_c + n_t) AS pool
+              FROM agg WHERE n_c > 0 AND n_t > 0
+            )
+            SELECT exp, n_c, x_c, n_t, x_t, p_c, p_t,
+                   CASE WHEN pool * (1.0 - pool)
+                             * (1.0 / n_c + 1.0 / n_t) > 0
+                        THEN (p_t - p_c)
+                             / sqrt(pool * (1.0 - pool)
+                                    * (1.0 / n_c + 1.0 / n_t))
+                   END AS z
+            FROM sel
+        """,
+        "k_anonymity": """
+            SELECT event_type,
+                   ((user_id % 5000) + 5000) % 5000 AS uid_bucket,
+                   count(*) AS n_rows,
+                   CAST(5 - count(*) AS BIGINT) AS deficit
+            FROM events
+            GROUP BY 1, 2
+            HAVING count(*) < 5
+        """,
     }
