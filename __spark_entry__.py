@@ -12,6 +12,7 @@ doubles and value hashes match.
 
 from __future__ import annotations
 
+import math as _math
 from collections.abc import Callable
 from functools import lru_cache
 
@@ -4085,6 +4086,26 @@ def q_k_anonymity(spark, sf_dir):
     return k_anonymity(ev, ["event_type", "uid_bucket"], k=5)
 
 
+def q_hillshade_grid(spark, sf_dir):
+    """Horn hillshade over a synthetic 40x40 DEM (spatial/terrain.py
+    hillshade): scatter-gather 3x3 neighborhood — 9-way in-row
+    explode, ONE groupBy with conditional directional sums (exact
+    bigint), fixed-shape trig on top. Oracle: identical scatter
+    arithmetic + literals."""
+    from cartwright_spark.spatial.terrain import hillshade
+    ev = _t(spark, sf_dir, "events")
+    cells = (ev.select(F.pmod(F.col("event_id"), F.lit(1600))
+                       .alias("v")).distinct()
+             .select(F.pmod(F.col("v"), F.lit(40)).alias("x"),
+                     F.floor(F.col("v") / 40).cast("bigint")
+                     .alias("y")))
+    grid = cells.withColumn(
+        "z", F.pmod(F.col("x") * F.col("x") * 3
+                    + F.col("y") * F.col("y") * 2
+                    + F.col("x") * F.col("y"), F.lit(97)))
+    return hillshade(grid)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -4281,6 +4302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_pairs": q_dtw_pairs,
         "ab_ztest": q_ab_ztest,
         "k_anonymity": q_k_anonymity,
+        "hillshade_grid": q_hillshade_grid,
     }
 
 
@@ -9555,5 +9577,61 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
             HAVING count(*) < 5
+        """,
+        "hillshade_grid": f"""
+            WITH cells AS (
+              SELECT v % 40 AS x, v // 40 AS y
+              FROM (SELECT DISTINCT event_id % 1600 AS v FROM events)
+            ),
+            grid AS (
+              SELECT x, y, (x*x*3 + y*y*2 + x*y) % 97 AS z FROM cells
+            ),
+            offs(dx, dy) AS (VALUES
+              (-1,-1), (-1,0), (-1,1), (0,-1), (0,0), (0,1),
+              (1,-1), (1,0), (1,1)),
+            scat AS (
+              SELECT grid.x + offs.dx AS tx, grid.y + offs.dy AS ty,
+                     -offs.dx AS rx, -offs.dy AS ry,
+                     CAST(grid.z AS BIGINT) AS z
+              FROM grid CROSS JOIN offs
+            ),
+            agg AS (
+              SELECT tx AS x, ty AS y, count(*) AS n9,
+                CAST(sum(CASE WHEN rx=-1 AND ry=1  THEN z ELSE 0 END)
+                     AS BIGINT) AS a,
+                CAST(sum(CASE WHEN rx=0  AND ry=1  THEN z ELSE 0 END)
+                     AS BIGINT) AS b,
+                CAST(sum(CASE WHEN rx=1  AND ry=1  THEN z ELSE 0 END)
+                     AS BIGINT) AS c,
+                CAST(sum(CASE WHEN rx=-1 AND ry=0  THEN z ELSE 0 END)
+                     AS BIGINT) AS d,
+                CAST(sum(CASE WHEN rx=1  AND ry=0  THEN z ELSE 0 END)
+                     AS BIGINT) AS f,
+                CAST(sum(CASE WHEN rx=-1 AND ry=-1 THEN z ELSE 0 END)
+                     AS BIGINT) AS g,
+                CAST(sum(CASE WHEN rx=0  AND ry=-1 THEN z ELSE 0 END)
+                     AS BIGINT) AS h,
+                CAST(sum(CASE WHEN rx=1  AND ry=-1 THEN z ELSE 0 END)
+                     AS BIGINT) AS i
+              FROM scat GROUP BY tx, ty
+              HAVING count(*) = 9
+            ),
+            d2 AS (
+              SELECT x, y,
+                CAST((c + 2*f + i) - (a + 2*d + g) AS DOUBLE) / 8.0
+                  AS dzdx,
+                CAST((a + 2*b + c) - (g + 2*h + i) AS DOUBLE) / 8.0
+                  AS dzdy
+              FROM agg
+            )
+            SELECT x, y, dzdx, dzdy,
+              greatest(0.0, 255.0 * (
+                {_math.cos(_math.radians(45.0))!r}
+                  * cos(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))
+                + {_math.sin(_math.radians(45.0))!r}
+                  * sin(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))
+                  * cos({_math.radians(315.0) - _math.pi / 2.0!r}
+                        - atan2(dzdy, -dzdx)))) AS hillshade
+            FROM d2
         """,
     }

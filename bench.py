@@ -80,7 +80,7 @@ CONTRACT_BENCH_QUERIES = (
     "neighbor_jaccard", "modularity", "naive_bayes",
     "seasonal_profile", "score_calibration", "hbos_outlier",
     "tfidf_topterms", "meta_tags", "personalized_pagerank",
-    "dtw_pairs", "ab_ztest", "k_anonymity",
+    "dtw_pairs", "ab_ztest", "k_anonymity", "hillshade_grid",
 )
 
 
