@@ -4106,6 +4106,24 @@ def q_hillshade_grid(spark, sf_dir):
     return hillshade(grid)
 
 
+def q_geofence_transitions(spark, sf_dir):
+    """Geofence enter/exit events (spatial/geofence.py
+    geofence_transitions): three broadcast circle fences on an integer
+    grid, EXACT int64 membership, lag-edge detection on one
+    (entity, fence) exchange. Oracle: identical predicate + window."""
+    from cartwright_spark.spatial.geofence import geofence_transitions
+    ev = _t(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(20)).alias("entity"),
+        "ts", "event_id",
+        F.pmod(F.col("event_id") * 37, F.lit(100)).alias("x"),
+        F.pmod(F.col("event_id") * 73, F.lit(100)).alias("y"))
+    fences = spark.createDataFrame(
+        [(1, 25, 25, 15), (2, 70, 60, 20), (3, 50, 50, 40)],
+        "fence_id int, cx long, cy long, r long")
+    return geofence_transitions(ev, fences,
+                                order_cols=["ts", "event_id"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -4303,6 +4321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_ztest": q_ab_ztest,
         "k_anonymity": q_k_anonymity,
         "hillshade_grid": q_hillshade_grid,
+        "geofence_transitions": q_geofence_transitions,
     }
 
 
@@ -9633,5 +9652,33 @@ def oracle_sql() -> dict[str, str]:
                   * cos({_math.radians(315.0) - _math.pi / 2.0!r}
                         - atan2(dzdy, -dzdx)))) AS hillshade
             FROM d2
+        """,
+"geofence_transitions": """
+            WITH pts AS (
+              SELECT ((user_id % 20) + 20) % 20 AS entity, ts, event_id,
+                     (((event_id * 37) % 100) + 100) % 100 AS x,
+                     (((event_id * 73) % 100) + 100) % 100 AS y
+              FROM events
+            ),
+            fences(fence_id, cx, cy, r) AS (VALUES
+              (1, 25, 25, 15), (2, 70, 60, 20), (3, 50, 50, 40)),
+            tagged AS (
+              SELECT p.entity, p.ts, p.event_id, p.x, p.y, f.fence_id,
+                     CAST((p.x - f.cx) * (p.x - f.cx)
+                          + (p.y - f.cy) * (p.y - f.cy)
+                          <= f.r * f.r AS INT) AS inside
+              FROM pts p CROSS JOIN fences f
+            ),
+            lg AS (
+              SELECT *, lag(inside) OVER (PARTITION BY entity, fence_id
+                                          ORDER BY ts, event_id) AS prev
+              FROM tagged
+            )
+            SELECT entity, fence_id, ts, event_id, x, y, inside,
+                   CASE WHEN inside = 1 THEN 'enter'
+                        ELSE 'exit' END AS event
+            FROM lg
+            WHERE (prev IS NULL AND inside = 1)
+               OR (prev IS NOT NULL AND prev <> inside)
         """,
     }
