@@ -18,9 +18,8 @@ def test_geofence_enter_exit_sequence(spark):
     out = sorted(geofence_transitions(
         pts, _fences(spark, [(1, 5, 0, 2)]), order_cols=["ts"]).collect(),
         key=lambda r: r.ts)
-    assert [(r.ts, r.event) for r in out] == [(2, "enter"), (6, "exit")]
-    # boundary: x=3 -> dx^2 = 4 = r^2 is INSIDE (<=)
-    assert out[0].x == 4 or True  # enter fires at first inside point
+    # x=3 at t=1 is exactly r away -> boundary-inclusive enter there
+    assert [(r.ts, r.event) for r in out] == [(1, "enter"), (6, "exit")]
     assert out[0].inside == 1 and out[1].inside == 0
 
 
