@@ -4124,6 +4124,23 @@ def q_geofence_transitions(spark, sf_dir):
                                 order_cols=["ts", "event_id"])
 
 
+def q_route_waypoints(spark, sf_dir):
+    """Great-circle densification (spatial/routes.py
+    great_circle_waypoints): 9 slerp waypoints per synthetic OD pair —
+    one in-row explode, zero shuffles, fixed trig expression shape.
+    Oracle: the identical slerp arithmetic in DuckDB."""
+    from cartwright_spark.spatial.routes import great_circle_waypoints
+    k = F.col("o_orderkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (((k * 7919) % 17001) / 100.0 - 85.0).alias("lat1"),
+        (((k * 104729) % 36001) / 100.0 - 180.0).alias("lon1"),
+        (((k * 4241 + 13) % 17001) / 100.0 - 85.0).alias("lat2"),
+        (((k * 9973 + 7) % 36001) / 100.0 - 180.0).alias("lon2"))
+    return great_circle_waypoints(o, k=8).select(
+        "o_orderkey", "step", "frac", "wp_lat", "wp_lon")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -4322,6 +4339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "hillshade_grid": q_hillshade_grid,
         "geofence_transitions": q_geofence_transitions,
+        "route_waypoints": q_route_waypoints,
     }
 
 
@@ -9680,5 +9698,60 @@ def oracle_sql() -> dict[str, str]:
             FROM lg
             WHERE (prev IS NULL AND inside = 1)
                OR (prev IS NOT NULL AND prev <> inside)
+        """,
+"route_waypoints": """
+            WITH r AS (
+              SELECT o_orderkey,
+                ((o_orderkey * 7919) % 17001) / 100.0 - 85.0 AS lat1,
+                ((o_orderkey * 104729) % 36001) / 100.0 - 180.0 AS lon1,
+                ((o_orderkey * 4241 + 13) % 17001) / 100.0 - 85.0
+                  AS lat2,
+                ((o_orderkey * 9973 + 7) % 36001) / 100.0 - 180.0
+                  AS lon2
+              FROM orders
+            ),
+            v AS (
+              SELECT o_orderkey,
+                cos(lat1 * 0.017453292519943295)
+                  * cos(lon1 * 0.017453292519943295) AS ax,
+                cos(lat1 * 0.017453292519943295)
+                  * sin(lon1 * 0.017453292519943295) AS ay,
+                sin(lat1 * 0.017453292519943295) AS az,
+                cos(lat2 * 0.017453292519943295)
+                  * cos(lon2 * 0.017453292519943295) AS bx,
+                cos(lat2 * 0.017453292519943295)
+                  * sin(lon2 * 0.017453292519943295) AS by,
+                sin(lat2 * 0.017453292519943295) AS bz
+              FROM r
+            ),
+            w AS (
+              SELECT *, acos(least(1.0, greatest(-1.0,
+                         ax * bx + ay * by + az * bz))) AS d
+              FROM v
+            ),
+            e AS (
+              SELECT w.*, s.step
+              FROM w CROSS JOIN
+                   (SELECT unnest(range(0, 9)) AS step) s
+              WHERE sin(w.d) > 1e-7
+            )
+            SELECT o_orderkey, CAST(step AS INT) AS step,
+                   CAST(step AS DOUBLE) / 8.0 AS frac,
+                   asin(least(1.0, greatest(-1.0,
+                     sin((1.0 - CAST(step AS DOUBLE) / 8.0) * d)
+                       / sin(d) * az
+                     + sin(CAST(step AS DOUBLE) / 8.0 * d)
+                       / sin(d) * bz)))
+                     * 57.29577951308232 AS wp_lat,
+                   atan2(sin((1.0 - CAST(step AS DOUBLE) / 8.0) * d)
+                           / sin(d) * ay
+                         + sin(CAST(step AS DOUBLE) / 8.0 * d)
+                           / sin(d) * by,
+                         sin((1.0 - CAST(step AS DOUBLE) / 8.0) * d)
+                           / sin(d) * ax
+                         + sin(CAST(step AS DOUBLE) / 8.0 * d)
+                           / sin(d) * bx)
+                     * 57.29577951308232 AS wp_lon
+            FROM e
         """,
     }
