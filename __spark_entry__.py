@@ -4141,6 +4141,27 @@ def q_route_waypoints(spark, sf_dir):
         "o_orderkey", "step", "frac", "wp_lat", "wp_lon")
 
 
+def q_ktruss_edges(spark, sf_dir):
+    """k-truss peel (functions/graph.py ktruss_edges) at k=3 over a
+    500-node circulant-block graph — C10(1,2) blocks carry triangles
+    (step-1 edges support 2, step-2 support 1), the 7a+3 chords are
+    mostly triangle-free and peel away; 4 declarative rounds, no
+    driver convergence action. Oracle: _ktruss_unrolled."""
+    from cartwright_spark.functions.graph import ktruss_edges
+    ev = _t(spark, sf_dir, "events")
+    a = F.pmod(F.col("event_id"), F.lit(500))
+    i = F.pmod(a, F.lit(10))
+    blk = a - i
+    e1 = ev.select(a.alias("src"),
+                   (blk + F.pmod(i + 1, F.lit(10))).alias("dst"))
+    e2 = ev.select(a.alias("src"),
+                   (blk + F.pmod(i + 2, F.lit(10))).alias("dst"))
+    e3 = ev.select(a.alias("src"),
+                   F.pmod(a * 7 + 3, F.lit(500)).alias("dst"))
+    return ktruss_edges(e1.unionByName(e2).unionByName(e3),
+                        k=3, rounds=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -4340,6 +4361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hillshade_grid": q_hillshade_grid,
         "geofence_transitions": q_geofence_transitions,
         "route_waypoints": q_route_waypoints,
+        "ktruss_edges": q_ktruss_edges,
     }
 
 
@@ -4712,6 +4734,47 @@ def _dtw_unrolled(tv_sql: str, pairs_sql: str, n: int, m: int) -> str:
         SELECT a AS a_id, b AS b_id, CAST({n} AS INT) AS n,
                CAST({m} AS INT) AS m, CAST(cost AS BIGINT) AS dtw
         FROM diag{n + m}""")
+    return "".join(parts)
+
+
+def _ktruss_unrolled(canon_sql: str, k: int = 3,
+                     rounds: int = 4) -> str:
+    """k-truss peel unrolled into chained CTEs (the _kcore_unrolled
+    pattern). Mirrors functions/graph.py ktruss_edges exactly: per
+    round one (a<b<c) wedge-join triangle enumeration, 3-way edge
+    explode, support count, >= k-2 filter; final support recount on
+    the surviving edges. ``canon_sql`` must yield the canonical u<v
+    DISTINCT edge list."""
+    thresh = int(k) - 2
+    parts = [f"""
+        WITH e0 AS MATERIALIZED ({canon_sql})"""]
+    for r in range(rounds + 1):
+        parts.append(f""",
+        tr{r} AS MATERIALIZED (
+          SELECT w1.u AS a, w1.v AS b, w2.v AS c
+          FROM e{r} w1
+          JOIN e{r} w2 ON w1.u = w2.u AND w1.v < w2.v
+          JOIN e{r} w3 ON w3.u = w1.v AND w3.v = w2.v
+        ),
+        s{r} AS MATERIALIZED (
+          SELECT u, v, CAST(count(*) AS BIGINT) AS sup
+          FROM (
+            SELECT a AS u, b AS v FROM tr{r}
+            UNION ALL SELECT a AS u, c AS v FROM tr{r}
+            UNION ALL SELECT b AS u, c AS v FROM tr{r}
+          ) GROUP BY u, v
+        )""")
+        if r < rounds:
+            parts.append(f""",
+        e{r + 1} AS MATERIALIZED (
+          SELECT e.u, e.v FROM e{r} e
+          LEFT JOIN s{r} s ON e.u = s.u AND e.v = s.v
+          WHERE coalesce(s.sup, 0) >= {thresh}
+        )""")
+    parts.append(f"""
+        SELECT e.u, e.v, CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+        FROM e{rounds} e
+        LEFT JOIN s{rounds} s ON e.u = s.u AND e.v = s.v""")
     return "".join(parts)
 
 
@@ -9754,4 +9817,23 @@ def oracle_sql() -> dict[str, str]:
                      * 57.29577951308232 AS wp_lon
             FROM e
         """,
+        "ktruss_edges": _ktruss_unrolled(
+            """
+              SELECT DISTINCT
+                     least(CAST(s AS VARCHAR), CAST(t AS VARCHAR)) AS u,
+                     greatest(CAST(s AS VARCHAR), CAST(t AS VARCHAR))
+                       AS v
+              FROM (
+                SELECT a AS s,
+                       a - (a % 10) + ((a % 10) + 1) % 10 AS t
+                FROM (SELECT event_id % 500 AS a FROM events)
+                UNION ALL
+                SELECT a, a - (a % 10) + ((a % 10) + 2) % 10
+                FROM (SELECT event_id % 500 AS a FROM events)
+                UNION ALL
+                SELECT a, (a * 7 + 3) % 500
+                FROM (SELECT event_id % 500 AS a FROM events)
+              )
+              WHERE CAST(s AS VARCHAR) <> CAST(t AS VARCHAR)
+            """, k=3, rounds=4),
     }

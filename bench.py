@@ -81,7 +81,7 @@ CONTRACT_BENCH_QUERIES = (
     "seasonal_profile", "score_calibration", "hbos_outlier",
     "tfidf_topterms", "meta_tags", "personalized_pagerank",
     "dtw_pairs", "ab_ztest", "k_anonymity", "hillshade_grid",
-    "geofence_transitions", "route_waypoints",
+    "geofence_transitions", "route_waypoints", "ktruss_edges",
 )
 
 

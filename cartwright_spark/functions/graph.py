@@ -1419,3 +1419,64 @@ def personalized_pagerank(edges: DataFrame, seeds: list,
                          .alias("rank"))
                  .localCheckpoint(eager=True))
     return ranks.select("id", F.col("rank").alias("ppr"))
+
+
+def ktruss_edges(edges: DataFrame, k: int = 3,
+                 rounds: int = 5, src: str = "src",
+                 dst: str = "dst") -> DataFrame:
+    """k-truss of the undirected simple graph: the maximal subgraph
+    where every edge closes at least k-2 triangles — the standard
+    community-core sharper than k-core (Cohen 2008). Iterative peel:
+    count per-edge triangle support, drop edges under k-2, recount.
+
+    -> (u, v, support) for surviving edges with their FINAL support.
+
+    Fully declarative fixed-round form: exactly ``rounds`` peels with
+    no driver-side convergence action (a converged graph makes the
+    remaining rounds no-ops, so results at round R equal the fixpoint
+    whenever R >= the peel depth — the SCC/k-core round-budget
+    discipline). Per round: triangles enumerate ONCE each through the
+    (a<b<c) smallest-vertex wedge join (two equi-joins over the u<v
+    canonical edge list), explode to their 3 edges, one algebraic
+    support count, one semijoin filter; lineage truncated per round
+    with an eager localCheckpoint.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = (edges.select(F.col(src).cast("string").alias("a"),
+                      F.col(dst).cast("string").alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .select(F.least("a", "b").alias("u"),
+                 F.greatest("a", "b").alias("v"))
+         .distinct()
+         .localCheckpoint(eager=True))
+
+    def support(ed: DataFrame) -> DataFrame:
+        w1 = ed.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        w2 = ed.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        tri = (w1.join(w2, "a")
+               .where(F.col("b") < F.col("c"))
+               .join(ed.select(F.col("u").alias("b"),
+                               F.col("v").alias("c")), ["b", "c"]))
+        sides = tri.select(F.col("a").alias("u"), F.col("b").alias("v")) \
+            .unionAll(tri.select(F.col("a").alias("u"),
+                                 F.col("c").alias("v"))) \
+            .unionAll(tri.select(F.col("b").alias("u"),
+                                 F.col("c").alias("v")))
+        return (sides.groupBy("u", "v")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("support")))
+
+    thresh = int(k) - 2
+    for _ in range(rounds):
+        sup = support(e)
+        e = (e.join(sup, ["u", "v"], "left")
+             .where(F.coalesce(F.col("support"), F.lit(0)) >= thresh)
+             .select("u", "v")
+             .localCheckpoint(eager=True))
+    final = support(e)
+    return (e.join(final, ["u", "v"], "left")
+            .select("u", "v",
+                    F.coalesce(F.col("support"),
+                               F.lit(0).cast("bigint")).alias("support")))

@@ -123,3 +123,44 @@ def test_ppr_validation(spark):
         personalized_pagerank(e, [])
     with _pt.raises(ValueError, match="iters"):
         personalized_pagerank(e, ["a"], iters=0)
+
+
+def test_ktruss_triangle_with_pendant(spark):
+    from cartwright_spark.functions.graph import ktruss_edges
+    # triangle abc + pendant edge c-d: 3-truss keeps the triangle only
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    out = {(r.u, r.v): r.support
+           for r in ktruss_edges(e, k=3, rounds=3).collect()}
+    assert out == {("a", "b"): 1, ("b", "c"): 1, ("a", "c"): 1}
+
+
+def test_ktruss_k4_survives_k4_truss(spark):
+    from cartwright_spark.functions.graph import ktruss_edges
+    # K4: every edge in 2 triangles -> survives k=4 (support >= 2)
+    k4 = [(a, b) for i, a in enumerate("wxyz")
+          for b in "wxyz"[i + 1:]]
+    out = ktruss_edges(_edges(spark, k4), k=4, rounds=3).collect()
+    assert len(out) == 6 and all(r.support == 2 for r in out)
+    # but k=5 (support >= 3) peels everything
+    assert ktruss_edges(_edges(spark, k4), k=5, rounds=3).count() == 0
+
+
+def test_ktruss_cascading_peel(spark):
+    from cartwright_spark.functions.graph import ktruss_edges
+    # two triangles sharing edge (b,c), plus a tail making a fragile
+    # triangle that only dies after the first peel removes its side
+    e = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"),
+         ("d", "e"), ("c", "e")]
+    # k=4: edge (b,c) has support 2, all others 1 -> everything peels
+    # (cascade: removing support-1 edges kills (b,c)'s triangles too)
+    assert ktruss_edges(_edges(spark, e), k=4, rounds=4).count() == 0
+
+
+def test_ktruss_validation(spark):
+    import pytest as _pt
+    from cartwright_spark.functions.graph import ktruss_edges
+    e = _edges(spark, [("a", "b")])
+    with _pt.raises(ValueError, match="k must"):
+        ktruss_edges(e, k=1)
+    with _pt.raises(ValueError, match="rounds"):
+        ktruss_edges(e, rounds=0)
