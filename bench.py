@@ -193,9 +193,19 @@ def main() -> None:
     warm_wd = workdir + "_warm"
     shutil.rmtree(warm_wd, ignore_errors=True)
     run_pipeline(spark, warm_wd, n_pages=2000, s2_level=10, zoom=8)
-    t0 = time.perf_counter()
-    run_pipeline(spark, workdir, n_pages=n_pages, s2_level=10, zoom=8)
-    pipe_sec = time.perf_counter() - t0
+    # min-of-2 like every other bench row (a second run on the SAME
+    # workdir would just resume from committed snapshots, so each rep
+    # gets a fresh copy of the pages-only catalog — the copy is outside
+    # the clock, matching the "pages pre-committed" semantics above)
+    pipe_sec = None
+    for rep in range(2):
+        wd = f"{workdir}_rep{rep}"
+        shutil.rmtree(wd, ignore_errors=True)
+        shutil.copytree(workdir, wd)
+        t0 = time.perf_counter()
+        run_pipeline(spark, wd, n_pages=n_pages, s2_level=10, zoom=8)
+        dt = time.perf_counter() - t0
+        pipe_sec = dt if pipe_sec is None else min(pipe_sec, dt)
     queries["pages_pipeline"] = round(pipe_sec, 3)
     docs_per_sec = n_pages / pipe_sec
 

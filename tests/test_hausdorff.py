@@ -86,3 +86,36 @@ def test_hausdorff_partition_invariance(tracks):
                for r in hausdorff_join(df.repartition(13, "lat"),
                                        max_dist=4.0).collect())
     assert a == b
+
+
+def test_kernel_and_dataframe_refines_bit_equal(spark):
+    from cartwright_spark.spatial.hausdorff import hausdorff_join
+    import random
+    rnd = random.Random(7)
+    rows = [(t, rnd.uniform(-5, 5) + (t % 4) * 3,
+             rnd.uniform(-5, 5) + (t % 3) * 2)
+            for t in range(8) for _ in range(60)]
+    pts = spark.createDataFrame(rows, "traj_id long, lat double, lon double")
+    kern = {(r.id_a, r.id_b): r.hausdorff_sq
+            for r in hausdorff_join(pts, max_dist=20.0,
+                                    refine="kernel").collect()}
+    dfr = {(r.id_a, r.id_b): r.hausdorff_sq
+           for r in hausdorff_join(pts, max_dist=20.0,
+                                   refine="dataframe").collect()}
+    assert kern == dfr and len(kern) > 0      # bit-identical doubles
+
+
+def test_refine_auto_picks_kernel_for_small_and_validates(spark):
+    import pytest as _pt
+    from cartwright_spark.spatial.hausdorff import hausdorff_join
+    pts = spark.createDataFrame([(1, 0.0, 0.0), (2, 1.0, 1.0)],
+                                "traj_id long, lat double, lon double")
+    plan = (hausdorff_join(pts, max_dist=5.0)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "mapInPandas" in plan or "MapInPandas" in plan
+    # forced dataframe path keeps the pure-JVM cascade
+    plan2 = (hausdorff_join(pts, max_dist=5.0, refine="dataframe")
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" not in plan2
+    with _pt.raises(ValueError, match="refine"):
+        hausdorff_join(pts, refine="bogus")
