@@ -520,7 +520,8 @@ def cost_distance(points: DataFrame, lat: str = "lat", lon: str = "lon",
 
 
 def label_propagation(edges: DataFrame, src: str = "src",
-                      dst: str = "dst", iters: int = 5) -> DataFrame:
+                      dst: str = "dst", iters: int = 5,
+                      driver_threshold: int = 100_000) -> DataFrame:
     """Synchronous label propagation communities (Raghavan/Albert/
     Kumara 2007, Phys. Rev. E 76) — deterministic variant: undirected
     symmetrized graph, label_0(v) = v, and each round every node takes
@@ -543,6 +544,14 @@ def label_propagation(edges: DataFrame, src: str = "src",
     reducer; there is no per-node window sort anywhere. Per-round
     lineage is truncated with an eager localCheckpoint so the DAG
     stays O(1) deep at any iteration count.
+
+    Metadata-scale edge lists (<= ``driver_threshold`` symmetrized
+    rows, counted first on the checkpointed table) take a guarded
+    driver mirror of the same integer-exact vote/tiebreak recursion —
+    result-identical by construction (counts and min-label ties are
+    deterministic, no float anywhere), avoiding iters x 4 jobs of
+    scheduling latency (the scc/harmonic/diameter discipline); the
+    distributed path stays under test via driver_threshold=0.
     """
     e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
          .where(F.col(src).isNotNull() & F.col(dst).isNotNull()))
@@ -551,6 +560,25 @@ def label_propagation(edges: DataFrame, src: str = "src",
          .distinct()
          .repartition(F.col("a"))
          .localCheckpoint(eager=True))
+
+    if driver_threshold and e.count() <= driver_threshold:
+        import collections
+        spark = e.sparkSession
+        adj = collections.defaultdict(list)
+        for r in e.collect():            # symmetrized: both directions present
+            adj[r["a"]].append(r["b"])
+        lab = {v: v for v in adj}
+        for _ in range(int(iters)):
+            nxt = {}
+            for v, nbrs in adj.items():
+                cnt = collections.Counter(lab[u] for u in nbrs)
+                cnt[lab[v]] += 1                       # the self-vote
+                best = max(cnt.values())
+                nxt[v] = min(l for l, c in cnt.items() if c == best)
+            lab = nxt
+        id_t = e.schema["a"].dataType.simpleString()
+        return spark.createDataFrame(
+            sorted(lab.items()), f"id {id_t}, label {id_t}")
     labels = (e.select(F.col("a").alias("id"))
               .distinct()
               .withColumn("label", F.col("id"))

@@ -1496,3 +1496,17 @@ def test_tfidf_validation_and_min_len(spark):
     assert terms == {"ab", "abc"}       # single chars dropped
     with pytest.raises(ValueError, match="topk"):
         tfidf_top_terms(docs, topk=0)
+
+
+def test_lpa_driver_and_distributed_paths_identical(spark):
+    from cartwright_spark.functions.graph import label_propagation
+    c1 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    c2 = [(a + 20, b + 20) for a, b in c1]
+    edges = spark.createDataFrame(c1 + c2 + [(4, 20), (3, 21)],
+                                  ["src", "dst"])
+    fast = sorted(map(tuple,
+                      label_propagation(edges, iters=4).collect()))
+    dist = sorted(map(tuple,
+                      label_propagation(edges, iters=4,
+                                        driver_threshold=0).collect()))
+    assert fast == dist and len(fast) == 10
