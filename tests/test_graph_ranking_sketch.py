@@ -1510,3 +1510,16 @@ def test_lpa_driver_and_distributed_paths_identical(spark):
                       label_propagation(edges, iters=4,
                                         driver_threshold=0).collect()))
     assert fast == dist and len(fast) == 10
+
+
+def test_cc_driver_and_distributed_paths_identical(spark):
+    from cartwright_spark.functions.graph import connected_components
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21)],
+        ["src", "dst"])
+    fast = sorted(map(tuple, connected_components(edges).collect()))
+    dist = sorted(map(tuple, connected_components(
+        edges, driver_threshold=0).collect()))
+    assert fast == dist
+    assert dict(fast) == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10,
+                          20: 20, 21: 20}
