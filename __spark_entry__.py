@@ -4162,6 +4162,31 @@ def q_ktruss_edges(spark, sf_dir):
                         k=3, rounds=4)
 
 
+def q_viterbi_path(spark, sf_dir):
+    """Viterbi decoding (operators/viterbi.py viterbi_decode): 4-state
+    integer max-plus HMM over each user-bucket's first 12 quantized
+    observations — exact DP in the mapInPandas kernel, deterministic
+    larger-prev/larger-state tiebreaks. Oracle: the recurrence
+    unrolled per step (_viterbi_unrolled) with struct-max tiebreaks."""
+    from cartwright_spark.operators.viterbi import viterbi_decode
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.pmod(F.col("user_id"), F.lit(30)).alias("seq"),
+        "ts", "event_id",
+        F.pmod(F.floor("value").cast("bigint"), F.lit(8)).alias("o"))
+    w = Window.partitionBy("seq").orderBy("ts", "event_id")
+    d = d.withColumn("t", F.row_number().over(w)).where(F.col("t") <= 12)
+    fullseq = (d.groupBy("seq").agg(F.count(F.lit(1)).alias("n"))
+               .where(F.col("n") == 12).select("seq"))
+    d = d.join(fullseq, "seq")
+    return viterbi_decode(
+        d, 4,
+        init_w=lambda s: (s * 2 + 1) % 5,
+        trans_w=lambda sp, s: (sp * 3 + s * 5) % 7,
+        emit_w=lambda s, o: (s * 11 + o * 13) % 17,
+        seq_col="seq", t_col="t", obs_col="o")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -4362,6 +4387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geofence_transitions": q_geofence_transitions,
         "route_waypoints": q_route_waypoints,
         "ktruss_edges": q_ktruss_edges,
+        "viterbi_path": q_viterbi_path,
     }
 
 
@@ -4775,6 +4801,69 @@ def _ktruss_unrolled(canon_sql: str, k: int = 3,
         SELECT e.u, e.v, CAST(coalesce(s.sup, 0) AS BIGINT) AS support
         FROM e{rounds} e
         LEFT JOIN s{rounds} s ON e.u = s.u AND e.v = s.v""")
+    return "".join(parts)
+
+
+def _viterbi_unrolled(T: int = 12, S: int = 4) -> str:
+    """Viterbi max-plus recurrence unrolled per time step into
+    generated CTEs. Mirrors operators/viterbi.py viterbi_decode with
+    the contract model (init (2s+1)%5, trans (3s'+5s)%7, emit
+    (11s+13o)%17) exactly: struct_pack(sc, pv, ph) max implements the
+    score-then-larger-prev tiebreak, the final struct_pack(sc, st, ph)
+    max the score-then-larger-state rule."""
+    states = ", ".join(f"({s})" for s in range(S))
+    parts = [f"""
+        WITH base AS (
+          SELECT ((user_id % 30) + 30) % 30 AS seq, ts, event_id,
+                 ((CAST(floor(value) AS BIGINT) % 8) + 8) % 8 AS o
+          FROM events
+        ),
+        ordered AS (
+          SELECT seq, o,
+                 row_number() OVER (PARTITION BY seq
+                                    ORDER BY ts, event_id) AS t
+          FROM base
+        ),
+        obs AS MATERIALIZED (
+          SELECT seq, t, o FROM ordered WHERE t <= {T}
+        ),
+        fullseq AS MATERIALIZED (
+          SELECT seq FROM obs GROUP BY seq HAVING count(*) = {T}
+        ),
+        st(s) AS (VALUES {states}),
+        v1 AS MATERIALIZED (
+          SELECT obs.seq, st.s AS state,
+                 CAST((st.s * 2 + 1) % 5
+                      + (st.s * 11 + obs.o * 13) % 17 AS BIGINT)
+                   AS score,
+                 CAST(st.s AS VARCHAR) AS path
+          FROM obs JOIN fullseq USING (seq) CROSS JOIN st
+          WHERE obs.t = 1
+        )"""]
+    for t in range(2, T + 1):
+        parts.append(f""",
+        v{t} AS MATERIALIZED (
+          SELECT m.seq, m.state,
+                 m.b.sc + (m.state * 11 + obs.o * 13) % 17 AS score,
+                 m.b.ph || '>' || m.state AS path
+          FROM (
+            SELECT v.seq, st.s AS state,
+                   max(struct_pack(
+                     sc := v.score + (v.state * 3 + st.s * 5) % 7,
+                     pv := v.state, ph := v.path)) AS b
+            FROM v{t - 1} v CROSS JOIN st
+            GROUP BY v.seq, st.s
+          ) m
+          JOIN obs ON obs.seq = m.seq AND obs.t = {t}
+        )""")
+    parts.append(f"""
+        SELECT seq AS seq_id, CAST(f.b.st AS INT) AS best_state,
+               CAST(f.b.sc AS BIGINT) AS score, f.b.ph AS path
+        FROM (
+          SELECT seq, max(struct_pack(sc := score, st := state,
+                                      ph := path)) AS b
+          FROM v{T} GROUP BY seq
+        ) f""")
     return "".join(parts)
 
 
@@ -9817,6 +9906,7 @@ def oracle_sql() -> dict[str, str]:
                      * 57.29577951308232 AS wp_lon
             FROM e
         """,
+        "viterbi_path": _viterbi_unrolled(T=12, S=4),
         "ktruss_edges": _ktruss_unrolled(
             """
               SELECT DISTINCT
