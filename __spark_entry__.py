@@ -4187,6 +4187,32 @@ def q_viterbi_path(spark, sf_dir):
         seq_col="seq", t_col="t", obs_col="o")
 
 
+def q_cidr_lookup(spark, sf_dir):
+    """Longest-prefix-match CIDR lookup (operators/ipmatch.py
+    cidr_lookup): synthetic uint32 IPs vs a 5-length block dim
+    ({8,12,16,20,24}) — broadcast dim, per-length integer-division
+    candidates, max(struct) argmax on prefix length. Oracle: the same
+    expansion as UNION ALL legs."""
+    from cartwright_spark.operators.ipmatch import cidr_lookup
+    ips = (_t(spark, sf_dir, "orders")
+           .select(F.pmod(F.col("o_orderkey") * 2654435761,
+                          F.lit(4294967296)).alias("ip"))
+           .distinct())
+    p = _t(spark, sf_dir, "part")
+    plen = (8 + 4 * F.pmod(F.col("p_partkey"), F.lit(5))).cast("int")
+    bip = F.pmod(F.col("p_partkey") * 104729 + 7, F.lit(4294967296))
+    shift = (F.when(plen == 8, F.lit(16777216))
+             .when(plen == 12, F.lit(1048576))
+             .when(plen == 16, F.lit(65536))
+             .when(plen == 20, F.lit(4096))
+             .otherwise(F.lit(256)))
+    blocks = p.select(
+        plen.alias("plen"),
+        F.floor(bip / shift).cast("bigint").alias("prefix"),
+        F.col("p_partkey").alias("block_id"))
+    return cidr_lookup(ips, blocks, plens=[8, 12, 16, 20, 24])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_latitude_valid": q_p4_latitude_valid,
@@ -4388,6 +4414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_waypoints": q_route_waypoints,
         "ktruss_edges": q_ktruss_edges,
         "viterbi_path": q_viterbi_path,
+        "cidr_lookup": q_cidr_lookup,
     }
 
 
@@ -9907,6 +9934,51 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         """,
         "viterbi_path": _viterbi_unrolled(T=12, S=4),
+        "cidr_lookup": """
+            WITH ips AS (
+              SELECT DISTINCT (o_orderkey * 2654435761) % 4294967296
+                       AS ip
+              FROM orders
+            ),
+            blk AS (
+              SELECT CAST(8 + 4 * (p_partkey % 5) AS INT) AS plen,
+                     CAST(floor(((p_partkey * 104729 + 7)
+                                 % 4294967296)
+                          / (1 << (32 - (8 + 4 * (p_partkey % 5)))))
+                       AS BIGINT) AS prefix,
+                     p_partkey AS block_id
+              FROM part
+            ),
+            dim AS (
+              SELECT plen, prefix, min(block_id) AS block_id
+              FROM blk GROUP BY plen, prefix
+            ),
+            cand AS (
+              SELECT ip, 8 AS plen,
+                     CAST(floor(ip / 16777216) AS BIGINT) AS prefix
+              FROM ips
+              UNION ALL SELECT ip, 12,
+                     CAST(floor(ip / 1048576) AS BIGINT) FROM ips
+              UNION ALL SELECT ip, 16,
+                     CAST(floor(ip / 65536) AS BIGINT) FROM ips
+              UNION ALL SELECT ip, 20,
+                     CAST(floor(ip / 4096) AS BIGINT) FROM ips
+              UNION ALL SELECT ip, 24,
+                     CAST(floor(ip / 256) AS BIGINT) FROM ips
+            ),
+            hit AS (
+              SELECT c.ip, c.plen, d.block_id
+              FROM cand c JOIN dim d USING (plen, prefix)
+            ),
+            b AS (
+              SELECT ip, max(struct_pack(plen := plen,
+                                         bid := block_id)) AS b
+              FROM hit GROUP BY ip
+            )
+            SELECT ip, CAST(b.b.plen AS INT) AS plen,
+                   b.b.bid AS block_id
+            FROM b
+        """,
         "ktruss_edges": _ktruss_unrolled(
             """
               SELECT DISTINCT

@@ -82,7 +82,7 @@ CONTRACT_BENCH_QUERIES = (
     "tfidf_topterms", "meta_tags", "personalized_pagerank",
     "dtw_pairs", "ab_ztest", "k_anonymity", "hillshade_grid",
     "geofence_transitions", "route_waypoints", "ktruss_edges",
-    "viterbi_path",
+    "viterbi_path", "cidr_lookup",
 )
 
 
